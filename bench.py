@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Queries execute to completion via the no-op sink (full pipeline, no driver
+collect overhead)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from blockchain_postgres_sync_spark.plans.catalog import CATALOG
+from blockchain_postgres_sync_spark.session import get_spark
+
+HEADLINE = [
+    "candles_1m",
+    "candles_cascade",
+    "scd2_chain",
+    "scd2_current",
+    "deterministic_uid",
+    "assets_view",
+    "lookup_join",
+    "pricing_summary",
+    "top_orders",
+    "regional_revenue",
+    "tumbling_window_5m",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ngram_jaccard",
+    "text_stats",
+    "ann_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "catalog_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

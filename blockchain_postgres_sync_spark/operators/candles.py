@@ -1,0 +1,200 @@
+"""OHLCV candle computation: minute hash-agg + 13-interval hierarchical rollup.
+
+Reference semantics (all in /root/reference):
+- minute candles (A1): src/lib/consumer/repo/pg.rs:680-738 — GROUP BY
+  (date_trunc minute, amount_asset_id, price_asset_id, sender) with
+  open/close picked by trade ``uid`` order, wap = floor(sum(a*p)/sum(a)).
+- price decimal scaling (A2): pg.rs:708-713 — for tx_version > 2,
+  ``price * 10^dec(price_asset) * 10^(-dec(amount_asset))``; missing decimals
+  is a hard error (migrations/2025-08-28-080719.../up.sql:1-16).
+- cascade (A3): pg.rs:740-815 + models/candles.rs:39-52 — re-aggregate each
+  source interval into its destination; open/close picked by ``time_start``
+  order; wap = floor(sum(wap*volume)/sum(volume)).
+- incremental watermark (A4): pg.rs:660-678 — recompute only candles with
+  time_start >= the first affected minute, per-interval truncated start.
+
+Spark-first design notes:
+- open/close via ``min_by``/``max_by`` on the deterministic uid — never
+  physical row order, which shuffles destroy (SURVEY.md §7.4.1).
+- money columns are DecimalType end-to-end; wap division happens in float64
+  AFTER exact decimal sums (deterministic: exact inputs, single IEEE op).
+- grouping is a single shuffle per level; the cascade reuses the previous
+  level's (already small) output, so 12 rollups cost far less than 12 scans.
+- at 100 TB: trades are partitioned by time bucket; the A4 watermark filter
+  prunes partitions before the shuffle, and each rollup groups ~1/5 the rows
+  of its source level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS
+
+#: exact decimal types used throughout (see module docstring on overflow):
+#: price DEC(28,10) * amount DEC(10,0) -> DEC(38,10) fits both Spark & DuckDB.
+PRICE_DEC = "decimal(28,10)"
+AMOUNT_DEC = "decimal(10,0)"
+
+
+def trunc_ts(col: Column, interval: str) -> Column:
+    """Truncate a timestamp to the start of ``interval``.
+
+    Mirrors `_to_raw_timestamp` (up.sql:496-519): epoch-floor for fixed-width
+    intervals, calendar date_trunc for 1d/1w/1M.
+    """
+    kind, arg = INTERVALS[interval]
+    if kind == "secs":
+        secs = int(arg)
+        return F.timestamp_seconds(
+            (F.floor(F.unix_timestamp(col) / secs) * secs).cast("long")
+        )
+    return F.date_trunc(str(arg), col)
+
+
+def scale_prices(txs7: DataFrame, decimals: DataFrame) -> DataFrame:
+    """A2: decimal-scale prices for tx_version > 2 via the decimals dim.
+
+    ``decimals`` has columns (asset_id, decimals) — the reference's
+    ``decimals`` view (up.sql:420-430).  Missing decimals for a referenced
+    asset is a hard error (get_decimals_or_exception), surfaced here as a
+    validation performed by the caller via :func:`assert_no_missing_decimals`.
+
+    The dim is tiny (one row per asset) — broadcast both lookups, no shuffle.
+    """
+    amount_dec = F.broadcast(
+        decimals.select(
+            F.col("asset_id").alias("amount_asset_id"),
+            F.col("decimals").alias("_amount_decimals"),
+        )
+    )
+    price_dec = F.broadcast(
+        decimals.select(
+            F.col("asset_id").alias("price_asset_id"),
+            F.col("decimals").alias("_price_decimals"),
+        )
+    )
+    scaled = (
+        txs7.join(amount_dec, "amount_asset_id", "left")
+        .join(price_dec, "price_asset_id", "left")
+        .withColumn(
+            "price",
+            F.when(
+                F.col("tx_version") > 2,
+                (
+                    F.col("price").cast(PRICE_DEC)
+                    * F.pow(F.lit(10.0), F.col("_price_decimals").cast("int"))
+                    * F.pow(F.lit(10.0), -F.col("_amount_decimals").cast("int"))
+                ).cast(PRICE_DEC),
+            ).otherwise(F.col("price").cast(PRICE_DEC)),
+        )
+    )
+    return scaled
+
+
+def count_missing_decimals(txs7: DataFrame, decimals: DataFrame) -> int:
+    """A2 hard-error check: count trades referencing an asset with no
+    decimals row (reference raises ASSET_DECIMALS_NOT_FOUND)."""
+    dim = decimals.select("asset_id").distinct()
+    refs = (
+        txs7.select(F.col("amount_asset_id").alias("asset_id"))
+        .unionByName(txs7.select(F.col("price_asset_id").alias("asset_id")))
+        .distinct()
+    )
+    return refs.join(F.broadcast(dim), "asset_id", "left_anti").count()
+
+
+def minute_candles(
+    trades: DataFrame,
+    since_ts: Column | str | None = None,
+) -> DataFrame:
+    """A1: the minute-candle hash aggregation (pg.rs:680-738).
+
+    ``trades`` must carry: uid, time_stamp, amount_asset_id, price_asset_id,
+    sender (matcher address), height, amount (integral), price (decimal,
+    already scaled).  ``since_ts`` is the A4 incremental watermark.
+    """
+    if since_ts is not None:
+        trades = trades.filter(F.col("time_stamp") >= since_ts)
+
+    amount = F.col("amount").cast(AMOUNT_DEC)
+    price = F.col("price").cast(PRICE_DEC)
+    pq = (amount * price).alias("pq")
+
+    e = trades.select(
+        trunc_ts(F.col("time_stamp"), "1m").alias("time_start"),
+        F.col("uid"),
+        F.col("amount_asset_id"),
+        F.col("price_asset_id"),
+        F.col("sender").alias("matcher_address"),
+        F.col("height"),
+        amount.alias("amount"),
+        price.alias("price"),
+        pq,
+    )
+    out = e.groupBy(
+        "time_start", "amount_asset_id", "price_asset_id", "matcher_address"
+    ).agg(
+        F.min("price").alias("low"),
+        F.max("price").alias("high"),
+        F.sum("amount").alias("volume"),
+        F.sum("pq").alias("quote_volume"),
+        F.max("height").alias("max_height"),
+        F.count("price").alias("txs_count"),
+        F.floor(
+            F.sum("pq").cast("double") / F.sum("amount").cast("double")
+        ).alias("weighted_average_price"),
+        F.min_by("price", "uid").alias("open"),
+        F.max_by("price", "uid").alias("close"),
+    )
+    return out.select(
+        "time_start", "amount_asset_id", "price_asset_id", "low", "high",
+        "volume", "quote_volume", "max_height", "txs_count",
+        "weighted_average_price", "open", "close",
+        F.lit("1m").alias("interval"), "matcher_address",
+    )
+
+
+def rollup_interval(src_candles: DataFrame, src: str, dst: str) -> DataFrame:
+    """A3: re-aggregate candles of interval ``src`` into ``dst``
+    (pg.rs:740-815).  open/close keyed on source ``time_start``."""
+    c = src_candles.withColumn("_dst_start", trunc_ts(F.col("time_start"), dst))
+    out = c.groupBy(
+        "_dst_start", "amount_asset_id", "price_asset_id", "matcher_address"
+    ).agg(
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+        F.sum("volume").alias("volume"),
+        F.sum("quote_volume").alias("quote_volume"),
+        F.max("max_height").alias("max_height"),
+        F.sum("txs_count").alias("txs_count"),
+        F.floor(
+            F.sum(F.col("weighted_average_price") * F.col("volume")).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("weighted_average_price"),
+        F.min_by("open", "time_start").alias("open"),
+        F.max_by("close", "time_start").alias("close"),
+    )
+    return out.select(
+        F.col("_dst_start").alias("time_start"),
+        "amount_asset_id", "price_asset_id", "low", "high", "volume",
+        "quote_volume", "max_height", "txs_count", "weighted_average_price",
+        "open", "close", F.lit(dst).alias("interval"), "matcher_address",
+    )
+
+
+def full_cascade(minute: DataFrame) -> DataFrame:
+    """Run the full 12-step cascade; returns the union over all 13 intervals.
+
+    Each level feeds from the previous level's DataFrame (per
+    CANDLE_INTERVALS), so Catalyst builds a shared scan for 1m and each
+    rollup shuffles an already-aggregated (small) input.
+    """
+    by_interval: dict[str, DataFrame] = {"1m": minute}
+    for src, dst in CANDLE_CASCADE:
+        by_interval[dst] = rollup_interval(by_interval[src], src, dst)
+    out = by_interval[ALL_INTERVALS[0]]
+    for ivl in ALL_INTERVALS[1:]:
+        out = out.unionByName(by_interval[ivl])
+    return out

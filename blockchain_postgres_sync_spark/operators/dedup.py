@@ -1,0 +1,187 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four tiers, cheapest first:
+- exact: hash-groupBy on md5(text) — one shuffle on the 16-byte digest.
+- tokenset: md5 over the sorted distinct token set (order/dup-insensitive).
+- minhash + LSH: shingle → per-seed min-hash → band buckets → candidate
+  pairs meet only inside a bucket (no quadratic comparison). Hashing uses
+  md5 hex strings so an external SQL oracle reproduces signatures exactly.
+- simhash: 64-bit locality hash from per-token md5 bits.
+
+Scale: every step is explode + groupBy (linear, shuffle on bounded keys).
+At 100 TB, band buckets are the only potentially-skewed key (a viral shingle
+set); the pair join uses AQE skew splitting, and bucket sizes can be capped
+with a count filter before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_shingles, tokenset_fingerprint
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct content, keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokenset_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup tier 1: identical token SETS (reordered/repeated tokens)."""
+    return (
+        df.groupBy(tokenset_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _seeded_md5(seed: Column | int, value: Column) -> Column:
+    return F.md5(F.concat_ws("|", F.lit(seed).cast("string"), value))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-document minhash signature: for each seed j, the lexicographic min
+    of md5(j || '|' || shingle).  Output: (id, seed, minhash).
+
+    md5-as-string keeps the permutation family reproducible in any engine
+    with md5 (the DuckDB oracle recomputes identical signatures).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
+    )
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        id_col, "seed", _seeded_md5(F.col("seed"), F.col("shingle")).alias("h")
+    )
+    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes/bands), bucket-join:
+    docs sharing any band bucket become a candidate pair (a < b)."""
+    rows_per_band = num_hashes // bands
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    x100: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle.
+
+    |A ∩ B| via a shingle-equijoin + count; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Jaccard is reported as an exact integer permille-style x100 score
+    (floor) to stay hash-comparable.  The shared-shingle join bounds the
+    candidate set (linear in shingle postings, not quadratic in docs).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard_x100",
+            F.floor(
+                F.col("n_inter").cast("double") * 100.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).cast("long"),
+        )
+    )
+    return scored.filter(F.col("jaccard_x100") >= int(threshold * 100)).select(
+        "id_a", "id_b", "jaccard_x100"
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash from per-token md5 bits: bit i of the hash is 1 iff
+    more tokens have bit i set than not.  Pure Catalyst (explode + conv +
+    bitwise ops + groupBy); Hamming-close hashes = near-dup documents.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    # 64-bit value from the first 15 hex chars (60 bits) + next hex char:
+    # use two 8-hex-char (32-bit) halves to stay in exact integer range.
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h60"),
+    )
+    bits = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("h60"),
+    ).select(
+        id_col,
+        "bit",
+        F.when(F.expr("(shiftright(h60, bit) & 1) = 1"), 1).otherwise(-1).alias("vote"),
+    )
+    agg = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return agg.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash60")
+    )

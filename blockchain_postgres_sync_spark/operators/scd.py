@@ -1,0 +1,69 @@
+"""SCD Type-2 maintenance as pure window recomputation.
+
+The reference maintains (uid, superseded_by) validity chains imperatively:
+close the current row and insert the new one inside a transaction
+(src/lib/consumer/mod.rs:583-677 for asset_updates, 679-767 for
+asset_tickers; UNNEST bulk-UPDATE in repo/pg.rs:225-256).  An open (current)
+row has ``superseded_by = 9223372036854775806`` (pg.rs:31).
+
+Spark-first translation (SURVEY.md W1/A8/J6): ``superseded_by`` is a pure
+function of the set of update rows — within each asset_id ordered by uid,
+each row's superseded_by is the next row's uid, the last row gets MAX_UID.
+One window shuffle per recompute; rollback "reopen" repair (mod.rs:824-858)
+falls out for free because we recompute from the surviving rows.
+
+Scale: partitionBy(key) windows shuffle once on the key; per-key row counts
+are tiny (1-4 updates per asset), so no skew concern. At 100 TB the update
+log is partitioned by key-hash bucket so the window shuffle is co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import MAX_UID
+
+
+def chain_superseded_by(
+    updates: DataFrame, key: str = "asset_id", uid: str = "uid"
+) -> DataFrame:
+    """W1: (re)derive the superseded_by chain from the raw update log.
+
+    Replaces the reference's reverse in-memory scan (mod.rs:623-647) and its
+    close/reopen UPDATEs with one ``lead`` window.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(uid).asc())
+    return updates.withColumn(
+        "superseded_by",
+        F.coalesce(F.lead(uid).over(w), F.lit(MAX_UID)).cast("long"),
+    )
+
+
+def current_snapshot(
+    df: DataFrame, key: str = "asset_id", uid: str = "uid"
+) -> DataFrame:
+    """A8 (DISTINCT ON): latest row per key by uid — the "current" dimension
+    state (tickers view, up.sql:432-435; superseded_by = MAX_UID filter in
+    the assets view, up.sql:451-469).
+
+    Implemented as max_by over all columns rather than row_number so Catalyst
+    can do a partial (map-side) aggregation instead of a full sort window.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(uid).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def reopen_after_rollback(
+    updates: DataFrame, rollback_block_uid: int, key: str = "asset_id", uid: str = "uid"
+) -> DataFrame:
+    """T3 repair (mod.rs:824-858): drop rows from rolled-back blocks, then
+    re-derive chains — the lowest surviving row per key regains MAX_UID
+    automatically (the reference reopens it with an UPDATE; A6 min-per-group).
+    """
+    survivors = updates.filter(F.col("block_uid") <= F.lit(rollback_block_uid))
+    return chain_superseded_by(survivors.drop("superseded_by"), key=key, uid=uid)

@@ -1,0 +1,124 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- brute_force_topk: exact cosine top-k via crossJoin — the correctness
+  baseline.  The query side is broadcast (queries << corpus), so the corpus
+  is scanned once with no shuffle; ranking is a per-query window top-k.
+- lsh_topk: the scale path — random-hyperplane signs bucket the corpus;
+  queries only compare against their bucket (and its 1-bit-flip neighbors),
+  turning O(Q x N) into O(Q x N / 2^bits) expected work.
+
+Hyperplanes are generated deterministically from a seed (md5-derived
+pseudo-randoms), so plans are reproducible without driver-side RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on corpus id.
+
+    Output: (query_id, rank, neighbor_id, cosine_sim).
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(seed, bit, i)."""
+    planes = []
+    for b in range(bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{b}|{i}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            row.append((u / 2**64) * 2.0 - 1.0)  # uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bucket id: bit b = 1 iff dot(vec, plane_b) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                         plane_arr) >= 0, F.lit(1 << b)).otherwise(0)
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: compare only within the query's hyperplane-sign bucket and
+    its Hamming-distance-1 neighbor buckets (recall knob = bits).
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q0 = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_qbucket"),
+    )
+    # probe buckets: own bucket + all 1-bit flips (multi-probe LSH)
+    probes = F.array(
+        F.col("_qbucket"),
+        *[F.col("_qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+    )
+    q = q0.select(query_id_col, "_qvec", F.explode(probes).alias("bucket"))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )

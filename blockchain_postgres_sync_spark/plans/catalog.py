@@ -1,0 +1,710 @@
+"""Benchmark/correctness catalog: every operator from SURVEY.md §2 expressed
+over the driver's testdata tables, each with a DuckDB oracle.
+
+The driver runs each Spark query AND its oracle SQL side-by-side at sf0.01
+and hash-compares values (order-insensitive, columns sorted by name).  Rules
+followed here so hashes are bit-exact across engines:
+
+- aggregate money in DecimalType (exact, associative), never float;
+- final outputs cast to stable types only: STRING / BIGINT / INT / DOUBLE
+  (exact-decimal→double conversion is deterministic);
+- timestamps output as strings ('YYYY-MM-DD HH:MM:SS[.ffffff]' both engines);
+- floor-division done as a single IEEE float64 op over exact integers;
+- identical alias in Spark (.alias) and SQL (AS).
+
+The testdata→reference shape mapping (FIXTURES.md §10): events → exchange
+trades (txs_7) / dimension-update stream; part/supplier → asset dimension;
+orders+lineitem → fact tables for join/agg coverage; documents/embeddings →
+LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
+from ..sources.tables import load_table
+from ..functions import text as T
+from ..operators import dedup, similarity
+from ..operators.candles import full_cascade, minute_candles
+from ..operators.scd import chain_superseded_by, current_snapshot
+from ..operators.uids import assign_uids
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dd_trunc(expr: str, interval: str) -> str:
+    """DuckDB SQL mirroring operators.candles.trunc_ts (tz-free)."""
+    kind, arg = INTERVALS[interval]
+    if kind == "secs":
+        return (
+            f"TIMESTAMP '1970-01-01' + INTERVAL "
+            f"(CAST(floor(epoch({expr}) / {arg}) AS BIGINT) * {arg}) SECOND"
+        )
+    # CAST: DuckDB date_trunc('day'|'week'|'month') yields DATE; Spark yields
+    # timestamp — align the textual form.
+    return f"CAST(date_trunc('{arg}', {expr}) AS TIMESTAMP)"
+
+
+#: events → txs_7-shaped trades (FIXTURES.md §10). Deterministic arithmetic
+#: derivations give the candle agg real group keys: 5 event types × 3 price
+#: assets × 2 matchers ≈ 30 pairs.
+def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("uid"),
+        F.col("ts").alias("time_stamp"),
+        F.col("event_type").alias("amount_asset_id"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("USD"))
+        .when(F.col("user_id") % 3 == 1, F.lit("EUR"))
+        .otherwise(F.lit("BTC"))
+        .alias("price_asset_id"),
+        F.concat(F.lit("M"), (F.col("user_id") % 2).cast("string")).alias("sender"),
+        F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("int").alias("height"),
+        (F.col("event_id") % 97 + 1).alias("amount"),
+        F.col("value").cast("decimal(18,2)").alias("price"),
+    )
+
+
+_TRADES_SQL = """
+    SELECT event_id AS uid,
+           ts AS time_stamp,
+           event_type AS amount_asset_id,
+           CASE user_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'BTC' END
+               AS price_asset_id,
+           'M' || CAST(user_id % 2 AS VARCHAR) AS sender,
+           CAST(floor(epoch(ts) / 3600) AS INT) AS height,
+           event_id % 97 + 1 AS amount,
+           CAST(value AS DECIMAL(18,2)) AS price
+    FROM events
+"""
+
+_C1M_SQL = f"""
+    SELECT {_dd_trunc('time_stamp', '1m')} AS time_start,
+           amount_asset_id, price_asset_id, sender AS matcher_address,
+           min(CAST(price AS DECIMAL(28,10))) AS low,
+           max(CAST(price AS DECIMAL(28,10))) AS high,
+           sum(CAST(amount AS DECIMAL(10,0))) AS volume,
+           sum(CAST(amount AS DECIMAL(10,0)) * CAST(price AS DECIMAL(28,10)))
+               AS quote_volume,
+           max(height) AS max_height,
+           CAST(count(*) AS BIGINT) AS txs_count,
+           CAST(floor(
+               CAST(sum(CAST(amount AS DECIMAL(10,0)) * CAST(price AS DECIMAL(28,10))) AS DOUBLE)
+               / CAST(sum(CAST(amount AS DECIMAL(10,0))) AS DOUBLE)) AS BIGINT)
+               AS weighted_average_price,
+           arg_min(CAST(price AS DECIMAL(28,10)), uid) AS open,
+           arg_max(CAST(price AS DECIMAL(28,10)), uid) AS close
+    FROM trades
+    GROUP BY 1, 2, 3, 4
+"""
+
+#: safe (case-insensitive-unique) CTE names per interval; '1m' vs '1M' would
+#: collide as SQL identifiers.
+_SAFE = {
+    "1m": "m1", "5m": "m5", "15m": "m15", "30m": "m30", "1h": "h1",
+    "2h": "h2", "3h": "h3", "4h": "h4", "6h": "h6", "12h": "h12",
+    "1d": "d1", "1w": "w1", "1M": "mo1",
+}
+
+_CANDLE_OUT = (
+    "CAST(time_start AS VARCHAR) AS time_start, amount_asset_id, "
+    "price_asset_id, matcher_address, CAST(low AS DOUBLE) AS low, "
+    "CAST(high AS DOUBLE) AS high, CAST(volume AS BIGINT) AS volume, "
+    "CAST(quote_volume AS DOUBLE) AS quote_volume, max_height, "
+    "CAST(txs_count AS BIGINT) AS txs_count, "
+    "CAST(weighted_average_price AS BIGINT) AS weighted_average_price, "
+    "CAST(open AS DOUBLE) AS open, CAST(close AS DOUBLE) AS close"
+)
+
+
+def _rollup_sql(src: str, dst: str) -> str:
+    return f"""
+    SELECT {_dd_trunc('time_start', dst)} AS time_start,
+           amount_asset_id, price_asset_id, matcher_address,
+           min(low) AS low,
+           max(high) AS high,
+           sum(volume) AS volume,
+           sum(quote_volume) AS quote_volume,
+           max(max_height) AS max_height,
+           CAST(sum(txs_count) AS BIGINT) AS txs_count,
+           CAST(floor(
+               CAST(sum(weighted_average_price * volume) AS DOUBLE)
+               / CAST(sum(volume) AS DOUBLE)) AS BIGINT)
+               AS weighted_average_price,
+           arg_min(open, time_start) AS open,
+           arg_max(close, time_start) AS close
+    FROM c_{_SAFE[src]}
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+def _cascade_oracle_sql() -> str:
+    ctes = [f"trades AS ({_TRADES_SQL})", f"c_m1 AS ({_C1M_SQL})"]
+    for src, dst in CANDLE_CASCADE:
+        ctes.append(f"c_{_SAFE[dst]} AS ({_rollup_sql(src, dst)})")
+    unions = " UNION ALL ".join(
+        f"SELECT {_CANDLE_OUT}, '{ivl}' AS interval FROM c_{_SAFE[ivl]}"
+        for ivl in ALL_INTERVALS
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def _candles_final(df: DataFrame, with_interval: bool) -> DataFrame:
+    cols = [
+        F.col("time_start").cast("string").alias("time_start"),
+        "amount_asset_id", "price_asset_id", "matcher_address",
+        F.col("low").cast("double").alias("low"),
+        F.col("high").cast("double").alias("high"),
+        F.col("volume").cast("long").alias("volume"),
+        F.col("quote_volume").cast("double").alias("quote_volume"),
+        "max_height",
+        F.col("txs_count").cast("long").alias("txs_count"),
+        F.col("weighted_average_price").cast("long").alias("weighted_average_price"),
+        F.col("open").cast("double").alias("open"),
+        F.col("close").cast("double").alias("close"),
+    ]
+    if with_interval:
+        cols.append("interval")
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/W2: the reference's minute-candle hash-agg (pg.rs:680-738)."""
+    return _candles_final(minute_candles(_trades(spark, sf_dir)), with_interval=False)
+
+
+def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: full 13-interval hierarchical rollup (pg.rs:740-815)."""
+    return _candles_final(full_cascade(minute_candles(_trades(spark, sf_dir))), True)
+
+
+def q_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: superseded_by chaining (mod.rs:623-647) over the event stream as
+    a dimension-update log (user_id = the SCD key)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("asset_id"), F.col("event_id").alias("uid")
+    )
+    out = chain_superseded_by(ev, key="asset_id", uid="uid")
+    return out.select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.col("uid").cast("long").alias("uid"),
+        F.col("superseded_by").alias("superseded_by"),
+    )
+
+
+def q_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (DISTINCT ON): latest row per key by uid — tickers view semantics
+    (up.sql:432-435)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("asset_id"),
+        F.col("event_id").alias("uid"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return current_snapshot(ev, key="asset_id", uid="uid").select(
+        F.col("asset_id").cast("long"), F.col("uid"), "event_type", "value"
+    )
+
+
+def q_deterministic_uid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: uid = height*100000 + seq (convert.rs:45-72); height ≙ user_id."""
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("user_id").alias("height"))
+    return assign_uids(ev, height_col="height", order_cols=["event_id"]).select(
+        "event_id", F.col("height").cast("long").alias("height"), "uid"
+    )
+
+
+def q_decimals_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: dimension ∪ constant sentinel row (decimals view, up.sql:420-430)."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("asset_id"),
+        (F.col("p_size") % 9).cast("int").alias("decimals"),
+    )
+    waves = spark.range(1).select(
+        F.lit("WAVES").alias("asset_id"), F.lit(8).cast("int").alias("decimals")
+    )
+    return part.unionByName(waves)
+
+
+def q_assets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J4+A9: left-join enrichment ∪ synthetic sentinel row carrying a
+    scalar 'supply' (assets view, up.sql:437-485)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    origins = li.groupBy("l_partkey").agg(
+        F.min("l_orderkey").alias("origin_order"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_vol"),
+    )
+    base = (
+        part.join(F.broadcast(origins), part.p_partkey == origins.l_partkey, "left")
+        .select(
+            F.col("p_partkey").cast("string").alias("asset_id"),
+            F.col("p_name").alias("asset_name"),
+            F.col("origin_order").cast("long").alias("origin_order"),
+            F.col("_vol").cast("double").alias("total_volume"),
+            F.col("p_retailprice").alias("retail_price"),
+        )
+    )
+    supply = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_supply")
+    )
+    waves = supply.select(
+        F.lit("WAVES").alias("asset_id"),
+        F.lit("Waves").alias("asset_name"),
+        F.lit(None).cast("long").alias("origin_order"),
+        F.col("_supply").cast("double").alias("total_volume"),
+        F.lit(None).cast("double").alias("retail_price"),
+    )
+    return base.unionByName(waves)
+
+
+def q_ticker_parse_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+A8: key parse (frag_parse '%s%s', mod.rs:548-581) + latest-per-key:
+    extract k from the props JSON-ish payload, keep newest per user."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id").alias("uid"),
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long").alias("ticker_k"),
+    )
+    return current_snapshot(ev, key="user_id", uid="uid").select(
+        F.col("user_id").cast("long"), "uid", "ticker_k"
+    )
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: lease-cancel-style broadcast lookup (pg.rs:472-505): resolve each
+    fact row against a (small) lookup side; unmatched stays NULL."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left").select(
+        "l_orderkey", "l_linenumber", "o_custkey"
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7-style global agg with exact decimal money math (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sbp"),
+        F.sum(price * (F.lit(1) - disc)).alias("_sdp"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("_sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        F.col("count_order"),
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (TPC-H Q3 shape; exercises broadcast
+    dim joins and exact-decimal ordering)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).alias("_rev")
+    )
+    top = agg.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc()).limit(10)
+    return top.select(
+        "l_orderkey",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop broadcast dim joins (TPC-H Q5 shape): revenue by supplier
+    nation within one region."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    out = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return out.select(
+        "n_name", F.col("_rev").cast("double").alias("revenue"), "n_items"
+    )
+
+
+def q_tumbling_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: tumbling event-time window agg via F.window (the streaming
+    primitive, run in batch mode here)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window(F.col("ts"), "5 minutes").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return out.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "event_type", "n_events",
+        F.col("_sv").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+def q_latest_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/P1: top-1-by-order scalar per group (waves supply in the assets
+    view, up.sql:478-481)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.col("value").alias("latest_value"),
+                F.col("event_id").alias("latest_event_id"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup on sorted-distinct-token fingerprints."""
+    return dedup.tokenset_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (12 hashes, 4 bands, 3-token shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 pairs via shingle-postings join."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_size=3, threshold=0.5
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/quality stats (integer-exact) per document."""
+    docs = _t(spark, sf_dir, "documents")
+    ratios = T.quality_ratios(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in ratios.items()])
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (ranks only — float
+    scores stay internal; ranking ties broken on neighbor_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+# ---------------------------------------------------------------- registry
+
+_DOC_STATS_SQL = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_token_len,
+           CAST(floor(CAST(length(replace(text, ' ', '')) * 100 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)
+               AS mean_token_len_x100,
+           CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) * 100 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)
+               AS repetition_x100
+    FROM documents
+"""
+
+_SHINGLES_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM pos)
+"""
+
+_MINHASH_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    seeded AS (
+        SELECT doc_id, unnest(generate_series(0, 11)) AS seed, shingle
+        FROM sh),
+    hashed AS (
+        SELECT doc_id, seed,
+               md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+        FROM seeded),
+    sig AS (SELECT doc_id, seed, min(h) AS minhash
+            FROM hashed GROUP BY doc_id, seed),
+    banded AS (
+        SELECT doc_id, CAST(floor(seed / 3.0) AS INT) AS band,
+               md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, CAST(floor(seed / 3.0) AS INT))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(floor(CAST(n_inter AS DOUBLE) * 100.0
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)) AS BIGINT)
+                   AS jaccard_x100
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard_x100 FROM scored WHERE jaccard_x100 >= 50
+"""
+
+CATALOG: dict[str, QueryFn] = {
+    "candles_1m": q_candles_1m,
+    "candles_cascade": q_candles_cascade,
+    "scd2_chain": q_scd2_chain,
+    "scd2_current": q_scd2_current,
+    "deterministic_uid": q_deterministic_uid,
+    "decimals_view": q_decimals_view,
+    "assets_view": q_assets_view,
+    "ticker_parse_latest": q_ticker_parse_latest,
+    "lookup_join": q_lookup_join,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "regional_revenue": q_regional_revenue,
+    "tumbling_window_5m": q_tumbling_window_5m,
+    "latest_supply": q_latest_supply,
+    "dedup_exact": q_dedup_exact,
+    "dedup_tokenset": q_dedup_tokenset,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "ann_bruteforce": q_ann_bruteforce,
+}
+
+ORACLES: dict[str, str] = {
+    "candles_1m": f"WITH trades AS ({_TRADES_SQL}), c AS ({_C1M_SQL}) "
+                  f"SELECT {_CANDLE_OUT} FROM c",
+    "candles_cascade": _cascade_oracle_sql(),
+    "scd2_chain": f"""
+        SELECT CAST(user_id AS BIGINT) AS asset_id,
+               CAST(event_id AS BIGINT) AS uid,
+               CAST(COALESCE(LEAD(event_id) OVER
+                   (PARTITION BY user_id ORDER BY event_id), {MAX_UID}) AS BIGINT)
+                   AS superseded_by
+        FROM events
+    """,
+    "scd2_current": """
+        SELECT CAST(user_id AS BIGINT) AS asset_id,
+               CAST(event_id AS BIGINT) AS uid, event_type, value
+        FROM (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "deterministic_uid": """
+        SELECT event_id, CAST(user_id AS BIGINT) AS height,
+               CAST(user_id * 100000 + ROW_NUMBER() OVER
+                   (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS uid
+        FROM events
+    """,
+    "decimals_view": """
+        SELECT CAST(p_partkey AS VARCHAR) AS asset_id,
+               CAST(p_size % 9 AS INT) AS decimals
+        FROM part
+        UNION ALL SELECT 'WAVES', 8
+    """,
+    "assets_view": """
+        WITH origins AS (
+            SELECT l_partkey, CAST(min(l_orderkey) AS BIGINT) AS origin_order,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS vol
+            FROM lineitem GROUP BY l_partkey),
+        supply AS (
+            SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s FROM orders)
+        SELECT CAST(p_partkey AS VARCHAR) AS asset_id,
+               p_name AS asset_name,
+               origin_order,
+               CAST(vol AS DOUBLE) AS total_volume,
+               p_retailprice AS retail_price
+        FROM part LEFT JOIN origins ON p_partkey = l_partkey
+        UNION ALL
+        SELECT 'WAVES', 'Waves', NULL, CAST(s AS DOUBLE), NULL FROM supply
+    """,
+    "ticker_parse_latest": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS uid,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS ticker_k
+        FROM (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "lookup_join": """
+        SELECT l_orderkey, l_linenumber, o_custkey
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+        FROM (
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY rev DESC, l_orderkey ASC
+            LIMIT 10)
+    """,
+    "regional_revenue": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "tumbling_window_5m": f"""
+        SELECT CAST({_dd_trunc('ts', '5m')} AS VARCHAR) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "latest_supply": """
+        SELECT event_type, value AS latest_value,
+               CAST(event_id AS BIGINT) AS latest_event_id
+        FROM (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_tokenset": """
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "ngram_jaccard": _JACCARD_SQL,
+    "text_stats": _DOC_STATS_SQL,
+    "ann_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_reduce(list_transform(generate_series(1, len(qe)),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                       (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(generate_series(1, len(qe)),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                          (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                          (a, b) -> a + b)))
+                   AS cosine_sim
+            FROM embeddings e, q)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= 10
+    """,
+}

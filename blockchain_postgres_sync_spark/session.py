@@ -1,0 +1,52 @@
+"""SparkSession factory with the engine's required settings.
+
+The reference fixes all timestamps to UTC (TIMESTAMPTZ columns, naive
+``candles.time_start``; migrations/2022-04-27-111623_initial/up.sql:16,369).
+We pin ``spark.sql.session.timeZone=UTC`` so parquet naive timestamps and
+date_trunc behave identically to the Postgres/DuckDB oracle.
+
+Scale posture (100 TB target, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
+- autoBroadcastJoinThreshold raised: dimension tables (decimals/assets/
+  nation/region/part at bench SF) must broadcast, never shuffle.
+- shuffle.partitions sized for the local harness; on a real cluster this is
+  overridden by AQE coalescing + advisory partition size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "blockchain-postgres-sync-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

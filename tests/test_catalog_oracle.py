@@ -1,0 +1,23 @@
+"""Differential tests: every catalog query vs its DuckDB oracle at sf0.001
+(fast) — the same check the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from blockchain_postgres_sync_spark.plans.catalog import CATALOG, ORACLES
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG.keys()))
+def test_query_matches_oracle(spark, name):
+    assert name in ORACLES, f"{name} has no oracle"
+    df = CATALOG[name](spark, SF_SMOKE)
+    problems = compare(df, ORACLES[name], SF_SMOKE)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_catalog_oracle_keys_match():
+    assert set(ORACLES).issubset(set(CATALOG))
