@@ -56,23 +56,25 @@ def minhash_signatures(
     shingle_size: int = 3,
 ) -> DataFrame:
     """Per-document minhash signature: for each seed j, the lexicographic min
-    of md5(j || '|' || shingle).  Output: (id, seed, minhash).
+    of md5(j || '|' || shingle).  Output: (id, mh_0..mh_{k-1}) — wide.
 
-    md5-as-string keeps the permutation family reproducible in any engine
-    with md5 (the DuckDB oracle recomputes identical signatures).
+    One explode (shingles) + ONE shuffle (groupBy id with k parallel min
+    aggregates, map-side partial agg) — no seed explode, so shuffle volume
+    is k small strings per doc instead of k rows per shingle.  min() is
+    duplicate-insensitive, so shingles need no distinct pass.  md5-as-string
+    keeps the permutation family reproducible in any engine with md5 (the
+    DuckDB oracle recomputes identical signatures).
     """
     sh = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
+        F.explode(token_shingles(F.col(text_col), shingle_size)).alias("shingle"),
     )
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        id_col, "seed", _seeded_md5(F.col("seed"), F.col("shingle")).alias("h")
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(_seeded_md5(j, F.col("shingle"))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
     )
-    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -81,24 +83,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Band the signature (rows_per_band = num_hashes/bands), bucket-join:
-    docs sharing any band bucket become a candidate pair (a < b)."""
+    """Band the wide signature (rows_per_band = num_hashes/bands) into
+    bucket hashes, then bucket-join: docs sharing any band bucket become a
+    candidate pair (a < b).  The join key is (band, 32-char bucket hash) —
+    uniform, broadcast-friendly postings."""
     rows_per_band = num_hashes // bands
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                    "|",
-                )
-            ).alias("bucket")
+    bucket_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bucket_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bucket"))
         )
-    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

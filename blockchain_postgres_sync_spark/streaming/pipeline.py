@@ -1,0 +1,420 @@
+"""Streaming orchestration: readStream → foreachBatch → atomic store commit.
+
+Reproduces the reference consumer's lifecycle (SURVEY.md §3.1) Spark-first:
+
+- S2 micro-batcher: Structured Streaming file source (one event file ≈ one
+  update batch; trigger + maxFilesPerTrigger bound batch size).
+- per batch (mod.rs:190-251): fold the updates into runs — consecutive
+  appends (blocks/microblocks) and rollbacks — and apply them in order
+  (driver-side segmentation over ≤ a few hundred rows of metadata, never
+  over data).
+- appends (mod.rs:253-357): extract blocks / typed txs / children / SCD
+  updates / tickers / waves_data, merge into the store, normalize the
+  microblock tail (squash, T2), re-derive SCD chains (W1), and re-run the
+  incremental candle recompute from the batch watermark (A4).
+- rollback (mod.rs:794-863): drop rows above the target block uid, re-derive
+  chains (reopen repair), recompute candles from the first affected minute.
+- T1 atomicity: all staged tables promote in ONE manifest swap per batch
+  (streaming/store.py) — the transaction analog.
+
+Scale notes: blocks are a tiny dimension (1 row/block) so the squash window
+and rollback lookups are cheap; tx/candle merges rewrite only rows above the
+watermark — with height-bucket partitioning the rewritten partition set is
+the speculative tail, O(1) per batch.  SCD rechaining recomputes all keys
+here; the affected-keys-only variant (union unchanged chains) is a
+straightforward refinement once update logs grow past memory.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import CANDLE_CASCADE, UID_HEIGHT_MULTIPLIER
+from ..ingest import (
+    RAW_UPDATE,
+    classify_txs,
+    extract_asset_origins,
+    extract_asset_updates,
+    extract_blocks,
+    extract_children,
+    extract_raw_txs,
+    extract_ticker_updates,
+    extract_waves_data,
+)
+from ..operators.candles import minute_candles, rollup_interval, scale_prices, trunc_ts
+from ..operators.scd import chain_superseded_by
+from ..plans.views import decimals_view
+from .store import TableStore
+
+TX_NAMES = [f"txs_{n}" for n in range(1, 19)]
+CHILD_NAMES = [
+    "txs_11_transfers", "txs_12_data", "txs_16_args", "txs_16_payment",
+    "txs_18_args", "txs_18_payment",
+]
+CANDLE_TABLES = ["candles_1m"] + [f"candles_{dst}" for _, dst in CANDLE_CASCADE]
+
+
+def _empty(spark: SparkSession, like: DataFrame) -> DataFrame:
+    return spark.createDataFrame([], like.schema)
+
+
+def _read_or_empty(store: TableStore, name: str, like: DataFrame) -> DataFrame:
+    existing = store.read_or_none(name)
+    return existing if existing is not None else _empty(store.spark, like)
+
+
+# ------------------------------------------------------------ squash (T2)
+
+
+def normalize_squash(
+    blocks: DataFrame, tx_tables: dict[str, DataFrame]
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Wholesale microblock-tail normalization.
+
+    Every microblock below the latest key block folds into its preceding key
+    block: the key block takes the last folded id (total-block id,
+    pg.rs:151-158) and referencing rows re-point their block_uid
+    (pg.rs:216-223).  Microblocks above the latest key block are the live
+    tail and stay.  One pass, pure window algebra — equivalent to the
+    reference performing a squash at every key-block arrival.
+    """
+    w = Window.orderBy("uid").rowsBetween(Window.unboundedPreceding, 0)
+    anchored = blocks.withColumn(
+        "anchor",
+        F.max(F.when(F.col("time_stamp").isNotNull(), F.col("uid"))).over(w),
+    )
+    last_key = blocks.filter(F.col("time_stamp").isNotNull()).agg(
+        F.max("uid")
+    ).collect()[0][0]
+    if last_key is None:
+        return blocks, tx_tables
+
+    settled = anchored.filter(F.col("uid") <= last_key)
+    total_ids = settled.groupBy("anchor").agg(F.max_by("id", "uid").alias("_total_id"))
+    key_rows = settled.filter(F.col("time_stamp").isNotNull()).drop("anchor")
+    new_blocks = (
+        key_rows.join(F.broadcast(total_ids), key_rows.uid == total_ids.anchor)
+        .select(
+            "uid",
+            F.col("_total_id").alias("id"),
+            "height",
+            "time_stamp",
+        )
+        .unionByName(blocks.filter(F.col("uid") > last_key))
+    )
+    mapping = (
+        anchored.filter((F.col("uid") <= last_key) & F.col("time_stamp").isNull())
+        .select(F.col("uid").alias("block_uid"), F.col("anchor"))
+    )
+    new_tables = {}
+    for name, df in tx_tables.items():
+        joined = df.join(F.broadcast(mapping), "block_uid", "left")
+        new_tables[name] = joined.withColumn(
+            "block_uid", F.coalesce(F.col("anchor"), F.col("block_uid"))
+        ).drop("anchor")
+    return new_blocks, new_tables
+
+
+# ------------------------------------------------------------ candles (A4)
+
+
+def _interval_starts(spark: SparkSession, since_ts: _dt.datetime) -> dict[str, _dt.datetime]:
+    """Truncate the watermark to every interval's start in one tiny job
+    (per-interval start, pg.rs:776-803)."""
+    lit_ts = F.lit(since_ts).cast("timestamp")
+    row = spark.range(1).select(
+        *[trunc_ts(lit_ts, ivl).alias(f"i_{i}") for i, ivl in enumerate(
+            ["1m"] + [dst for _, dst in CANDLE_CASCADE])]
+    ).collect()[0]
+    names = ["1m"] + [dst for _, dst in CANDLE_CASCADE]
+    return {ivl: row[f"i_{i}"] for i, ivl in enumerate(names)}
+
+
+def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
+    """Incremental candle maintenance (pg.rs:660-815): re-derive the minute
+    level from trades at/after the watermark, then cascade each interval
+    from the merged source level, replacing only the affected time range
+    (range-replace ≡ the reference's keyed upsert, because the recompute
+    regenerates every key in the range)."""
+    spark = store.spark
+    starts = _interval_starts(spark, since_ts)
+
+    asset_updates = store.read_or_none("asset_updates")
+    if asset_updates is None:
+        return
+    decimals = decimals_view(asset_updates, spark)
+    txs7 = store.read_or_none("txs_7")
+    if txs7 is None:
+        return
+    trades = scale_prices(txs7, decimals).select(
+        "uid", "time_stamp", "amount_asset_id", "price_asset_id",
+        "sender", "height", "amount", "price",
+    )
+    new_1m = minute_candles(trades, since_ts=F.lit(starts["1m"]).cast("timestamp"))
+    stored = store.read_or_none("candles_1m")
+    merged = (
+        stored.filter(F.col("time_start") < F.lit(starts["1m"]).cast("timestamp"))
+        .unionByName(new_1m)
+        if stored is not None
+        else new_1m
+    )
+    store.stage("candles_1m", merged)
+    by_interval = {"1m": store.read("candles_1m")}
+    for src, dst in CANDLE_CASCADE:
+        d_start = F.lit(starts[dst]).cast("timestamp")
+        new_dst = rollup_interval(
+            by_interval[src].filter(F.col("time_start") >= d_start), src, dst
+        )
+        stored_dst = store.read_or_none(f"candles_{dst}")
+        merged_dst = (
+            stored_dst.filter(F.col("time_start") < d_start).unionByName(new_dst)
+            if stored_dst is not None
+            else new_dst
+        )
+        store.stage(f"candles_{dst}", merged_dst)
+        by_interval[dst] = store.read(f"candles_{dst}")
+
+
+def read_all_candles(store: TableStore) -> DataFrame:
+    """The `candles` table view: union of the per-interval tables (physical
+    partition-by-interval, up.sql:368-385 + partial indexes)."""
+    out = None
+    for name in CANDLE_TABLES:
+        df = store.read_or_none(name)
+        if df is None:
+            continue
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise KeyError("no candle tables in store")
+    return out
+
+
+# ------------------------------------------------------------ appends
+
+
+def apply_appends(
+    store: TableStore,
+    seg_updates: DataFrame,
+    asset_storage_address: str = "",
+) -> _dt.datetime | None:
+    """Merge one run of block/microblock updates into the store
+    (mod.rs:253-357).  Returns the candle watermark (min exchange-tx
+    timestamp in the segment) if any exchange txs arrived."""
+    spark = store.spark
+
+    new_blocks = extract_blocks(seg_updates)
+    new_raw = extract_raw_txs(seg_updates)
+
+    # cross-batch uid continuation (W3): a height's sequence continues where
+    # the stored txs for that height left off (the reference's stateful
+    # TxUidGenerator, convert.rs:45-72).
+    stored_txs = [
+        store.read_or_none(n) for n in TX_NAMES
+    ]
+    stored_txs = [t for t in stored_txs if t is not None]
+    if stored_txs:
+        union_uids = stored_txs[0].select("uid", "height")
+        for t in stored_txs[1:]:
+            union_uids = union_uids.unionByName(t.select("uid", "height"))
+        base = union_uids.groupBy("height").agg(
+            (F.max(F.col("uid") % UID_HEIGHT_MULTIPLIER) + 1).alias("_base")
+        )
+        new_raw = (
+            new_raw.join(F.broadcast(base), "height", "left")
+            .withColumn("uid", F.col("uid") + F.coalesce(F.col("_base"), F.lit(0)))
+            .drop("_base")
+        )
+    new_raw = new_raw.persist()
+
+    # typed tables + children
+    typed_new = classify_txs(new_raw)
+    children_new = extract_children(new_raw)
+    merged_tx: dict[str, DataFrame] = {}
+    for n, df in typed_new.items():
+        name = f"txs_{n}"
+        merged_tx[name] = _read_or_empty(store, name, df).unionByName(df)
+    for name, df in children_new.items():
+        store.stage(name, _read_or_empty(store, name, df).unionByName(df))
+
+    # blocks + squash normalization over block_uid-bearing tables
+    blocks = _read_or_empty(store, "blocks_microblocks", new_blocks).unionByName(new_blocks)
+    blocks, merged_tx = normalize_squash(blocks, merged_tx)
+    store.stage("blocks_microblocks", blocks)
+    for name, df in merged_tx.items():
+        store.stage(name, df)
+
+    # SCD logs: asset updates + tickers (rechained from the full log, W1)
+    new_au = extract_asset_updates(seg_updates)
+    au_log = _read_or_empty(store, "asset_updates_log", new_au).unionByName(new_au)
+    store.stage("asset_updates_log", au_log)
+    store.stage("asset_updates", chain_superseded_by(au_log, key="asset_id", uid="uid"))
+
+    new_tick = extract_ticker_updates(seg_updates, asset_storage_address)
+    tick_log = _read_or_empty(store, "asset_tickers_log", new_tick).unionByName(new_tick)
+    store.stage("asset_tickers_log", tick_log)
+    store.stage("asset_tickers", chain_superseded_by(tick_log, key="asset_id", uid="uid"))
+
+    # waves_data: dedupe on quantity (S6)
+    new_wd = extract_waves_data(seg_updates)
+    stored_wd = store.read_or_none("waves_data")
+    if stored_wd is not None:
+        new_wd = new_wd.join(
+            stored_wd.select("quantity"), "quantity", "left_anti"
+        )
+        new_wd = stored_wd.unionByName(new_wd)
+    store.stage("waves_data", new_wd)
+
+    # asset_origins: first-wins (S6)
+    store.stage(
+        "asset_origins",
+        extract_asset_origins(au_log, store.read("txs_3")),
+    )
+
+    watermark_row = (
+        typed_new[7].agg(F.min("time_stamp").alias("m")).collect()[0]
+    )
+    new_raw.unpersist()
+    if watermark_row["m"] is None:
+        return None
+    return watermark_row["m"].replace(second=0, microsecond=0)
+
+
+# ------------------------------------------------------------ rollback (T3)
+
+
+def apply_rollback(store: TableStore, ref_id: str) -> _dt.datetime | None:
+    """Roll back to block ``ref_id`` (mod.rs:794-863).  Returns the candle
+    repair watermark (min timestamp of deleted exchange txs)."""
+    blocks = store.read_or_none("blocks_microblocks")
+    if blocks is None:
+        return None
+    row = blocks.filter(F.col("id") == ref_id).select("uid").collect()
+    if not row:
+        return None
+    boundary = row[0]["uid"]
+
+    deleted_ts = None
+    txs7 = store.read_or_none("txs_7")
+    if txs7 is not None:
+        r = (
+            txs7.filter(F.col("block_uid") > boundary)
+            .agg(F.min("time_stamp").alias("m"))
+            .collect()[0]
+        )
+        deleted_ts = r["m"]
+
+    store.stage("blocks_microblocks", blocks.filter(F.col("uid") <= boundary))
+    for name in TX_NAMES + CHILD_NAMES:
+        df = store.read_or_none(name)
+        if df is None:
+            continue
+        if name in CHILD_NAMES:
+            # children carry no block_uid: bound via their parent's uid range
+            parent = f"txs_{name.split('_')[1]}"
+            pdf = store.read(parent).filter(F.col("block_uid") <= boundary)
+            store.stage(parent, pdf)
+            df = df.join(
+                pdf.select(F.col("uid").alias("tx_uid")), "tx_uid", "left_semi"
+            )
+            store.stage(name, df)
+        else:
+            store.stage(name, df.filter(F.col("block_uid") <= boundary))
+
+    for log_name, chained in (
+        ("asset_updates_log", "asset_updates"),
+        ("asset_tickers_log", "asset_tickers"),
+    ):
+        log = store.read_or_none(log_name)
+        if log is None:
+            continue
+        survivors = log.filter(F.col("block_uid") <= boundary)
+        store.stage(log_name, survivors)
+        store.stage(chained, chain_superseded_by(survivors, key="asset_id", uid="uid"))
+
+    wd = store.read_or_none("waves_data")
+    if wd is not None:
+        heights = store.read("blocks_microblocks").select("height").distinct()
+        store.stage(
+            "waves_data",
+            wd.join(F.broadcast(heights), "height", "left_semi"),
+        )
+
+    if deleted_ts is None:
+        return None
+    return deleted_ts.replace(second=0, microsecond=0)
+
+
+# ------------------------------------------------------------ batch driver
+
+
+def process_batch(
+    store: TableStore,
+    batch_df: DataFrame,
+    asset_storage_address: str = "",
+) -> None:
+    """One foreachBatch invocation: segment the updates into append runs and
+    rollbacks (mod.rs:200-230), apply in order, recompute candles once per
+    segment that needs it, commit atomically (T1)."""
+    meta = (
+        batch_df.select("seq", "kind", "ref_id").orderBy("seq").collect()
+    )
+    if not meta:
+        return
+    segments: list[tuple[str, int, int] | tuple[str, str]] = []
+    run_start = None
+    for m in meta:
+        if m["kind"] in ("block", "microblock"):
+            if run_start is None:
+                run_start = m["seq"]
+            run_end = m["seq"]
+        else:  # rollback closes any open run
+            if run_start is not None:
+                segments.append(("appends", run_start, run_end))
+                run_start = None
+            segments.append(("rollback", m["ref_id"]))
+    if run_start is not None:
+        segments.append(("appends", run_start, run_end))
+
+    for seg in segments:
+        if seg[0] == "appends":
+            _, lo, hi = seg
+            watermark = apply_appends(
+                store,
+                batch_df.filter((F.col("seq") >= lo) & (F.col("seq") <= hi)),
+                asset_storage_address,
+            )
+        else:
+            watermark = apply_rollback(store, seg[1])
+        if watermark is not None:
+            recompute_candles(store, watermark)
+    store.commit()
+
+
+def run_stream(
+    spark: SparkSession,
+    events_dir: str,
+    store_root: str,
+    asset_storage_address: str = "",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """S2: file-source stream over an events directory (one JSON file ≈ one
+    update batch), available-now trigger (drain then stop)."""
+    stream = (
+        spark.readStream.schema(RAW_UPDATE)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(events_dir)
+    )
+
+    def _fb(batch_df: DataFrame, _batch_id: int) -> None:
+        process_batch(TableStore(spark, store_root), batch_df, asset_storage_address)
+
+    q = (
+        stream.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", f"{store_root}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,170 @@
+"""Streaming-pipeline scenario tests (SURVEY.md §2.9): batch atomicity,
+microblock squash, rollback + SCD reopen, incremental candle maintenance.
+
+The master invariant: processing the event log batch-by-batch must yield the
+same store as processing the whole log in one batch — and the store's
+candles must equal a from-scratch batch recompute over the final txs_7.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark import ingest
+from blockchain_postgres_sync_spark.constants import MAX_UID
+from blockchain_postgres_sync_spark.operators.candles import (
+    full_cascade, minute_candles, scale_prices,
+)
+from blockchain_postgres_sync_spark.plans.views import decimals_view
+from blockchain_postgres_sync_spark.streaming.pipeline import (
+    CANDLE_TABLES, TX_NAMES, process_batch, read_all_candles, run_stream,
+)
+from blockchain_postgres_sync_spark.streaming.store import TableStore
+
+from . import waves_fixtures as wf
+
+
+def _mk_updates(spark, rows):
+    return spark.createDataFrame(rows, schema=ingest.RAW_UPDATE)
+
+
+def _run_log(spark, tmpdir, rows, batches):
+    """Process `rows` split into `batches` (list of row-count per batch)."""
+    store = TableStore(spark, str(tmpdir))
+    i = 0
+    for n in batches:
+        process_batch(store, _mk_updates(spark, rows[i:i + n]), wf.ASSET_STORAGE)
+        i += n
+    assert i == len(rows)
+    return store
+
+
+def _table_sets(store, names):
+    out = {}
+    for n in names:
+        df = store.read_or_none(n)
+        out[n] = sorted(map(str, df.collect())) if df is not None else None
+    return out
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    rows = wf.scenario_log()
+    inc = _run_log(spark, tmp_path_factory.mktemp("inc"), rows, [2, 2, 1, 1, 1])
+    one = _run_log(spark, tmp_path_factory.mktemp("one"), rows, [len(rows)])
+    return inc, one
+
+
+ALL_TABLES = (
+    ["blocks_microblocks", "asset_updates", "asset_tickers", "waves_data",
+     "asset_origins"] + TX_NAMES + CANDLE_TABLES
+)
+
+
+def test_incremental_equals_oneshot(stores):
+    inc, one = stores
+    a = _table_sets(inc, ALL_TABLES)
+    b = _table_sets(one, ALL_TABLES)
+    for name in ALL_TABLES:
+        assert a[name] == b[name], f"table {name} diverges between incremental and one-shot"
+
+
+def test_squash_semantics(stores):
+    inc, _ = stores
+    blocks = {r["uid"]: r for r in inc.read("blocks_microblocks").collect()}
+    # microblocks 3,4 folded into key block 2; block-2 renamed to micro-4 (T2)
+    assert 3 not in blocks and 4 not in blocks
+    assert blocks[2]["id"] == "micro-4"
+    assert blocks[1]["id"] == "block-1"  # untouched key block keeps its id
+    # folded microblock txs re-pointed to the key block uid
+    t7 = inc.read("txs_7")
+    micro_txs = t7.filter(F.col("id").isin("tx-7-300", "tx-7-301")).collect()
+    assert {r["block_uid"] for r in micro_txs} == {2}
+
+
+def test_rollback_semantics(stores):
+    inc, _ = stores
+    blocks = inc.read("blocks_microblocks").select("uid").collect()
+    uids = sorted(r["uid"] for r in blocks)
+    assert uids == [1, 2, 7]  # block-5 rolled back, block-7 re-appended
+    # block-5's trade and ticker update are gone
+    assert inc.read("txs_7").filter(F.col("id") == "tx-7-400").count() == 0
+    tickers = {r["asset_id"]: r for r in inc.read("asset_tickers").collect()
+               if r["superseded_by"] == MAX_UID}
+    # A1's chain: ONE -> ONE2(rolled back) -> '' (delete in block-7)
+    assert tickers["A1"]["ticker"] == ""
+    assert tickers["B2"]["ticker"] == "TWO"
+
+
+def test_scd_chain_invariant(stores):
+    """Per key: superseded_by forms a strict uid chain ending at MAX_UID."""
+    inc, _ = stores
+    for table in ("asset_updates", "asset_tickers"):
+        rows = inc.read(table).orderBy("asset_id", "uid").collect()
+        by_key: dict[str, list] = {}
+        for r in rows:
+            by_key.setdefault(r["asset_id"], []).append(r)
+        for key, chain in by_key.items():
+            for cur, nxt in zip(chain, chain[1:]):
+                assert cur["superseded_by"] == nxt["uid"], (table, key)
+            assert chain[-1]["superseded_by"] == MAX_UID, (table, key)
+
+
+def test_candles_match_batch_recompute(spark, stores):
+    inc, _ = stores
+    decimals = decimals_view(inc.read("asset_updates"), spark)
+    trades = scale_prices(inc.read("txs_7"), decimals).select(
+        "uid", "time_stamp", "amount_asset_id", "price_asset_id",
+        "sender", "height", "amount", "price",
+    )
+    expected = full_cascade(minute_candles(trades))
+    got = read_all_candles(inc)
+    assert sorted(map(str, got.collect())) == sorted(map(str, expected.collect()))
+
+
+def test_candle_price_scaling_applied(stores):
+    """v3 trades scale price by 10^(price_dec - amount_dec) (A2)."""
+    inc, _ = stores
+    c = inc.read("candles_1m").filter(
+        (F.col("amount_asset_id") == "B2") & (F.col("price_asset_id") == "A1")
+    ).orderBy("time_start").collect()
+    assert c, "B2/A1 candles missing"
+    # B2 decimals=1 (v2 update), A1 decimals=2: price * 10^2 * 10^-1 = x10
+    first = c[0]
+    assert float(first["low"]) == 3000.0  # 300 * 10
+
+def test_run_stream_end_to_end(spark, stores, tmp_path):
+    """File-source streaming (one JSON file per batch) reaches the same
+    final store as direct process_batch calls."""
+    _, one = stores
+    rows = wf.scenario_log()
+    events_dir = tmp_path / "events"
+    os.makedirs(events_dir)
+    batches = [rows[0:2], rows[2:4], rows[4:5], rows[5:6], rows[6:7]]
+    for i, batch in enumerate(batches):
+        p = events_dir / f"batch-{i:03d}.json"
+        with open(p, "w") as f:
+            for r in batch:
+                r2 = dict(r)
+                r2["waves_quantity"] = None if r2["waves_quantity"] is None else str(r2["waves_quantity"])
+                r2["transactions"] = [
+                    {**t, "bytes": None} if "bytes" in t and t.get("bytes") is not None else t
+                    for t in (r2["transactions"] or [])
+                ]
+                f.write(json.dumps(r2) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    store_root = str(tmp_path / "store")
+    run_stream(spark, str(events_dir), store_root, wf.ASSET_STORAGE)
+    got = TableStore(spark, store_root)
+    for name in ["blocks_microblocks", "txs_7", "asset_tickers", "candles_1m",
+                 "candles_1h", "waves_data"]:
+        g = got.read_or_none(name)
+        e = one.read_or_none(name)
+        assert g is not None and e is not None, name
+        g_rows = sorted(map(str, g.drop("bytes").collect() if "bytes" in g.columns else g.collect()))
+        e_rows = sorted(map(str, e.drop("bytes").collect() if "bytes" in e.columns else e.collect()))
+        assert g_rows == e_rows, f"stream vs batch diverges on {name}"
