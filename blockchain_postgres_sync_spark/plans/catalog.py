@@ -29,7 +29,7 @@ from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
 from ..sources.tables import load_table
 from ..functions import text as T
 from ..operators import dedup, similarity
-from ..operators.candles import full_cascade, minute_candles
+from ..operators.candles import full_cascade, minute_candles, scale_prices
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
 

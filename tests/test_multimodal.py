@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: schemas, batch fan-out, determinism, and the
+explicit NotImplementedError seam for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake-bytes-1", "image/png", 64, 48, None),
+        (2, "image", b"\x89PNGfake-bytes-2", "image/png", None, None, None),
+        (3, "audio", b"RIFFfake-audio", "audio/wav", None, None, 2500),
+        (4, "video", b"\x00\x00ftypfake-video", "video/mp4", 640, 360, 3500),
+        (5, "video", b"", "video/mp4", None, None, 0),
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_image_features(media):
+    out = mm.image_features(media).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2]
+    assert out[0]["width"] == 64 and out[0]["height"] == 48  # metadata wins
+    assert out[1]["width"] is not None  # stub-derived when metadata missing
+    assert out[0]["n_bytes"] == len(b"\x89PNGfake-bytes-1")
+    # deterministic across runs
+    again = mm.image_features(media).orderBy("media_id").collect()
+    assert [r["phash64"] for r in again] == [r["phash64"] for r in out]
+
+
+def test_frame_sampling_fanout(media):
+    frames = mm.sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[4]) == 4  # 3500ms @ 1000ms -> ts 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in sorted(by_id[4], key=lambda r: r["frame_index"])] == [0, 1000, 2000, 3000]
+    assert len(by_id[5]) == 1  # zero-duration still yields frame 0
+    assert all(len(r["frame"]) == 8 for r in frames)
+
+
+def test_audio_features(media):
+    out = mm.audio_features(media, n_mfcc=4).collect()
+    assert len(out) == 1 and out[0]["media_id"] == 3
+    assert out[0]["duration_ms"] == 2500 and len(out[0]["mfcc"]) == 4
+
+
+def test_real_codec_seam_raises(media):
+    with pytest.raises(Exception) as ei:
+        mm.image_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
