@@ -34,6 +34,14 @@ HEADLINE = [
     "ngram_jaccard",
     "text_stats",
     "ann_bruteforce",
+    "candles_scaled",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_lsh",
+    "lang_id",
+    "doc_fingerprint",
+    "media_image_features",
+    "media_frame_sample",
 ]
 
 

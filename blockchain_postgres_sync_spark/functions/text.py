@@ -75,3 +75,68 @@ def _idiv(a: Column, b: Column) -> Column:
     """Integral floor-division, exact for values < 2^53 (single IEEE divide
     over exact integers -> identical across engines)."""
     return F.floor(a.cast("double") / b.cast("double")).cast("long")
+
+
+#: stopword profiles for the n-gram/stopword language-ID heuristic.  Small by
+#: design: language ID at pipeline scale is a cheap vote, not a model.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "ne"],
+    "es": ["el", "los", "las", "y", "es", "no"],
+}
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (token occurrences, not distinct)."""
+    t = tokens(text)
+    out = {}
+    for lang, words in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def language_id(text: Column) -> tuple[Column, Column]:
+    """Argmax language vote -> (lang_pred, lang_score).
+
+    Deterministic tie-break: struct max on (score, lang) — highest score,
+    then lexicographically-last language.  Zero hits -> 'unknown'.
+    Pure Catalyst (array_max over structs); no UDF.
+    """
+    scores = language_scores(text)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
+                for lang, s in scores.items()
+            ]
+        )
+    )
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return pred, best["score"]
+
+
+#: rolling-hash fingerprint constants (polynomial hash, exact in int64:
+#: acc <= MOD*31 + 2^32 < 2^63)
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    token stream, ``acc = (acc*31 + md5_32(tok)) mod 1e9+7``.
+
+    Unlike :func:`tokenset_fingerprint` this is order-sensitive (detects
+    re-ordered near-dups as different) and streams as a sequential fold —
+    O(tokens), no shuffle, exact integer math identical across engines.
+    """
+    tok_hashes = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
+    )

@@ -1,12 +1,14 @@
 """Deduplication operators for the training-data pipeline.
 
-Four tiers, cheapest first:
+Five tiers, cheapest first:
 - exact: hash-groupBy on md5(text) — one shuffle on the 16-byte digest.
 - tokenset: md5 over the sorted distinct token set (order/dup-insensitive).
 - minhash + LSH: shingle → per-seed min-hash → band buckets → candidate
   pairs meet only inside a bucket (no quadratic comparison). Hashing uses
   md5 hex strings so an external SQL oracle reproduces signatures exactly.
 - simhash: 64-bit locality hash from per-token md5 bits.
+- embedding cosine: near-dup pairs above a cosine threshold over an
+  ``array<float>`` embedding column.
 
 Scale: every step is explode + groupBy (linear, shuffle on bounded keys).
 At 100 TB, band buckets are the only potentially-skewed key (a viral shingle
@@ -20,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import token_shingles, tokenset_fingerprint
+from ..functions.vectors import dot, norm
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -183,3 +186,45 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
         ).alias("simhash60")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a < id_b, cosine >= threshold).
+
+    Output: (id_a, id_b, cos_x1000) with the score floored to integer
+    thousandths so hash-compares are float-repr-stable.
+
+    This is the exact O(n^2/2) baseline (one broadcast of the smaller
+    projection; products fold in fixed array order so scores are
+    bit-deterministic).  Norms are computed once per vector BEFORE the pair
+    join — the pair stage then does exactly one array fold (the dot), not
+    three, which is the difference between O(n^2 * d) and O(3 n^2 * d) work
+    in the nested-loop join.  At 100 TB-scale, pre-bucket with
+    ``similarity.lsh_bucket`` and run this within buckets only — candidates
+    then meet inside a bucket instead of a full cross join.
+    """
+    with_norm = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    a = with_norm.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = with_norm.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) * 1000.0
+        ).cast("long").alias("cos_x1000"),
+    )
+    return scored.filter(F.col("cos_x1000") >= int(threshold * 1000))

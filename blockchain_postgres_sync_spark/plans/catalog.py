@@ -28,10 +28,11 @@ from pyspark.sql import functions as F
 from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
 from ..sources.tables import load_table
 from ..functions import text as T
-from ..operators import dedup, similarity
+from ..operators import dedup, multimodal, similarity
 from ..operators.candles import full_cascade, minute_candles, scale_prices
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
+from ..streaming.reorg import rollback_scd, squash_microblocks
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -72,6 +73,7 @@ def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("int").alias("height"),
         (F.col("event_id") % 97 + 1).alias("amount"),
         F.col("value").cast("decimal(18,2)").alias("price"),
+        (F.col("event_id") % 4 + 1).cast("int").alias("tx_version"),
     )
 
 
@@ -84,7 +86,8 @@ _TRADES_SQL = """
            'M' || CAST(user_id % 2 AS VARCHAR) AS sender,
            CAST(floor(epoch(ts) / 3600) AS INT) AS height,
            event_id % 97 + 1 AS amount,
-           CAST(value AS DECIMAL(18,2)) AS price
+           CAST(value AS DECIMAL(18,2)) AS price,
+           CAST(event_id % 4 + 1 AS INT) AS tx_version
     FROM events
 """
 
@@ -449,6 +452,142 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q_candles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J7: decimal price scaling via the broadcast decimals dim before the
+    minute agg (pg.rs:708-713, get_decimals_or_exception).  Decimals are a
+    deterministic function of asset_id so the oracle reproduces the dim."""
+    trades = _trades(spark, sf_dir)
+    ids = (
+        trades.select(F.col("amount_asset_id").alias("asset_id"))
+        .unionByName(trades.select(F.col("price_asset_id").alias("asset_id")))
+        .distinct()
+    )
+    decimals = ids.select(
+        "asset_id", (F.length("asset_id") * 3 % 9).cast("int").alias("decimals")
+    )
+    scaled = scale_prices(trades, decimals)
+    return _candles_final(minute_candles(scaled), with_interval=False)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit) locality fingerprints, pure Catalyst bit votes."""
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at cosine >= 0.4."""
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (4 bits, multi-probe own+1-bit-flip
+    buckets) — the scale path next to ann_bruteforce."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, k=10, bits=4, dim=64, seed=42)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic argmax tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    pred, score = T.language_id(F.col("text"))
+    return docs.select(
+        "doc_id", pred.alias("lang_pred"), score.alias("lang_score")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+#: documents → opaque-binary media rows (multimodal plumbing over testdata):
+#: payload = utf-8 text bytes, kind cycles image/audio/video by doc_id.
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("doc_id") % 4000 + 500).cast("long").alias("duration_ms"),
+    )
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas image decode/feature stage (stub codec, real plumbing)."""
+    return multimodal.image_features(_media(spark, sf_dir))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas video frame sampling (1 row per sampled frame)."""
+    out = multimodal.sample_frames(_media(spark, sf_dir), every_ms=1000)
+    return out.select("media_id", "frame_index", "frame_ts_ms")
+
+
+def q_rollback_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+A6: rollback to a boundary block + SCD chain reopen
+    (mod.rs:794-858).  The reopen repair (lowest deleted uid per key regains
+    MAX_UID) falls out of re-deriving superseded_by from survivors; the
+    boundary is a deterministic function of the data so the oracle agrees."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("asset_id"),
+        F.col("event_id").cast("long").alias("uid"),
+        F.floor(F.col("event_id") / 10).cast("long").alias("block_uid"),
+    )
+    max_id = ev.agg(F.max("uid")).collect()[0][0]
+    boundary = (int(max_id) // 10) * 7 // 10
+    return rollback_scd(ev, boundary).select(
+        "asset_id", "uid", "block_uid", "superseded_by"
+    )
+
+
+#: events → blocks_microblocks-shaped ledger: 30% of rows are "microblocks"
+#: (NULL time_stamp), ids are synthetic.
+def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("long").alias("uid"),
+        F.concat(F.lit("b"), F.col("event_id").cast("string")).alias("id"),
+        F.when(F.col("event_id") % 10 < 7, F.col("ts")).alias("time_stamp"),
+    )
+
+
+def q_squash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (blocks side): fold the pending microblock tail into the last key
+    block — tail rows vanish, the key block takes the last total-block id
+    (mod.rs:769-792, pg.rs:151-166)."""
+    new_blocks, _ = squash_microblocks(_blocks(spark, sf_dir))
+    return new_blocks.select(
+        "uid", "id", F.col("time_stamp").cast("string").alias("time_stamp")
+    )
+
+
+def q_squash_repoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (txs side): re-point block_uid references from squashed microblocks
+    to the surviving key block (pg.rs:216-223, 315-322, 383-390)."""
+    blocks = _blocks(spark, sf_dir)
+    txs = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("tx_uid"),
+        F.col("event_id").cast("long").alias("block_uid"),  # 1 tx per block
+    )
+    _, tables = squash_microblocks(blocks, {"txs": txs})
+    return tables["txs"].select("tx_uid", "block_uid")
+
+
 # ---------------------------------------------------------------- registry
 
 _DOC_STATS_SQL = """
@@ -516,6 +655,219 @@ _JACCARD_SQL = f"""
     SELECT id_a, id_b, jaccard_x100 FROM scored WHERE jaccard_x100 >= 50
 """
 
+_SCALED_C1M_SQL = _C1M_SQL.replace("FROM trades", "FROM scaled")
+
+_CANDLES_SCALED_SQL = f"""
+    WITH trades AS ({_TRADES_SQL}),
+    ids AS (SELECT DISTINCT amount_asset_id AS asset_id FROM trades
+            UNION SELECT DISTINCT price_asset_id FROM trades),
+    decs AS (SELECT asset_id, CAST(length(asset_id) * 3 % 9 AS INT) AS decimals
+             FROM ids),
+    scaled AS (
+        SELECT t.uid, t.time_stamp, t.amount_asset_id, t.price_asset_id,
+               t.sender, t.height, t.amount,
+               CASE WHEN t.tx_version > 2
+                    THEN CAST(CAST(t.price AS DECIMAL(28,10))
+                              * pow(10, pd.decimals)
+                              * pow(10, -ad.decimals) AS DECIMAL(28,10))
+                    ELSE CAST(t.price AS DECIMAL(28,10)) END AS price
+        FROM trades t
+        JOIN decs ad ON t.amount_asset_id = ad.asset_id
+        JOIN decs pd ON t.price_asset_id = pd.asset_id),
+    c AS ({_SCALED_C1M_SQL})
+    SELECT {_CANDLE_OUT} FROM c
+"""
+
+#: md5-hex → integer (DuckDB-side), mirroring F.conv(substring(md5, 1, n), 16, 10)
+def _hex_int_sql(expr: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> CAST(strpos('0123456789abcdef', substr({expr}, i, 1)) - 1 "
+        f"AS BIGINT)), (a, b) -> a*16 + b)"
+    )
+
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, {_hex_int_sql('md5(tok)', 15)} AS h60 FROM toks),
+    bits AS (SELECT doc_id, unnest(generate_series(0, 59)) AS bit, h60 FROM h),
+    votes AS (SELECT doc_id, bit,
+                     sum(CASE WHEN (h60 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash60
+    FROM votes GROUP BY doc_id
+"""
+
+_FINGERPRINT_SQL = f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                   t -> {_hex_int_sql('md5(t)', 8)})),
+               (acc, h) -> (acc * {T.FP_BASE} + h) % {T.FP_MOD}) AS fingerprint
+    FROM documents
+"""
+
+
+def _lang_id_oracle_sql() -> str:
+    selects = []
+    for lang, words in sorted(T.LANG_PROFILES.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS l, "
+            f"CAST(len(list_filter(string_split(text, ' '), "
+            f"x -> x IN ({inlist}))) AS BIGINT) AS s FROM documents"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        SELECT doc_id, CASE WHEN s > 0 THEN l ELSE 'unknown' END AS lang_pred,
+               s AS lang_score
+        FROM (SELECT doc_id, l, s, ROW_NUMBER() OVER
+                  (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+              FROM ({union}))
+        WHERE rn = 1
+    """
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Fixed-order float64 fold mirroring functions.vectors.dot."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_EMB_NEARDUP_SQL = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor(({_dot_sql('a.embedding', 'b.embedding')}
+                   / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                      * sqrt({_dot_sql('b.embedding', 'b.embedding')})))
+                   * 1000.0) AS BIGINT) AS cos_x1000
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_x1000 FROM pairs WHERE cos_x1000 >= 400
+"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    planes = similarity._hyperplanes(64, 4, 42)
+
+    def plane_dot(vec: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, 64), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot('embedding', p)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+            FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+              FROM bucketed WHERE vec_id < 5),
+        probes AS (SELECT query_id, qe,
+                          unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+                                  xor(qb, 8)]) AS bucket
+                   FROM q),
+        cand AS (SELECT p.query_id, p.qe, c.vec_id AS neighbor_id,
+                        c.embedding AS ce
+                 FROM probes p JOIN bucketed c USING (bucket)),
+        scored AS (SELECT query_id, neighbor_id,
+                          {_dot_sql('qe', 'ce')}
+                          / (sqrt({_dot_sql('qe', 'qe')})
+                             * sqrt({_dot_sql('ce', 'ce')})) AS cs
+                   FROM cand)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cs DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= 10
+    """
+
+
+#: FNV-1a-style 63-bit rolling hash over utf-8 text bytes (ASCII inputs ⇒
+#: codepoint == byte), mirroring multimodal._fake_u64 exactly.
+def _fnv_sql(salt: int) -> str:
+    init = 1469598103934665603 ^ salt
+    return (
+        f"list_reduce(list_prepend(CAST({init} AS BIGINT), "
+        f"list_transform(generate_series(1, length(text)), "
+        f"i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))), "
+        f"(a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211) "
+        f"% CAST(9223372036854775808 AS HUGEINT) AS BIGINT))"
+    )
+
+
+_MEDIA_IMAGE_SQL = f"""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(CAST(({_fnv_sql(1)} % 256000) AS DOUBLE) / 1000.0 AS FLOAT)
+               AS mean_intensity,
+           {_fnv_sql(2)} AS phash64
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+_MEDIA_FRAMES_SQL = """
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+    FROM (SELECT doc_id,
+                 unnest(generate_series(0,
+                     CAST((doc_id % 4000 + 500 - 1) // 1000 AS INT))) AS i
+          FROM documents WHERE doc_id % 3 = 2)
+"""
+
+_ROLLBACK_SCD_SQL = f"""
+    WITH survivors AS (
+        SELECT CAST(user_id AS BIGINT) AS asset_id,
+               CAST(event_id AS BIGINT) AS uid,
+               CAST(event_id // 10 AS BIGINT) AS block_uid
+        FROM events
+        WHERE event_id // 10 <=
+              (SELECT (max(event_id) // 10) * 7 // 10 FROM events))
+    SELECT asset_id, uid, block_uid,
+           CAST(COALESCE(LEAD(uid) OVER
+               (PARTITION BY asset_id ORDER BY uid), {MAX_UID}) AS BIGINT)
+               AS superseded_by
+    FROM survivors
+"""
+
+_SQUASH_BLOCKS_SQL = """
+    WITH blocks AS (
+        SELECT CAST(event_id AS BIGINT) AS uid,
+               'b' || CAST(event_id AS VARCHAR) AS id,
+               CASE WHEN event_id % 10 < 7 THEN ts END AS time_stamp
+        FROM events),
+    k AS (SELECT max(uid) AS key_uid FROM blocks WHERE time_stamp IS NOT NULL),
+    t AS (SELECT max(uid) AS total_uid FROM blocks)
+    SELECT b.uid,
+           CASE WHEN t.total_uid > k.key_uid AND b.uid = k.key_uid
+                THEN 'b' || CAST(t.total_uid AS VARCHAR) ELSE b.id END AS id,
+           CAST(b.time_stamp AS VARCHAR) AS time_stamp
+    FROM blocks b, k, t
+    WHERE b.uid <= k.key_uid
+"""
+
+_SQUASH_REPOINT_SQL = """
+    WITH k AS (SELECT max(event_id) AS key_uid FROM events
+               WHERE event_id % 10 < 7)
+    SELECT CAST(event_id AS BIGINT) AS tx_uid,
+           CAST(CASE WHEN event_id > k.key_uid THEN k.key_uid
+                     ELSE event_id END AS BIGINT) AS block_uid
+    FROM events, k
+"""
+
 CATALOG: dict[str, QueryFn] = {
     "candles_1m": q_candles_1m,
     "candles_cascade": q_candles_cascade,
@@ -537,6 +889,17 @@ CATALOG: dict[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "ann_bruteforce": q_ann_bruteforce,
+    "candles_scaled": q_candles_scaled,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_image_features": q_media_image_features,
+    "media_frame_sample": q_media_frame_sample,
+    "rollback_scd": q_rollback_scd,
+    "squash_blocks": q_squash_blocks,
+    "squash_repoint": q_squash_repoint,
 }
 
 ORACLES: dict[str, str] = {
@@ -707,4 +1070,15 @@ ORACLES: dict[str, str] = {
               FROM scored)
         WHERE rank <= 10
     """,
+    "candles_scaled": _CANDLES_SCALED_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_embedding": _EMB_NEARDUP_SQL,
+    "ann_lsh": _ann_lsh_oracle_sql(),
+    "lang_id": _lang_id_oracle_sql(),
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "media_image_features": _MEDIA_IMAGE_SQL,
+    "media_frame_sample": _MEDIA_FRAMES_SQL,
+    "rollback_scd": _ROLLBACK_SCD_SQL,
+    "squash_blocks": _SQUASH_BLOCKS_SQL,
+    "squash_repoint": _SQUASH_REPOINT_SQL,
 }

@@ -1,0 +1,61 @@
+"""Unit tests for language-ID, rolling fingerprints, simhash, and
+embedding near-dup pairs (the operator-level contracts behind the
+lang_id / doc_fingerprint / dedup_simhash / dedup_embedding catalog
+entries)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.functions import text as T
+from blockchain_postgres_sync_spark.operators import dedup
+
+
+def _fp_expected(text: str) -> int:
+    acc = 0
+    for tok in text.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        acc = (acc * T.FP_BASE + h) % T.FP_MOD
+    return acc
+
+
+def test_rolling_fingerprint_known_value(spark):
+    df = spark.createDataFrame([("a b c",), ("hello world",)], ["text"])
+    rows = df.select(T.rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    assert [r.fp for r in rows] == [_fp_expected("a b c"), _fp_expected("hello world")]
+
+
+def test_language_id_votes_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the der der und x"),   # de=3 beats en=1
+            (2, "the und"),             # tie en=1/de=1 -> lexicographically-last lang wins
+            (3, "xyzzy plugh"),         # no hits -> unknown
+        ],
+        ["doc_id", "text"],
+    )
+    pred, score = T.language_id(F.col("text"))
+    out = {r.doc_id: (r.p, r.s) for r in
+           df.select("doc_id", pred.alias("p"), score.alias("s")).collect()}
+    assert out[1] == ("de", 3)
+    assert out[2] == ("en", 1)  # max on (score, lang): 'en' > 'de'
+    assert out[3] == ("unknown", 0)
+
+
+def test_simhash_single_token_equals_hash_bits(spark):
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    got = dedup.simhash64(df).collect()[0].simhash60
+    assert got == int(hashlib.md5(b"solo").hexdigest()[:15], 16)
+
+
+def test_embedding_neardup_pairs_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # identical to 1 -> cosine 1.0
+        (3, [0.0, 1.0]),   # orthogonal -> cosine 0.0, filtered
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.cos_x1000) for r in out] == [(1, 2, 1000)]
