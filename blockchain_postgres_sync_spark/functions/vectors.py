@@ -15,15 +15,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in float64 (deterministic)."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product in float64 (deterministic).
+
+    The zip_with + aggregate fold is the FAST form here, not just the
+    deterministic one: measured at sf0.1 (2M-pair near-dup join, local[32]),
+    an unrolled element_at product-sum chain of the same 64 terms ran ~4x
+    SLOWER (per-call array-access overhead beats the vectorized HOF
+    evaluator).  ``dim`` is accepted for API stability and ignored.
+    """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b) / (norm(a) * norm(b))

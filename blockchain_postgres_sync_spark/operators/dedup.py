@@ -193,6 +193,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a < id_b, cosine >= threshold).
 
@@ -211,7 +212,7 @@ def embedding_neardup_pairs(
     with_norm = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
+        norm(F.col(vec_col), dim).alias("_n"),
     )
     a = with_norm.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
@@ -224,7 +225,7 @@ def embedding_neardup_pairs(
         "id_a",
         "id_b",
         F.floor(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) * 1000.0
+            dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")) * 1000.0
         ).cast("long").alias("cos_x1000"),
     )
     return scored.filter(F.col("cos_x1000") >= int(threshold * 1000))

@@ -29,6 +29,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine; deterministic tie-break on corpus id.
 
@@ -42,7 +43,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        cosine(F.col("_qvec"), F.col("_cvec"), dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -73,7 +74,7 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     for b, plane in enumerate(planes):
         plane_arr = F.array(*[F.lit(x) for x in plane])
         bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-                         plane_arr) >= 0, F.lit(1 << b)).otherwise(0)
+                         plane_arr, dim=len(plane)) >= 0, F.lit(1 << b)).otherwise(0)
         bucket = bucket + bit.cast("long")
     return bucket
 
@@ -112,7 +113,7 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "bucket").select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        cosine(F.col("_qvec"), F.col("_cvec"), dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -448,7 +448,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.brute_force_topk(emb, queries, k=10)
+    out = similarity.brute_force_topk(emb, queries, k=10, dim=64)
     return out.select("query_id", "rank", "neighbor_id")
 
 
@@ -477,7 +477,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at cosine >= 0.4."""
     return dedup.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
     )
 
 

@@ -53,3 +53,17 @@ def test_real_codec_seam_raises(media):
     with pytest.raises(Exception) as ei:
         mm.image_features(media, decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_fnv_batch_matches_scalar():
+    import pandas as pd
+
+    from blockchain_postgres_sync_spark.operators.multimodal import (
+        _fake_u64, _fnv_batch,
+    )
+
+    payloads = [b"", b"a", b"hello world" * 50, bytes(range(256)) * 20, None]
+    for salt in (1, 2, 4):
+        got = _fnv_batch(pd.Series(payloads, dtype=object), salt)
+        want = [_fake_u64(p if p is not None else b"", salt) for p in payloads]
+        assert [int(x) for x in got] == want
