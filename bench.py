@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "ann_lsh",
+    "ann_ivf",
     "lang_id",
     "doc_fingerprint",
     "media_image_features",

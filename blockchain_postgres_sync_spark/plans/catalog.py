@@ -492,6 +492,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (16 deterministic centroids, probe 4 nearest cells)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID with deterministic argmax tie-break."""
     docs = _t(spark, sf_dir, "documents")
@@ -795,6 +805,42 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+_ANN_IVF_SQL = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                  WHERE vec_id < 16),
+    assigned AS (
+        SELECT neighbor_id, cvec, cid FROM (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_dot_sql('e.embedding', 'c.cv')}
+                           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                              * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
+                           c.cid ASC) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+    probes AS (
+        SELECT query_id, qe, cid FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_dot_sql('q.embedding', 'c.cv')}
+                           / (sqrt({_dot_sql('q.embedding', 'q.embedding')})
+                              * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
+                           c.cid ASC) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_dot_sql('p.qe', 'a.cvec')}
+               / (sqrt({_dot_sql('p.qe', 'p.qe')})
+                  * sqrt({_dot_sql('a.cvec', 'a.cvec')})) AS cs
+        FROM probes p JOIN assigned a USING (cid))
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+    FROM (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cs DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    WHERE rank <= 10
+"""
+
+
 #: FNV-1a-style 63-bit rolling hash over utf-8 text bytes (ASCII inputs ⇒
 #: codepoint == byte), mirroring multimodal._fake_u64 exactly.
 def _fnv_sql(salt: int) -> str:
@@ -893,6 +939,7 @@ CATALOG: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_image_features": q_media_image_features,
@@ -1074,6 +1121,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding": _EMB_NEARDUP_SQL,
     "ann_lsh": _ann_lsh_oracle_sql(),
+    "ann_ivf": _ANN_IVF_SQL,
     "lang_id": _lang_id_oracle_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
     "media_image_features": _MEDIA_IMAGE_SQL,
