@@ -28,6 +28,17 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct/space runs),
+#: restricted to syntax both Java regex (Spark) and RE2 (DuckDB) agree on.
+BPE_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM token count: number of BPE-style pre-token matches.
+    Pure Catalyst (regexp_extract_all), no UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def char_count_no_spaces(text: Column) -> Column:
     return F.length(F.replace(text, F.lit(" "), F.lit("")))
 
@@ -60,6 +71,7 @@ def quality_ratios(text: Column) -> dict[str, Column]:
     return {
         "n_chars": F.length(text).cast("long"),
         "n_tokens": n_tok.cast("long"),
+        "n_bpe_tokens": bpe_token_count(text).cast("long"),
         "n_distinct_tokens": distinct_token_count(text).cast("long"),
         "sum_token_len": char_count_no_spaces(text).cast("long"),
         "mean_token_len_x100": _idiv(

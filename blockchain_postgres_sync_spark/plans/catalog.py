@@ -604,6 +604,9 @@ _DOC_STATS_SQL = """
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +', 0)) AS BIGINT)
+               AS n_bpe_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                AS n_distinct_tokens,
            CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_token_len,
