@@ -452,6 +452,25 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `pairs` market summary (up.sql:387-402) as a rollup over minute
+    candles — the companion API's derived table, reproduced as a view."""
+    from .views import pairs_view
+
+    out = pairs_view(minute_candles(_trades(spark, sf_dir)))
+    return out.select(
+        "amount_asset_id", "price_asset_id", "matcher_address",
+        F.col("first_price").cast("double").alias("first_price"),
+        F.col("last_price").cast("double").alias("last_price"),
+        F.col("volume").cast("long").alias("volume"),
+        F.col("quote_volume").cast("double").alias("quote_volume"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("weighted_average_price").cast("long").alias("weighted_average_price"),
+        "txs_count",
+    )
+
+
 def q_candles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+J7: decimal price scaling via the broadcast decimals dim before the
     minute agg (pg.rs:708-713, get_decimals_or_exception).  Decimals are a
@@ -938,6 +957,7 @@ CATALOG: dict[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "ann_bruteforce": q_ann_bruteforce,
+    "pairs_view": q_pairs_view,
     "candles_scaled": q_candles_scaled,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -1119,6 +1139,21 @@ ORACLES: dict[str, str] = {
                          ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
               FROM scored)
         WHERE rank <= 10
+    """,
+    "pairs_view": f"""
+        WITH trades AS ({_TRADES_SQL}), c AS ({_C1M_SQL})
+        SELECT amount_asset_id, price_asset_id, matcher_address,
+               CAST(arg_min(open, time_start) AS DOUBLE) AS first_price,
+               CAST(arg_max(close, time_start) AS DOUBLE) AS last_price,
+               CAST(sum(volume) AS BIGINT) AS volume,
+               CAST(sum(quote_volume) AS DOUBLE) AS quote_volume,
+               CAST(max(high) AS DOUBLE) AS high,
+               CAST(min(low) AS DOUBLE) AS low,
+               CAST(floor(CAST(sum(quote_volume) AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE)) AS BIGINT)
+                   AS weighted_average_price,
+               CAST(sum(txs_count) AS BIGINT) AS txs_count
+        FROM c GROUP BY 1, 2, 3
     """,
     "candles_scaled": _CANDLES_SCALED_SQL,
     "dedup_simhash": _SIMHASH_SQL,

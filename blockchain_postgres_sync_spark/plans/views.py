@@ -93,3 +93,31 @@ def assets_view(
         F.lit(False).alias("nft"),
     )
     return base.unionByName(waves)
+
+
+def pairs_view(minute_candles_df: DataFrame) -> DataFrame:
+    """The reference's `pairs` market-summary table (up.sql:387-402) derived
+    as one rollup over minute candles.  The consumer never writes `pairs` —
+    the companion API populates it from candles; this view IS that
+    computation: per (amount_asset_id, price_asset_id, matcher_address),
+    first/last price keyed on candle time_start, extremes/volumes summed,
+    wap floored over the summed quote volume (same convention as the
+    cascade rollup, pg.rs:740-815).
+    """
+    return (
+        minute_candles_df.groupBy(
+            "amount_asset_id", "price_asset_id", "matcher_address"
+        ).agg(
+            F.min_by("open", "time_start").alias("first_price"),
+            F.max_by("close", "time_start").alias("last_price"),
+            F.sum("volume").alias("volume"),
+            F.sum("quote_volume").alias("quote_volume"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.floor(
+                F.sum("quote_volume").cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("weighted_average_price"),
+            F.sum("txs_count").cast("long").alias("txs_count"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Property-based invariants (SURVEY.md §5.4): the structural guarantees the
+reference enforces with PK/FK constraints and in-transaction asserts, checked
+here over generated inputs.
+
+- SCD-2: per key, superseded_by values form a strict chain ending at MAX_UID.
+- Candles: low <= open, close <= high; every cascade level conserves volume,
+  quote_volume, and txs_count of its source interval.
+- Deterministic uids: invariant under arbitrary repartitioning (physical
+  order must never leak into results).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.constants import MAX_UID
+from blockchain_postgres_sync_spark.operators.candles import (
+    full_cascade, minute_candles,
+)
+from blockchain_postgres_sync_spark.operators.scd import chain_superseded_by
+from blockchain_postgres_sync_spark.operators.uids import assign_uids
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _update_stream(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    keys = draw(st.lists(st.integers(0, 5), min_size=n, max_size=n))
+    uids = draw(st.permutations(list(range(n))))
+    return [(f"asset{k}", u) for k, u in zip(keys, uids)]
+
+
+@given(_update_stream())
+@_slow
+def test_scd_chain_invariant(spark, stream):
+    df = spark.createDataFrame(stream, ["asset_id", "uid"])
+    rows = chain_superseded_by(df, key="asset_id", uid="uid").collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.asset_id, []).append(r)
+    assert sum(len(v) for v in by_key.values()) == len(stream)
+    for chain in by_key.values():
+        chain.sort(key=lambda r: r.uid)
+        for cur, nxt in zip(chain, chain[1:]):
+            assert cur.superseded_by == nxt.uid  # strict chain
+        assert chain[-1].superseded_by == MAX_UID  # open tail
+
+
+@st.composite
+def _trades(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    uids = draw(st.permutations(list(range(n))))
+    for i in range(n):
+        rows.append((
+            uids[i],
+            # spread across hours/days so several cascade levels aggregate
+            f"2024-01-{draw(st.integers(1, 9)):02d} "
+            f"{draw(st.integers(0, 23)):02d}:{draw(st.integers(0, 59)):02d}:30",
+            draw(st.sampled_from(["A", "B"])),
+            "USD",
+            "M0",
+            draw(st.integers(1, 5)),
+            draw(st.integers(1, 100)),
+            float(draw(st.integers(1, 10_000))) / 100.0,
+        ))
+    return rows
+
+
+@given(_trades())
+@_slow
+def test_candle_invariants(spark, trades):
+    df = spark.createDataFrame(
+        trades,
+        ["uid", "time_stamp", "amount_asset_id", "price_asset_id",
+         "sender", "height", "amount", "price"],
+    ).withColumn("time_stamp", F.col("time_stamp").cast("timestamp"))
+    allc = full_cascade(minute_candles(df), persist_levels=False).collect()
+    per_interval: dict[str, dict] = {}
+    for r in allc:
+        assert float(r.low) <= float(r.open) <= float(r.high), r
+        assert float(r.low) <= float(r.close) <= float(r.high), r
+        agg = per_interval.setdefault(
+            r.interval, {"volume": 0, "quote": 0, "txs": 0}
+        )
+        agg["volume"] += int(r.volume)
+        agg["quote"] += float(r.quote_volume)
+        agg["txs"] += int(r.txs_count)
+    base = per_interval["1m"]
+    for ivl, agg in per_interval.items():
+        assert agg["volume"] == base["volume"], ivl  # conservation
+        assert agg["txs"] == base["txs"], ivl
+        assert abs(agg["quote"] - base["quote"]) < 1e-6 * max(base["quote"], 1)
+
+
+@given(st.integers(min_value=2, max_value=16))
+@_slow
+def test_uid_assignment_repartition_invariant(spark, nparts):
+    rows = [(i, i % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, ["event_id", "height"])
+    base = {
+        (r.event_id): r.uid
+        for r in assign_uids(df, height_col="height", order_cols=["event_id"]).collect()
+    }
+    shuffled = {
+        (r.event_id): r.uid
+        for r in assign_uids(
+            df.repartition(nparts), height_col="height", order_cols=["event_id"]
+        ).collect()
+    }
+    assert base == shuffled
