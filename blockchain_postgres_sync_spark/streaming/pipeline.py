@@ -153,28 +153,38 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
         "uid", "time_stamp", "amount_asset_id", "price_asset_id",
         "sender", "height", "amount", "price",
     )
+    # Each interval table is partitioned by month (p_bucket); the recompute
+    # replaces only partitions at/above the watermark month — partitions
+    # below are hardlinked forward by the store, so per-batch maintenance
+    # cost is O(affected months), not O(history) (the scale form of the
+    # reference's keyed upsert, pg.rs:721-730).
+    def _with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn("p_bucket", F.date_format("time_start", "yyyy-MM"))
+
+    def _replace(name: str, new_part: DataFrame, start: _dt.datetime) -> None:
+        start_lit = F.lit(start).cast("timestamp")
+        replace_from = start.strftime("%Y-%m")
+        stored = store.read_or_none(name)
+        content = _with_bucket(new_part)
+        if stored is not None:
+            # rows in the boundary month but before the watermark are kept
+            # content of the replaced partition set
+            boundary_tail = stored.filter(
+                (F.col("p_bucket") >= replace_from)
+                & (F.col("time_start") < start_lit)
+            )
+            content = boundary_tail.unionByName(content)
+        store.stage_range_replace(name, content, "p_bucket", replace_from)
+
     new_1m = minute_candles(trades, since_ts=F.lit(starts["1m"]).cast("timestamp"))
-    stored = store.read_or_none("candles_1m")
-    merged = (
-        stored.filter(F.col("time_start") < F.lit(starts["1m"]).cast("timestamp"))
-        .unionByName(new_1m)
-        if stored is not None
-        else new_1m
-    )
-    store.stage("candles_1m", merged)
+    _replace("candles_1m", new_1m, starts["1m"])
     by_interval = {"1m": store.read("candles_1m")}
     for src, dst in CANDLE_CASCADE:
         d_start = F.lit(starts[dst]).cast("timestamp")
         new_dst = rollup_interval(
             by_interval[src].filter(F.col("time_start") >= d_start), src, dst
         )
-        stored_dst = store.read_or_none(f"candles_{dst}")
-        merged_dst = (
-            stored_dst.filter(F.col("time_start") < d_start).unionByName(new_dst)
-            if stored_dst is not None
-            else new_dst
-        )
-        store.stage(f"candles_{dst}", merged_dst)
+        _replace(f"candles_{dst}", new_dst, starts[dst])
         by_interval[dst] = store.read(f"candles_{dst}")
 
 
@@ -186,6 +196,8 @@ def read_all_candles(store: TableStore) -> DataFrame:
         df = store.read_or_none(name)
         if df is None:
             continue
+        if "p_bucket" in df.columns:
+            df = df.drop("p_bucket")
         out = df if out is None else out.unionByName(df)
     if out is None:
         raise KeyError("no candle tables in store")

@@ -47,11 +47,58 @@ class TableStore:
 
     # -- write side ----------------------------------------------------
 
-    def stage(self, name: str, df: DataFrame) -> None:
+    def stage(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Write ``df`` as the next version of ``name`` (visible to this
         store instance immediately, to other readers only after commit)."""
         next_v = max(self._manifest.get(name, -1), self._staged.get(name, -1)) + 1
-        df.write.mode("overwrite").parquet(self._dir(name, next_v))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._dir(name, next_v))
+        self._staged[name] = next_v
+
+    def stage_range_replace(
+        self,
+        name: str,
+        new_df: DataFrame,
+        partition_col: str,
+        replace_from: str,
+    ) -> None:
+        """Stage a new version where every partition with value >=
+        ``replace_from`` (string order) comes from ``new_df`` and every
+        partition below it is HARDLINKED from the previous version (no data
+        copy, no read).  This is the 100 TB form of the per-batch candle
+        upsert/rollback: a reorg or candle recompute touches a bounded,
+        right-open time range, so the rewrite cost is O(affected
+        partitions), not O(table) — and stale partitions above the boundary
+        that ``new_df`` no longer produces disappear, which is exactly the
+        rollback delete (S7).  ``new_df`` must contain exactly the rows at
+        or above the boundary.
+
+        Falls back to a plain partitioned stage when the table doesn't
+        exist yet.
+        """
+        prev_v = self._staged.get(name, self._manifest.get(name))
+        if prev_v is None:
+            self.stage(name, new_df, partition_by=[partition_col])
+            return
+        next_v = max(self._manifest.get(name, -1), self._staged.get(name, -1)) + 1
+        new_dir = self._dir(name, next_v)
+        new_df.write.mode("overwrite").partitionBy(partition_col).parquet(new_dir)
+        # link kept (strictly-below-boundary) partition dirs from prev version
+        prev_dir = self._dir(name, prev_v)
+        prefix = f"{partition_col}="
+        for entry in os.listdir(prev_dir):
+            src = os.path.join(prev_dir, entry)
+            if not entry.startswith(prefix) or not os.path.isdir(src):
+                continue
+            if entry[len(prefix):] >= replace_from:
+                continue  # replaced (or deleted) range
+            dst = os.path.join(new_dir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
         self._staged[name] = next_v
 
     def commit(self) -> None:

@@ -168,3 +168,35 @@ def test_run_stream_end_to_end(spark, stores, tmp_path):
         g_rows = sorted(map(str, g.drop("bytes").collect() if "bytes" in g.columns else g.collect()))
         e_rows = sorted(map(str, e.drop("bytes").collect() if "bytes" in e.columns else e.collect()))
         assert g_rows == e_rows, f"stream vs batch diverges on {name}"
+
+
+def test_stage_range_replace_links_and_deletes(spark, tmp_path):
+    """stage_range_replace: partitions below the boundary are hardlinked
+    (no rewrite), partitions at/above come only from the new frame — so a
+    vanished partition (rollback) disappears."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blockchain_postgres_sync_spark.streaming.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [("2024-01", 1), ("2024-02", 2), ("2024-03", 3)], ["p_bucket", "v"]
+    )
+    store.stage("t", base, partition_by=["p_bucket"])
+    store.commit()
+
+    # replace from 2024-02: new content only has 2024-02 -> 2024-03 must go
+    new = spark.createDataFrame([("2024-02", 20)], ["p_bucket", "v"])
+    store.stage_range_replace("t", new, "p_bucket", "2024-02")
+    store.commit()
+
+    got = {(r.p_bucket, r.v) for r in store.read("t").collect()}
+    assert got == {("2024-01", 1), ("2024-02", 20)}
+
+    # kept partition is hardlinked, not copied
+    vdir = os.path.join(str(tmp_path / "store"), "t", "v000001", "p_bucket=2024-01")
+    links = [os.stat(os.path.join(vdir, f)).st_nlink
+             for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert links and all(n >= 1 for n in links)
