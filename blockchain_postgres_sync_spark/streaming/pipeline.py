@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import CANDLE_CASCADE, UID_HEIGHT_MULTIPLIER
@@ -55,6 +55,24 @@ CHILD_NAMES = [
     "txs_18_args", "txs_18_payment",
 ]
 CANDLE_TABLES = ["candles_1m"] + [f"candles_{dst}" for _, dst in CANDLE_CASCADE]
+
+#: fact tables are partitioned by height bucket; per batch only buckets at or
+#: above the speculative tail are rewritten (everything below is hardlinked
+#: forward by the store).  1000 blocks/bucket ≈ bounded, navigable partitions
+#: at mainnet heights (~3M blocks → ~3k partitions).
+HEIGHT_BUCKET = 1000
+
+
+def _hb(height_col: Column | str) -> Column:
+    # plain INT bucket values: Spark's partition-directory type inference
+    # reads them back as int, so written and reread layouts agree (a padded
+    # string would round-trip as int and fork duplicate partition dirs)
+    col = F.col(height_col) if isinstance(height_col, str) else height_col
+    return F.floor(col / F.lit(HEIGHT_BUCKET)).cast("int")
+
+
+def _hb_value(height: int) -> int:
+    return height // HEIGHT_BUCKET
 
 
 def _empty(spark: SparkSession, like: DataFrame) -> DataFrame:
@@ -220,17 +238,55 @@ def apply_appends(
     new_blocks = extract_blocks(seg_updates)
     new_raw = extract_raw_txs(seg_updates)
 
+    # ---- speculative-tail floor: only height buckets at/above it are
+    # touched this batch.  The tail = microblocks above the last stored key
+    # block (their block_uids may re-point on squash) plus this batch's new
+    # heights; everything below is sealed forever (a settled block_uid never
+    # changes again), so its partitions hardlink forward untouched.
+    stored_blocks = store.read_or_none("blocks_microblocks")
+    floor_candidates = [new_blocks.select("height")]
+    if stored_blocks is not None:
+        prev_key = (
+            stored_blocks.filter(F.col("time_stamp").isNotNull())
+            .agg(F.max("uid"))
+            .collect()[0][0]
+        )
+        if prev_key is not None:
+            floor_candidates.append(
+                stored_blocks.filter(F.col("uid") > prev_key).select("height")
+            )
+        else:
+            floor_candidates.append(stored_blocks.select("height"))
+    floor_df = floor_candidates[0]
+    for fc in floor_candidates[1:]:
+        floor_df = floor_df.unionByName(fc)
+    h_floor_row = floor_df.agg(F.min("height")).collect()[0][0]
+    h_floor = int(h_floor_row) if h_floor_row is not None else 0
+    rb = _hb_value(h_floor)
+
+    def _tail(name: str, like: DataFrame) -> DataFrame:
+        """Stored rows in the affected buckets only (partition-pruned read).
+        ``like`` must already carry the p_hb column."""
+        existing = store.read_or_none(name)
+        if existing is None:
+            return _empty(spark, like)
+        return existing.filter(F.col("p_hb") >= rb)
+
     # cross-batch uid continuation (W3): a height's sequence continues where
     # the stored txs for that height left off (the reference's stateful
-    # TxUidGenerator, convert.rs:45-72).
-    stored_txs = [
-        store.read_or_none(n) for n in TX_NAMES
-    ]
-    stored_txs = [t for t in stored_txs if t is not None]
-    if stored_txs:
-        union_uids = stored_txs[0].select("uid", "height")
-        for t in stored_txs[1:]:
-            union_uids = union_uids.unionByName(t.select("uid", "height"))
+    # TxUidGenerator, convert.rs:45-72).  New heights live in the tail
+    # buckets, so the pruned read suffices.
+    tail_uid_frames = []
+    for n in TX_NAMES:
+        t = store.read_or_none(n)
+        if t is not None:
+            tail_uid_frames.append(
+                t.filter(F.col("p_hb") >= rb).select("uid", "height")
+            )
+    if tail_uid_frames:
+        union_uids = tail_uid_frames[0]
+        for t in tail_uid_frames[1:]:
+            union_uids = union_uids.unionByName(t)
         base = union_uids.groupBy("height").agg(
             (F.max(F.col("uid") % UID_HEIGHT_MULTIPLIER) + 1).alias("_base")
         )
@@ -241,22 +297,28 @@ def apply_appends(
         )
     new_raw = new_raw.persist()
 
-    # typed tables + children
+    # typed tables + children: tail-scoped merge, range-replace staging
     typed_new = classify_txs(new_raw)
     children_new = extract_children(new_raw)
     merged_tx: dict[str, DataFrame] = {}
     for n, df in typed_new.items():
         name = f"txs_{n}"
-        merged_tx[name] = _read_or_empty(store, name, df).unionByName(df)
+        merged_tx[name] = _tail(name, df.withColumn("p_hb", _hb("height"))).unionByName(
+            df.withColumn("p_hb", _hb("height"))
+        )
     for name, df in children_new.items():
-        store.stage(name, _read_or_empty(store, name, df).unionByName(df))
+        new_part = df.withColumn("p_hb", _hb("height"))
+        store.stage_range_replace(
+            name, _tail(name, new_part).unionByName(new_part), "p_hb", rb
+        )
 
-    # blocks + squash normalization over block_uid-bearing tables
+    # blocks (tiny dimension: full rewrite) + squash normalization over the
+    # block_uid-bearing tail frames
     blocks = _read_or_empty(store, "blocks_microblocks", new_blocks).unionByName(new_blocks)
     blocks, merged_tx = normalize_squash(blocks, merged_tx)
     store.stage("blocks_microblocks", blocks)
     for name, df in merged_tx.items():
-        store.stage(name, df)
+        store.stage_range_replace(name, df, "p_hb", rb)
 
     # SCD logs: asset updates + tickers (rechained from the full log, W1)
     new_au = extract_asset_updates(seg_updates)
@@ -318,22 +380,33 @@ def apply_rollback(store: TableStore, ref_id: str) -> _dt.datetime | None:
         )
         deleted_ts = r["m"]
 
+    # affected buckets start at the boundary block's height: buckets above
+    # vanish, the boundary bucket is rewritten, everything below hardlinks
+    # forward (partition form of DELETE WHERE block_uid > $1, pg.rs:392-398)
+    b_height = blocks.filter(F.col("uid") == boundary).select("height").collect()
+    rb = _hb_value(int(b_height[0]["height"])) if b_height else _hb_value(0)
+
     store.stage("blocks_microblocks", blocks.filter(F.col("uid") <= boundary))
-    for name in TX_NAMES + CHILD_NAMES:
+    for name in TX_NAMES:
         df = store.read_or_none(name)
         if df is None:
             continue
-        if name in CHILD_NAMES:
-            # children carry no block_uid: bound via their parent's uid range
-            parent = f"txs_{name.split('_')[1]}"
-            pdf = store.read(parent).filter(F.col("block_uid") <= boundary)
-            store.stage(parent, pdf)
-            df = df.join(
-                pdf.select(F.col("uid").alias("tx_uid")), "tx_uid", "left_semi"
-            )
-            store.stage(name, df)
-        else:
-            store.stage(name, df.filter(F.col("block_uid") <= boundary))
+        survivors = df.filter(
+            (F.col("p_hb") >= rb) & (F.col("block_uid") <= boundary)
+        )
+        store.stage_range_replace(name, survivors, "p_hb", rb)
+    for name in CHILD_NAMES:
+        df = store.read_or_none(name)
+        if df is None:
+            continue
+        # children carry no block_uid: bound via their parent's surviving
+        # uids within the affected buckets
+        parent = f"txs_{name.split('_')[1]}"
+        pdf = store.read(parent).filter(F.col("p_hb") >= rb)
+        survivors = df.filter(F.col("p_hb") >= rb).join(
+            pdf.select(F.col("uid").alias("tx_uid")), "tx_uid", "left_semi"
+        )
+        store.stage_range_replace(name, survivors, "p_hb", rb)
 
     for log_name, chained in (
         ("asset_updates_log", "asset_updates"),

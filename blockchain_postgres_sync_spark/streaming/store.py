@@ -55,14 +55,25 @@ class TableStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._dir(name, next_v))
+        self._ensure_readable(name, next_v, df)
         self._staged[name] = next_v
+
+    def _ensure_readable(self, name: str, version: int, df: DataFrame) -> None:
+        """A partitioned write of an EMPTY frame emits no parquet files (and
+        thus no schema); rewrite it flat so readers always infer a schema
+        (the partition column stays as a data column — filters still work)."""
+        d = self._dir(name, version)
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return
+        df.limit(0).write.mode("overwrite").parquet(d)
 
     def stage_range_replace(
         self,
         name: str,
         new_df: DataFrame,
         partition_col: str,
-        replace_from: str,
+        replace_from: str | int,
     ) -> None:
         """Stage a new version where every partition with value >=
         ``replace_from`` (string order) comes from ``new_df`` and every
@@ -88,17 +99,28 @@ class TableStore:
         # link kept (strictly-below-boundary) partition dirs from prev version
         prev_dir = self._dir(name, prev_v)
         prefix = f"{partition_col}="
+
+        def _ge(a: str, b: str | int) -> bool:
+            try:
+                return int(a) >= int(b)
+            except ValueError:
+                return str(a) >= str(b)
+
+        linked = False
         for entry in os.listdir(prev_dir):
             src = os.path.join(prev_dir, entry)
             if not entry.startswith(prefix) or not os.path.isdir(src):
                 continue
-            if entry[len(prefix):] >= replace_from:
+            if _ge(entry[len(prefix):], replace_from):
                 continue  # replaced (or deleted) range
             dst = os.path.join(new_dir, entry)
             os.makedirs(dst, exist_ok=True)
             for fn in os.listdir(src):
                 if fn.endswith(".parquet"):
                     os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                    linked = True
+        if not linked:
+            self._ensure_readable(name, next_v, new_df)
         self._staged[name] = next_v
 
     def commit(self) -> None:
