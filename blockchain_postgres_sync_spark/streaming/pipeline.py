@@ -320,16 +320,31 @@ def apply_appends(
     for name, df in merged_tx.items():
         store.stage_range_replace(name, df, "p_hb", rb)
 
-    # SCD logs: asset updates + tickers (rechained from the full log, W1)
+    # SCD logs: asset updates + tickers.  Chains are per-key independent, so
+    # only keys with updates in THIS batch rechain (W1 + the UNNEST close
+    # join J6, pg.rs:225-256); untouched keys' chain rows pass through — at
+    # scale the rechain cost follows batch size, not dimension size.
+    def _scd(log_name: str, chained_name: str, new_rows: DataFrame) -> None:
+        log = _read_or_empty(store, log_name, new_rows).unionByName(new_rows)
+        store.stage(log_name, log)
+        stored_chain = store.read_or_none(chained_name)
+        if stored_chain is None:
+            store.stage(chained_name, chain_superseded_by(log, key="asset_id", uid="uid"))
+            return
+        affected = new_rows.select("asset_id").distinct()
+        unchanged = stored_chain.join(F.broadcast(affected), "asset_id", "left_anti")
+        rechained = chain_superseded_by(
+            log.join(F.broadcast(affected), "asset_id", "left_semi"),
+            key="asset_id", uid="uid",
+        )
+        store.stage(chained_name, unchanged.unionByName(rechained))
+
     new_au = extract_asset_updates(seg_updates)
-    au_log = _read_or_empty(store, "asset_updates_log", new_au).unionByName(new_au)
-    store.stage("asset_updates_log", au_log)
-    store.stage("asset_updates", chain_superseded_by(au_log, key="asset_id", uid="uid"))
+    _scd("asset_updates_log", "asset_updates", new_au)
+    au_log = store.read("asset_updates_log")
 
     new_tick = extract_ticker_updates(seg_updates, asset_storage_address)
-    tick_log = _read_or_empty(store, "asset_tickers_log", new_tick).unionByName(new_tick)
-    store.stage("asset_tickers_log", tick_log)
-    store.stage("asset_tickers", chain_superseded_by(tick_log, key="asset_id", uid="uid"))
+    _scd("asset_tickers_log", "asset_tickers", new_tick)
 
     # waves_data: dedupe on quantity (S6)
     new_wd = extract_waves_data(seg_updates)

@@ -200,3 +200,34 @@ def test_stage_range_replace_links_and_deletes(spark, tmp_path):
     links = [os.stat(os.path.join(vdir, f)).st_nlink
              for f in os.listdir(vdir) if f.endswith(".parquet")]
     assert links and all(n >= 1 for n in links)
+
+
+def test_register_views_sql_surface(stores):
+    """register_views exposes the reference's SQL surface: typed tables,
+    the txs parent union, unified candles, and the dimension views."""
+    from blockchain_postgres_sync_spark.plans.sql import (
+        liveness_age_seconds, register_views,
+    )
+
+    inc, _ = stores
+    spark = inc.spark
+    register_views(inc)
+
+    n_txs = spark.sql("SELECT count(*) AS n FROM txs").collect()[0]["n"]
+    per_type = sum(
+        spark.sql(f"SELECT count(*) AS n FROM txs_{i}").collect()[0]["n"]
+        for i in range(1, 19)
+        if spark.catalog.tableExists(f"txs_{i}")
+    )
+    assert n_txs == per_type > 0
+
+    candles = spark.sql(
+        "SELECT DISTINCT interval FROM candles"
+    ).collect()
+    assert len(candles) == 13
+
+    assert spark.sql("SELECT * FROM decimals WHERE asset_id = 'WAVES'").collect()
+    assert spark.sql("SELECT * FROM pairs").count() > 0
+
+    age = liveness_age_seconds(inc)
+    assert age is not None
