@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_embedding",
     "ann_lsh",
     "ann_ivf",
+    "label_centroids",
+    "pairs_view",
     "lang_id",
     "doc_fingerprint",
     "media_image_features",

@@ -521,6 +521,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-label embedding centroids: posexplode -> groupBy
+    (label, dim) — the scale pattern for vector aggregation (each dimension
+    sums independently; one shuffle keyed on (label, pos)).  Values are
+    quantized to 2^-20 BEFORE summing so the aggregation is exact integer
+    math — order-insensitive, hence engine-independent (a float sum across
+    a shuffle is not)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1048576.0).cast("long").alias("q"),
+    )
+    out = pos.groupBy("label", "pos").agg(
+        F.sum("q").alias("_s"), F.count(F.lit(1)).alias("n_vectors")
+    )
+    return out.select(
+        "label",
+        "pos",
+        F.floor(F.col("_s").cast("double") / F.col("n_vectors").cast("double"))
+        .cast("long").alias("centroid_q"),
+        "n_vectors",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID with deterministic argmax tie-break."""
     docs = _t(spark, sf_dir, "documents")
@@ -963,6 +990,7 @@ CATALOG: dict[str, QueryFn] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "label_centroids": q_label_centroids,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_image_features": q_media_image_features,
@@ -1160,6 +1188,15 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": _EMB_NEARDUP_SQL,
     "ann_lsh": _ann_lsh_oracle_sql(),
     "ann_ivf": _ANN_IVF_SQL,
+    "label_centroids": """
+        SELECT label, CAST(i - 1 AS INT) AS pos,
+               CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                   * 1048576.0) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) AS BIGINT) AS centroid_q,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+        GROUP BY label, i
+    """,
     "lang_id": _lang_id_oracle_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
     "media_image_features": _MEDIA_IMAGE_SQL,
