@@ -31,6 +31,7 @@ HEADLINE = [
     "tumbling_window_5m",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "ngram_jaccard",
     "text_stats",
     "ann_bruteforce",

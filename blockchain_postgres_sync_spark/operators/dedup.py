@@ -188,6 +188,70 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over candidate-pair edges -> duplicate clusters.
+
+    Input: (id_a, id_b) near-dup candidate pairs (e.g. ``lsh_candidate_pairs``
+    output).  Output: (doc_id, cluster_id) where cluster_id = min doc id in
+    the component — the canonical "keep one representative per duplicate
+    cluster" step of a training-data dedup pipeline.
+
+    Algorithm: min-label propagation with label contraction.  Each round
+    projects the edge set onto current labels, computes each label's minimum
+    neighbouring label, and re-points every member of a losing label in one
+    join — so whole clusters merge per round (pointer-jumping-style), not one
+    hop per round.  Rounds are O(log diameter)-ish on near-clique dedup
+    graphs; every round is two hash joins + one groupBy (all shuffle on the
+    label key, map-side combined).  At 100 TB the loop runs over the bounded
+    candidate-pair set (linear in LSH postings), never over the corpus.
+
+    Raises RuntimeError if not converged within ``max_iters`` — a wrong
+    partial clustering must never be silently returned.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+        lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+        ledges = (
+            edges.join(lab_src, "src")
+            .join(lab_dst, "dst")
+            .select("lsrc", "ldst")
+            .filter(F.col("lsrc") != F.col("ldst"))
+        )
+        sym = ledges.union(
+            ledges.select(F.col("ldst").alias("lsrc"), F.col("lsrc").alias("ldst"))
+        )
+        upd = (
+            sym.groupBy("lsrc")
+            .agg(F.min("ldst").alias("m"))
+            .filter(F.col("m") < F.col("lsrc"))
+        )
+        if upd.isEmpty():
+            edges.unpersist()
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        new_labels = labels.join(
+            upd.select(F.col("lsrc").alias("label"), "m"), "label", "left"
+        ).select("id", F.coalesce(F.col("m"), F.col("label")).alias("label")).persist()
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+    raise RuntimeError(f"duplicate_clusters did not converge in {max_iters} rounds")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -427,6 +427,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label contraction loop)
+    over the MinHash-LSH candidate-pair graph; cluster_id = min doc in the
+    component.  Oracle: DuckDB recursive CTE (transitive closure + MIN)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs via shingle-postings join."""
     return dedup.ngram_jaccard_pairs(
@@ -981,6 +991,7 @@ CATALOG: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "dedup_tokenset": q_dedup_tokenset,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1143,6 +1154,17 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+        nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
     "ngram_jaccard": _JACCARD_SQL,
     "text_stats": _DOC_STATS_SQL,
     "ann_bruteforce": """

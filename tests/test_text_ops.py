@@ -59,3 +59,20 @@ def test_embedding_neardup_pairs_threshold(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = dedup.embedding_neardup_pairs(df, threshold=0.9).collect()
     assert [(r.id_a, r.id_b, r.cos_x1000) for r in out] == [(1, 2, 1000)]
+
+
+def test_duplicate_clusters_path_and_island(spark):
+    # path 1-2-3-4 (forces multi-round contraction) + island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_duplicate_clusters_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.duplicate_clusters(pairs).count() == 0
