@@ -108,12 +108,24 @@ def count_missing_decimals(txs7: DataFrame, decimals: DataFrame) -> int:
 def minute_candles(
     trades: DataFrame,
     since_ts: Column | str | None = None,
+    partition_by_pair: bool = False,
 ) -> DataFrame:
     """A1: the minute-candle hash aggregation (pg.rs:680-738).
 
     ``trades`` must carry: uid, time_stamp, amount_asset_id, price_asset_id,
     sender (matcher address), height, amount (integral), price (decimal,
     already scaled).  ``since_ts`` is the A4 incremental watermark.
+
+    ``partition_by_pair=True`` repartitions the trades by the pair key
+    (amount_asset_id, price_asset_id, matcher_address) BEFORE aggregating.
+    Every candle groupBy — this one and all 12 cascade rollups — clusters on
+    a superset of that key, so one explicit exchange up front satisfies
+    ``ClusteredDistribution`` for the whole cascade: 13 aggregations, ONE
+    shuffle (the rollup chain becomes narrow map-side stages).  Trade-off:
+    parallelism is bounded by distinct pairs and a hot pair skews its
+    partition — at 100 TB prefer the default (per-level hash on the full
+    grouping key, AQE skew-split) unless the pair cardinality comfortably
+    exceeds the cluster's cores.
     """
     if since_ts is not None:
         trades = trades.filter(F.col("time_stamp") >= since_ts)
@@ -133,6 +145,8 @@ def minute_candles(
         price.alias("price"),
         pq,
     )
+    if partition_by_pair:
+        e = e.repartition("amount_asset_id", "price_asset_id", "matcher_address")
     out = e.groupBy(
         "time_start", "amount_asset_id", "price_asset_id", "matcher_address"
     ).agg(

@@ -190,8 +190,15 @@ def q_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: full 13-interval hierarchical rollup (pg.rs:740-815)."""
-    return _candles_final(full_cascade(minute_candles(_trades(spark, sf_dir))), True)
+    """A3: full 13-interval hierarchical rollup (pg.rs:740-815).
+
+    ``partition_by_pair=True``: one explicit exchange on the pair key up
+    front satisfies ClusteredDistribution for all 13 aggregations — the
+    rollup chain then runs as narrow stages (~2x wall-clock at sf0.1)."""
+    return _candles_final(
+        full_cascade(minute_candles(_trades(spark, sf_dir), partition_by_pair=True)),
+        True,
+    )
 
 
 def q_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +605,16 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(_media(spark, sf_dir))
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio decode/feature stage (stub codec, real plumbing);
+    mfcc coefficients flattened to scalar columns for the hash compare."""
+    out = multimodal.audio_features(_media(spark, sf_dir), n_mfcc=4)
+    return out.select(
+        "media_id", "duration_ms", "n_bytes", "rms",
+        *[F.col("mfcc")[k].alias(f"mfcc_{k}") for k in range(4)],
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas video frame sampling (1 row per sampled frame)."""
     out = multimodal.sample_frames(_media(spark, sf_dir), every_ms=1000)
@@ -924,6 +941,23 @@ _MEDIA_IMAGE_SQL = f"""
     FROM documents WHERE doc_id % 3 = 0
 """
 
+# audio stub: h = fnv(salt=4) (63-bit, non-negative, so >> == //);
+# rms = (h % 1000)/1000; mfcc_k = ((h >> 8k) % 997)/100  — see
+# operators/multimodal.py::audio_features
+_MEDIA_AUDIO_SQL = f"""
+    WITH h AS (SELECT doc_id, length(text) AS n_bytes, {_fnv_sql(4)} AS h4
+               FROM documents WHERE doc_id % 3 = 1)
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 4000 + 500 AS BIGINT) AS duration_ms,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(CAST((h4 % 1000) AS DOUBLE) / 1000.0 AS FLOAT) AS rms,
+           CAST(CAST((h4 % 997) AS DOUBLE) / 100.0 AS FLOAT) AS mfcc_0,
+           CAST(CAST(((h4 // 256) % 997) AS DOUBLE) / 100.0 AS FLOAT) AS mfcc_1,
+           CAST(CAST(((h4 // 65536) % 997) AS DOUBLE) / 100.0 AS FLOAT) AS mfcc_2,
+           CAST(CAST(((h4 // 16777216) % 997) AS DOUBLE) / 100.0 AS FLOAT) AS mfcc_3
+    FROM h
+"""
+
 _MEDIA_FRAMES_SQL = """
     SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index,
            CAST(i * 1000 AS BIGINT) AS frame_ts_ms
@@ -1005,6 +1039,7 @@ CATALOG: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
     "rollback_scd": q_rollback_scd,
     "squash_blocks": q_squash_blocks,
@@ -1222,6 +1257,7 @@ ORACLES: dict[str, str] = {
     "lang_id": _lang_id_oracle_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
     "media_image_features": _MEDIA_IMAGE_SQL,
+    "media_audio_features": _MEDIA_AUDIO_SQL,
     "media_frame_sample": _MEDIA_FRAMES_SQL,
     "rollback_scd": _ROLLBACK_SCD_SQL,
     "squash_blocks": _SQUASH_BLOCKS_SQL,
