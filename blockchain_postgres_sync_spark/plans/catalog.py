@@ -511,9 +511,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at cosine >= 0.4."""
-    return dedup.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    """Embedding-cosine near-dup pairs at cosine >= 0.4 (numpy block kernel;
+    bit-identical to the Catalyst fold — see embedding_neardup_pairs_blocked)."""
+    return dedup.embedding_neardup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
