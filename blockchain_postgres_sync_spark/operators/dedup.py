@@ -244,14 +244,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("ldst").alias("m"))
             .filter(F.col("m") < F.col("lsrc"))
         )
-        if upd.isEmpty():
+        # The losing-label -> min-neighbour-label mapping is bounded by the
+        # CLUSTER count, not the corpus — it is the small side a broadcast
+        # join would collect to the driver anyway, so collect it explicitly:
+        # one job doubles as the convergence probe (empty => done), and the
+        # chains a->b->c the mapping contains get path-compressed driver-side
+        # (classic union-find contraction), which cuts the round count —
+        # label propagation alone would need one round per chain hop.
+        mapping = {r["lsrc"]: r["m"] for r in upd.collect()}
+        if not mapping:
             edges.unpersist()
             return labels.select(
                 F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
             )
-        new_labels = labels.join(
-            upd.select(F.col("lsrc").alias("label"), "m"), "label", "left"
-        ).select("id", F.coalesce(F.col("m"), F.col("label")).alias("label")).persist()
+        for l in mapping:
+            root = mapping[l]
+            while root in mapping:
+                root = mapping[root]
+            mapping[l] = root
+        map_df = labels.sparkSession.createDataFrame(
+            list(mapping.items()), "label long, m long"
+        )
+        new_labels = labels.join(F.broadcast(map_df), "label", "left").select(
+            "id", F.coalesce(F.col("m"), F.col("label")).alias("label")
+        ).persist()
         new_labels.count()
         labels.unpersist()
         labels = new_labels
