@@ -4,7 +4,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query wall seconds.
 
 Queries execute to completion via the no-op sink (full pipeline, no driver
-collect overhead)."""
+collect overhead).  Each query runs BENCH_RUNS times (default 2) and reports
+the minimum: the harness box runs periodic background jobs that can inflate a
+single shot by up to 10x, and min-of-N is the standard steady-state estimator
+under asymmetric noise (noise only ever adds time)."""
 
 from __future__ import annotations
 
@@ -61,13 +64,19 @@ def main() -> None:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     nation.groupBy("n_regionkey").count().write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = CATALOG[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # pass-interleaved (all queries, then all again): a query's attempts are
+    # separated by a full pass, so a transient background-load burst can't
+    # inflate every attempt of the same query
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for r in range(runs):
+        for name in HEADLINE:
+            fn = CATALOG[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best[name] = min(best[name], time.time() - t0)
+            print(f"# pass {r} {name}: {round(time.time() - t0, 3)}s", file=sys.stderr)
+    timings = {name: round(v, 3) for name, v in best.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -76,6 +85,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
     }))
     spark.stop()
 
