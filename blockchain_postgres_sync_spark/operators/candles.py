@@ -208,16 +208,17 @@ def full_cascade(minute: DataFrame, persist_levels: bool = True) -> DataFrame:
 
     Each level feeds from the previous level's DataFrame (per
     CANDLE_INTERVALS).  With ``persist_levels=False`` the unioned plan
-    recomputes each branch's full lineage — the minute aggregation runs 13
-    times and the union schedules ~80 shuffle stages (sum of all chain
-    lengths), which stage-scheduling overhead makes ~2-3x slower than the
-    persisted form at sf0.1/local[32] even though every level is tiny.
-    ``persist_levels=True`` (default) persists + materializes each level
-    once, so the plan is 1 heavy minute agg + 12 small rollups + a
-    cache-only union — mirroring the reference, which also materializes
-    every level (candles table upsert per interval, pg.rs:740-815).  The
-    streaming pipeline gets this for free by writing each level to the
-    candle store.
+    textually repeats each branch's lineage, but AQE's exchange reuse
+    dedups the shared prefixes at runtime: one job, 13 shuffles each
+    executed once — measured the fastest form at sf0.1/local[32] (~2s
+    steady-state) and the shape that scales (per-level hash partitioning
+    on the full grouping key, AQE skew handling, no cache memory).
+    ``persist_levels=True`` (default) persists + materializes each level —
+    13 sequential cache-fill jobs; use it when levels are consumed AGAIN
+    after this call (the streaming pipeline effectively does, by writing
+    every level to the candle store, mirroring the reference's per-interval
+    upsert chain, pg.rs:740-815) — the cost of the extra jobs then buys
+    single execution of each level.
     """
     if persist_levels:
         for df in _CASCADE_CACHE:

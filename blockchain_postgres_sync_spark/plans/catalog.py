@@ -192,11 +192,15 @@ def q_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: full 13-interval hierarchical rollup (pg.rs:740-815).
 
-    ``partition_by_pair=True``: one explicit exchange on the pair key up
-    front satisfies ClusteredDistribution for all 13 aggregations — the
-    rollup chain then runs as narrow stages (~2x wall-clock at sf0.1)."""
+    Plain per-level hash aggregation, no persist: AQE's exchange reuse
+    already dedups the shared lineage across the 13 union branches, so the
+    whole cascade is ONE job with 13 reused exchanges — measured faster
+    (~2s steady-state at sf0.1) than both the persist-per-level form
+    (13 sequential cache-fill jobs) and the pair-repartitioned narrow form
+    (parallelism bounded by distinct pairs), and it is the shape that
+    scales: per-level hash on the full grouping key + AQE skew handling."""
     return _candles_final(
-        full_cascade(minute_candles(_trades(spark, sf_dir), partition_by_pair=True)),
+        full_cascade(minute_candles(_trades(spark, sf_dir)), persist_levels=False),
         True,
     )
 
