@@ -50,6 +50,8 @@ HEADLINE = [
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
+    "json_field_agg",
+    "asset_name_search",
 ]
 
 

@@ -406,6 +406,50 @@ def q_tumbling_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 jsonb ``->>`` surface (order-doc indexes, up.sql:670-676):
+    extract a JSON field with the Catalyst built-in get_json_object (no UDF)
+    and aggregate on it — the reference's "filter/index on a field inside a
+    JSON document" workload."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .groupBy((F.col("k") % 10).alias("k_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+#: the reference's full-text workload: GIN index over
+#: to_tsvector('simple', asset name) on current assets (up.sql:703-705) —
+#: i.e. token-level term search over names, modeled as a match-count score.
+_SEARCH_TERMS = ("red", "widget", "bolt")
+
+
+def q_asset_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 tsvector analog: tokenize asset names, score by query-term hit
+    count, keep matches — pure Catalyst (split + filter + array_contains);
+    at scale the filter pushes the scan down to rows whose name contains any
+    term before tokenization."""
+    part = _t(spark, sf_dir, "part")
+    terms = F.array(*[F.lit(t) for t in _SEARCH_TERMS])
+    score = F.size(
+        F.filter(F.split(F.col("p_name"), " "), lambda t: F.array_contains(terms, t))
+    )
+    return (
+        part.select(
+            F.col("p_partkey").cast("long").alias("asset_id"),
+            F.col("p_name").alias("asset_name"),
+            score.cast("long").alias("match_score"),
+        )
+        .filter(F.col("match_score") > 0)
+    )
+
+
 def q_latest_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/P1: top-1-by-order scalar per group (waves supply in the assets
     view, up.sql:478-481)."""
@@ -1027,6 +1071,8 @@ CATALOG: dict[str, QueryFn] = {
     "regional_revenue": q_regional_revenue,
     "tumbling_window_5m": q_tumbling_window_5m,
     "latest_supply": q_latest_supply,
+    "json_field_agg": q_json_field_agg,
+    "asset_name_search": q_asset_name_search,
     "dedup_exact": q_dedup_exact,
     "dedup_tokenset": q_dedup_tokenset,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1178,6 +1224,25 @@ ORACLES: dict[str, str] = {
                   (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1
+    """,
+    "json_field_agg": """
+        WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                          event_type
+                   FROM events)
+        SELECT k % 10 AS k_bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(k) AS min_k, max(k) AS max_k
+        FROM k GROUP BY 1, 2
+    """,
+    "asset_name_search": """
+        SELECT * FROM (
+            SELECT CAST(p_partkey AS BIGINT) AS asset_id,
+                   p_name AS asset_name,
+                   CAST(len(list_filter(string_split(p_name, ' '),
+                       t -> list_contains(['red','widget','bolt'], t)))
+                       AS BIGINT) AS match_score
+            FROM part)
+        WHERE match_score > 0
     """,
     "dedup_exact": """
         SELECT md5(text) AS fingerprint,
