@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions: the scale posture, checked structurally.
+
+These queries are designed so Catalyst produces specific physical features —
+dimension broadcasts, parquet predicate pushdown, column pruning.  Asserting
+on explain output pins them: a refactor that silently turns a broadcast into
+a shuffle join, or widens a scan to all columns, fails here long before it
+shows up as a 100 TB regression.
+"""
+from __future__ import annotations
+
+import re
+
+from blockchain_postgres_sync_spark.plans.catalog import CATALOG
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_decimals_dim_broadcasts(spark):
+    """A2/J7: the decimals lookups must be broadcast hash joins — a shuffle
+    join on the trades side would move the 100 TB fact table for a
+    dimension with one row per asset."""
+    plan = _plan(spark, "candles_scaled")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lookup_join_broadcasts(spark):
+    """J1: lease-cancel-style lookup broadcasts the small side."""
+    plan = _plan(spark, "lookup_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    """The shipdate predicate must reach the parquet scan (row-group
+    pruning), and the scan must read only the columns the query touches."""
+    plan = _plan(spark, "pricing_summary")
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "l_comment" not in s  # widest lineitem column stays unread
+
+
+def test_name_search_prunes_columns(spark):
+    """tsvector-analog search reads exactly (p_partkey, p_name)."""
+    plan = _plan(spark, "asset_name_search")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m
+    assert m.group(1) == "struct<p_partkey:bigint,p_name:string>"
+
+
+def test_candles_cascade_single_scan_no_cartesian(spark):
+    """A3: the 13-branch union must contain no cartesian/nested-loop join
+    and no row-at-a-time Python eval — pure JVM aggregation chains."""
+    plan = _plan(spark, "candles_cascade")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_rowwise_python_in_text_ops(spark):
+    """Text analysis is pure Catalyst: no Python UDF stages in the plan."""
+    for name in ("text_stats", "lang_id", "doc_fingerprint", "dedup_simhash"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
