@@ -209,21 +209,51 @@ def extract_raw_txs(updates: DataFrame) -> DataFrame:
     )
 
 
-def resolve_lease_cancels(raw_txs: DataFrame) -> DataFrame:
+def resolve_lease_cancels(
+    raw_txs: DataFrame, prior_ids: DataFrame | None = None
+) -> DataFrame:
     """J1 (pg.rs:472-505): map txs_9.lease_id -> lease tx uid via a lookup
-    join against all tx ids; unmatched stays NULL (left join)."""
-    leases = raw_txs.select(F.col("id").alias("lease_id"), F.col("uid").alias("lease_tx_uid"))
+    join against ALL tx ids — the full stored history plus this batch (the
+    reference queries the `txs` parent table, which already holds the same
+    batch's earlier-type inserts); unmatched stays NULL (left join).
+
+    ``prior_ids``: (id, uid) pairs of every previously stored tx.  Scale
+    shape: the cancel side is tiny (bounded by batch size) while the id
+    universe is the whole chain, so the id store is semi-joined against a
+    broadcast of the batch's lease_ids first (one narrow two-column scan,
+    no shuffle), and only the surviving pairs are broadcast into the left
+    join.
+    """
     nine = raw_txs.filter(F.col("tx_type") == 9)
-    resolved = nine.join(F.broadcast(leases), "lease_id", "left")
-    return resolved
+    ids = raw_txs.select(
+        F.col("id").alias("lease_id"), F.col("uid").alias("lease_tx_uid")
+    )
+    if prior_ids is not None:
+        wanted = nine.select("lease_id").distinct()
+        hits = prior_ids.select(
+            F.col("id").alias("lease_id"), F.col("uid").alias("lease_tx_uid")
+        ).join(F.broadcast(wanted), "lease_id", "left_semi")
+        ids = hits.unionByName(ids)
+    # ids are unique chain-wide; max() only pins determinism if an id ever
+    # repeated (the reference's HashMap::from_iter would keep an arbitrary
+    # insertion-order winner, pg.rs:486)
+    ids = ids.groupBy("lease_id").agg(F.max("lease_tx_uid").alias("lease_tx_uid"))
+    return nine.join(F.broadcast(ids), "lease_id", "left")
 
 
-def classify_txs(raw_txs: DataFrame) -> dict[int, DataFrame]:
+def classify_txs(
+    raw_txs: DataFrame, prior_ids: DataFrame | None = None
+) -> dict[int, DataFrame]:
     """mod.rs:359-474: route every tx to its typed table, projecting exactly
-    that table's schema."""
+    that table's schema.  ``prior_ids`` feeds the lease-cancel resolution
+    (J1) with stored history."""
     out: dict[int, DataFrame] = {}
     for n, schema in TX_SCHEMAS.items():
-        src = resolve_lease_cancels(raw_txs) if n == 9 else raw_txs.filter(F.col("tx_type") == n)
+        src = (
+            resolve_lease_cancels(raw_txs, prior_ids)
+            if n == 9
+            else raw_txs.filter(F.col("tx_type") == n)
+        )
         cols = [f.name for f in schema.fields]
         out[n] = src.select(*cols)
     return out
@@ -327,7 +357,9 @@ def extract_asset_updates(updates: DataFrame) -> DataFrame:
         F.col("a.reissuable").alias("reissuable"),
         F.col("a.volume").alias("volume"),
         F.col("a.script").alias("script"),
-        F.col("a.sponsorship").alias("sponsorship"),
+        # sponsorship is stored NULL unless > 0 (mod.rs:528-530: the consumer
+        # maps min_sponsored_fee = Some(s) only when s > 0)
+        F.when(F.col("a.sponsorship") > 0, F.col("a.sponsorship")).alias("sponsorship"),
         F.col("a.nft").alias("nft"),
     )
 
@@ -347,9 +379,13 @@ def extract_ticker_updates(updates: DataFrame, asset_storage_address: str) -> Da
         F.col("d.value_type").alias("value_type"),
         F.col("d.value_string").alias("value_string"),
     )
+    # prefix-anchored match (starts_with, not contains: mod.rs:555-556) and
+    # value-type gate: a present non-string value is DROPPED, not emitted as
+    # '' — '' is reserved for deleted keys (mod.rs:558-574)
     matched = de.filter(
         (F.col("address") == asset_storage_address)
-        & F.col("key").rlike("__assetId2ticker__")
+        & F.col("key").startswith("%s%s__assetId2ticker__")
+        & (F.col("value_type").isNull() | (F.col("value_type") == "string"))
     )
     return matched.select(
         "block_uid",
@@ -363,12 +399,18 @@ def extract_ticker_updates(updates: DataFrame, asset_storage_address: str) -> Da
 
 def extract_waves_data(updates: DataFrame) -> DataFrame:
     """mod.rs:318-330 + pg.rs:176-184: per-height WAVES supply, deduped on
-    quantity (ON CONFLICT DO NOTHING analog = dropDuplicates)."""
+    quantity.  ON CONFLICT (quantity) DO NOTHING keeps the FIRST-inserted
+    row — blocks append in height order, so first-wins = min(height); a
+    deterministic aggregate, where dropDuplicates would keep an arbitrary
+    row and feed nondeterministic heights into the assets view's
+    max_by(quantity, height) supply lookup."""
     return (
         updates.filter(F.col("kind") == "block")
         .filter(F.col("waves_quantity").isNotNull())
         .select(F.col("height").cast("int").alias("height"), F.col("waves_quantity").alias("quantity"))
-        .dropDuplicates(["quantity"])
+        .groupBy("quantity")
+        .agg(F.min("height").alias("height"))
+        .select("height", "quantity")
     )
 
 

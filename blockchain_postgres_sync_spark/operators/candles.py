@@ -16,8 +16,9 @@ Reference semantics (all in /root/reference):
 Spark-first design notes:
 - open/close via ``min_by``/``max_by`` on the deterministic uid — never
   physical row order, which shuffles destroy (SURVEY.md §7.4.1).
-- money columns are DecimalType end-to-end; wap division happens in float64
-  AFTER exact decimal sums (deterministic: exact inputs, single IEEE op).
+- money columns are DecimalType end-to-end; wap floor-division is exact
+  decimal arithmetic (floor_div_exact) — the reference floors a NUMERIC
+  quotient, and float64 mis-floors once sums exceed 2^53.
 - grouping is a single shuffle per level; the cascade reuses the previous
   level's (already small) output, so 12 rollups cost far less than 12 scans.
 - at 100 TB: trades are partitioned by time bucket; the A4 watermark filter
@@ -26,6 +27,8 @@ Spark-first design notes:
 """
 
 from __future__ import annotations
+
+from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +39,32 @@ from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS
 #: price DEC(28,10) * amount DEC(10,0) -> DEC(38,10) fits both Spark & DuckDB.
 PRICE_DEC = "decimal(28,10)"
 AMOUNT_DEC = "decimal(10,0)"
+
+
+def floor_div_exact(a: Column, b: Column) -> Column:
+    """``floor(a / b)`` computed entirely in decimal arithmetic.
+
+    The reference floors an exact NUMERIC quotient (pg.rs:693, 753:
+    ``floor(sum(a*p)/sum(a))``); a float64 quotient mis-floors once the sums
+    exceed 2^53.  ``a - pmod(a, b)`` is an exact multiple of ``b``, so the
+    final decimal division carries no fraction for Spark's HALF_UP scale
+    adjustment to round — the quotient is bit-exact for the non-negative
+    domain (prices/amounts; pmod keeps floor semantics at 0)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def pow10_factor(exponent: Column) -> Column:
+    """10^exponent as an exact decimal literal (exponent in [-8, 8]).
+
+    Exact powers of ten as DEC(17,8) literals (Waves asset decimals are
+    0..8, so the scaling exponent pd-ad stays in range).  One multiply by
+    DEC(28,10) lands on DEC(38,10) with <= 10 actual fractional digits for
+    integral chain prices — no rounding.  (Built per-call: Column literals
+    need an active SparkContext.)"""
+    pow10 = F.array(
+        *[F.lit(Decimal(10) ** e).cast("decimal(17,8)") for e in range(-8, 9)]
+    )
+    return F.element_at(pow10, exponent.cast("int") + F.lit(9))
 
 
 def trunc_ts(col: Column, interval: str) -> Column:
@@ -84,8 +113,10 @@ def scale_prices(txs7: DataFrame, decimals: DataFrame) -> DataFrame:
                 F.col("tx_version") > 2,
                 (
                     F.col("price").cast(PRICE_DEC)
-                    * F.pow(F.lit(10.0), F.col("_price_decimals").cast("int"))
-                    * F.pow(F.lit(10.0), -F.col("_amount_decimals").cast("int"))
+                    * pow10_factor(
+                        F.col("_price_decimals").cast("int")
+                        - F.col("_amount_decimals").cast("int")
+                    )
                 ).cast(PRICE_DEC),
             ).otherwise(F.col("price").cast(PRICE_DEC)),
         )
@@ -156,9 +187,9 @@ def minute_candles(
         F.sum("pq").alias("quote_volume"),
         F.max("height").alias("max_height"),
         F.count("price").alias("txs_count"),
-        F.floor(
-            F.sum("pq").cast("double") / F.sum("amount").cast("double")
-        ).alias("weighted_average_price"),
+        floor_div_exact(F.sum("pq"), F.sum("amount")).alias(
+            "weighted_average_price"
+        ),
         F.min_by("price", "uid").alias("open"),
         F.max_by("price", "uid").alias("close"),
     )
@@ -183,9 +214,12 @@ def rollup_interval(src_candles: DataFrame, src: str, dst: str) -> DataFrame:
         F.sum("quote_volume").alias("quote_volume"),
         F.max("max_height").alias("max_height"),
         F.sum("txs_count").alias("txs_count"),
-        F.floor(
-            F.sum(F.col("weighted_average_price") * F.col("volume")).cast("double")
-            / F.sum("volume").cast("double")
+        floor_div_exact(
+            F.sum(
+                F.col("weighted_average_price").cast("decimal(20,0)")
+                * F.col("volume").cast("decimal(18,0)")
+            ),
+            F.sum(F.col("volume").cast("decimal(18,0)")),
         ).alias("weighted_average_price"),
         F.min_by("open", "time_start").alias("open"),
         F.max_by("close", "time_start").alias("close"),

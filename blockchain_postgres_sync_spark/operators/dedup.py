@@ -194,6 +194,10 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+#: cached edge sets from previous duplicate_clusters calls, released lazily
+_CLUSTER_CACHE: list[DataFrame] = []
+
+
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over candidate-pair edges -> duplicate clusters.
 
@@ -214,63 +218,65 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     Raises RuntimeError if not converged within ``max_iters`` — a wrong
     partial clustering must never be silently returned.
     """
+    spark = pairs.sparkSession
+    # release the previous call's cached edge set (the returned frame reads
+    # from it, so it cannot be unpersisted before the caller consumes it)
+    while _CLUSTER_CACHE:
+        _CLUSTER_CACHE.pop().unpersist()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-        .persist()
-    )
-    labels.count()
-    for _ in range(max_iters):
-        lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
-        lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
-        ledges = (
-            edges.join(lab_src, "src")
-            .join(lab_dst, "dst")
-            .select("lsrc", "ldst")
-            .filter(F.col("lsrc") != F.col("ldst"))
-        )
-        sym = ledges.union(
-            ledges.select(F.col("ldst").alias("lsrc"), F.col("lsrc").alias("ldst"))
-        )
-        upd = (
-            sym.groupBy("lsrc")
-            .agg(F.min("ldst").alias("m"))
-            .filter(F.col("m") < F.col("lsrc"))
-        )
-        # The losing-label -> min-neighbour-label mapping is bounded by the
-        # CLUSTER count, not the corpus — it is the small side a broadcast
-        # join would collect to the driver anyway, so collect it explicitly:
-        # one job doubles as the convergence probe (empty => done), and the
-        # chains a->b->c the mapping contains get path-compressed driver-side
-        # (classic union-find contraction), which cuts the round count —
-        # label propagation alone would need one round per chain hop.
-        mapping = {r["lsrc"]: r["m"] for r in upd.collect()}
+    _CLUSTER_CACHE.append(edges)
+
+    # The losing-label -> root-label mapping is bounded by the CLUSTER-member
+    # count, not the corpus — it is the small side a broadcast join would
+    # collect to the driver anyway, so accumulate it driver-side across
+    # rounds (path-compressed union-find contraction: chains strictly
+    # decrease, so compression terminates) and relabel the ORIGINAL edge set
+    # with one broadcast join per side per round.  Each round then costs ONE
+    # job (the min-neighbour aggregate, which doubles as the convergence
+    # probe); no per-round labels table, no cache churn.
+    mapping: dict = {}
+
+    def relabel(df: DataFrame, cols: list[str]) -> DataFrame:
         if not mapping:
-            edges.unpersist()
-            return labels.select(
-                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            return df
+        map_df = F.broadcast(
+            spark.createDataFrame(list(mapping.items()), "_from long, _to long")
+        )
+        for c in cols:
+            df = (
+                df.join(map_df, df[c] == map_df["_from"], "left")
+                .withColumn(c, F.coalesce("_to", c))
+                .drop("_from", "_to")
             )
-        for l in mapping:
+        return df
+
+    for _ in range(max_iters):
+        cur = relabel(edges, ["src", "dst"]).filter(F.col("src") != F.col("dst"))
+        upd = (
+            cur.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+            .filter(F.col("m") < F.col("src"))
+        )
+        new_map = {r["src"]: r["m"] for r in upd.collect()}
+        if not new_map:
+            ids = edges.select(F.col("src").alias("doc_id")).distinct()
+            out = relabel(
+                ids.withColumn("cluster_id", F.col("doc_id")), ["cluster_id"]
+            ).select("doc_id", "cluster_id")
+            return out
+        # old keys were already relabeled away, so new_map keys never
+        # collide with existing keys; compress every chain to its root
+        mapping.update(new_map)
+        for l in list(mapping):
             root = mapping[l]
             while root in mapping:
                 root = mapping[root]
             mapping[l] = root
-        map_df = labels.sparkSession.createDataFrame(
-            list(mapping.items()), "label long, m long"
-        )
-        new_labels = labels.join(F.broadcast(map_df), "label", "left").select(
-            "id", F.coalesce(F.col("m"), F.col("label")).alias("label")
-        ).persist()
-        new_labels.count()
-        labels.unpersist()
-        labels = new_labels
     raise RuntimeError(f"duplicate_clusters did not converge in {max_iters} rounds")
 
 

@@ -9,7 +9,9 @@ followed here so hashes are bit-exact across engines:
 - final outputs cast to stable types only: STRING / BIGINT / INT / DOUBLE
   (exact-decimal→double conversion is deterministic);
 - timestamps output as strings ('YYYY-MM-DD HH:MM:SS[.ffffff]' both engines);
-- floor-division done as a single IEEE float64 op over exact integers;
+- money floor-division in exact decimal arithmetic on BOTH engines
+  (floor_div_exact / _floor_div_sql — float64 mis-floors past 2^53);
+  non-money ratio scores may still use a single IEEE float64 op;
 - identical alias in Spark (.alias) and SQL (AS).
 
 The testdata→reference shape mapping (FIXTURES.md §10): events → exchange
@@ -91,6 +93,18 @@ _TRADES_SQL = """
     FROM events
 """
 
+def _floor_div_sql(a: str, b: str) -> str:
+    """Exact decimal floor division (mirrors operators.candles.floor_div_exact):
+    ``a - a % b`` is an exact multiple of ``b``, so the HUGEINT integer
+    division is the true floor — no float64 rounding once sums pass 2^53."""
+    return (
+        f"CAST(CAST({a} - ({a} % {b}) AS HUGEINT) // CAST({b} AS HUGEINT) AS BIGINT)"
+    )
+
+
+_C1M_PQ = "sum(CAST(amount AS DECIMAL(10,0)) * CAST(price AS DECIMAL(28,10)))"
+_C1M_VOL = "sum(CAST(amount AS DECIMAL(10,0)))"
+
 _C1M_SQL = f"""
     SELECT {_dd_trunc('time_stamp', '1m')} AS time_start,
            amount_asset_id, price_asset_id, sender AS matcher_address,
@@ -101,9 +115,7 @@ _C1M_SQL = f"""
                AS quote_volume,
            max(height) AS max_height,
            CAST(count(*) AS BIGINT) AS txs_count,
-           CAST(floor(
-               CAST(sum(CAST(amount AS DECIMAL(10,0)) * CAST(price AS DECIMAL(28,10))) AS DOUBLE)
-               / CAST(sum(CAST(amount AS DECIMAL(10,0))) AS DOUBLE)) AS BIGINT)
+           {_floor_div_sql(_C1M_PQ, _C1M_VOL)}
                AS weighted_average_price,
            arg_min(CAST(price AS DECIMAL(28,10)), uid) AS open,
            arg_max(CAST(price AS DECIMAL(28,10)), uid) AS close
@@ -140,9 +152,10 @@ def _rollup_sql(src: str, dst: str) -> str:
            sum(quote_volume) AS quote_volume,
            max(max_height) AS max_height,
            CAST(sum(txs_count) AS BIGINT) AS txs_count,
-           CAST(floor(
-               CAST(sum(weighted_average_price * volume) AS DOUBLE)
-               / CAST(sum(volume) AS DOUBLE)) AS BIGINT)
+           {_floor_div_sql(
+               "sum(CAST(weighted_average_price AS DECIMAL(20,0))"
+               " * CAST(volume AS DECIMAL(18,0)))",
+               "sum(CAST(volume AS DECIMAL(18,0)))")}
                AS weighted_average_price,
            arg_min(open, time_start) AS open,
            arg_max(close, time_start) AS close
@@ -792,6 +805,13 @@ _JACCARD_SQL = f"""
 
 _SCALED_C1M_SQL = _C1M_SQL.replace("FROM trades", "FROM scaled")
 
+#: exact 10^e literals for e in [-8, 8] (mirrors operators.candles._POW10):
+#: the scaling exponent is pd - ad with Waves decimals 0..8.
+_POW10_CASE = "CAST(CASE pd.decimals - ad.decimals " + " ".join(
+    f"WHEN {e} THEN {10 ** e if e >= 0 else '0.' + '0' * (-e - 1) + '1'}"
+    for e in range(-8, 9)
+) + " END AS DECIMAL(17,8))"
+
 _CANDLES_SCALED_SQL = f"""
     WITH trades AS ({_TRADES_SQL}),
     ids AS (SELECT DISTINCT amount_asset_id AS asset_id FROM trades
@@ -802,9 +822,8 @@ _CANDLES_SCALED_SQL = f"""
         SELECT t.uid, t.time_stamp, t.amount_asset_id, t.price_asset_id,
                t.sender, t.height, t.amount,
                CASE WHEN t.tx_version > 2
-                    THEN CAST(CAST(t.price AS DECIMAL(28,10))
-                              * pow(10, pd.decimals)
-                              * pow(10, -ad.decimals) AS DECIMAL(28,10))
+                    THEN CAST(CAST(t.price AS DECIMAL(38,10))
+                              * {_POW10_CASE} AS DECIMAL(28,10))
                     ELSE CAST(t.price AS DECIMAL(28,10)) END AS price
         FROM trades t
         JOIN decs ad ON t.amount_asset_id = ad.asset_id
@@ -1304,8 +1323,7 @@ ORACLES: dict[str, str] = {
                CAST(sum(quote_volume) AS DOUBLE) AS quote_volume,
                CAST(max(high) AS DOUBLE) AS high,
                CAST(min(low) AS DOUBLE) AS low,
-               CAST(floor(CAST(sum(quote_volume) AS DOUBLE)
-                   / CAST(sum(volume) AS DOUBLE)) AS BIGINT)
+               {_floor_div_sql("sum(quote_volume)", "sum(volume)")}
                    AS weighted_average_price,
                CAST(sum(txs_count) AS BIGINT) AS txs_count
         FROM c GROUP BY 1, 2, 3

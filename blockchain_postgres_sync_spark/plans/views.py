@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import MAX_UID, WAVES_ASSET_ID, WAVES_DECIMALS
+from ..operators.candles import floor_div_exact
 from ..operators.scd import current_snapshot
 
 
@@ -77,14 +78,17 @@ def assets_view(
     supply = waves_data.filter(F.col("height").isNotNull()).agg(
         F.max_by("quantity", "height").alias("_q")
     )
+    # synthetic WAVES row constants exactly as up.sql:471-485: sender '',
+    # issue_height 0, genesis timestamp 2016-04-11 21:00:00+00 (engine tz is
+    # pinned UTC, so the tz-naive literal is that instant)
     waves = supply.select(
         F.lit(WAVES_ASSET_ID).alias("asset_id"),
         F.lit("WAVES").alias("ticker"),
         F.lit("Waves").alias("asset_name"),
         F.lit("").alias("description"),
-        F.lit(None).cast("string").alias("issuer"),
-        F.lit(None).cast("int").alias("issue_height"),
-        F.lit(None).cast("timestamp").alias("issue_time_stamp"),
+        F.lit("").alias("issuer"),
+        F.lit(0).cast("int").alias("issue_height"),
+        F.lit("2016-04-11 21:00:00").cast("timestamp").alias("issue_time_stamp"),
         F.col("_q").cast("decimal(38,8)").alias("total_quantity"),
         F.lit(WAVES_DECIMALS).cast("int").alias("decimals"),
         F.lit(False).alias("reissuable"),
@@ -114,10 +118,9 @@ def pairs_view(minute_candles_df: DataFrame) -> DataFrame:
             F.sum("quote_volume").alias("quote_volume"),
             F.max("high").alias("high"),
             F.min("low").alias("low"),
-            F.floor(
-                F.sum("quote_volume").cast("double")
-                / F.sum("volume").cast("double")
-            ).alias("weighted_average_price"),
+            floor_div_exact(F.sum("quote_volume"), F.sum("volume")).alias(
+                "weighted_average_price"
+            ),
             F.sum("txs_count").cast("long").alias("txs_count"),
         )
     )

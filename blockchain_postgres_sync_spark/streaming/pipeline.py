@@ -297,8 +297,11 @@ def apply_appends(
         )
     new_raw = new_raw.persist()
 
-    # typed tables + children: tail-scoped merge, range-replace staging
-    typed_new = classify_txs(new_raw)
+    # typed tables + children: tail-scoped merge, range-replace staging.
+    # Lease-cancel resolution (J1) looks up the compact (id, uid) store so
+    # cancels of leases ingested in EARLIER batches resolve, matching the
+    # reference's lookup against the full txs table (pg.rs:472-484).
+    typed_new = classify_txs(new_raw, prior_ids=store.read_or_none("tx_ids"))
     children_new = extract_children(new_raw)
     merged_tx: dict[str, DataFrame] = {}
     for n, df in typed_new.items():
@@ -319,6 +322,17 @@ def apply_appends(
     store.stage("blocks_microblocks", blocks)
     for name, df in merged_tx.items():
         store.stage_range_replace(name, df, "p_hb", rb)
+
+    # compact id->uid lookup for J1 (post-squash so block_uids are settled):
+    # the tail buckets are rebuilt from the merged typed frames, sealed
+    # buckets hardlink forward like every other height-partitioned table
+    id_frames = [
+        df.select("id", "uid", "block_uid", "p_hb") for df in merged_tx.values()
+    ]
+    new_ids = id_frames[0]
+    for f in id_frames[1:]:
+        new_ids = new_ids.unionByName(f)
+    store.stage_range_replace("tx_ids", new_ids, "p_hb", rb)
 
     # SCD logs: asset updates + tickers.  Chains are per-key independent, so
     # only keys with updates in THIS batch rechain (W1 + the UNNEST close
@@ -402,7 +416,7 @@ def apply_rollback(store: TableStore, ref_id: str) -> _dt.datetime | None:
     rb = _hb_value(int(b_height[0]["height"])) if b_height else _hb_value(0)
 
     store.stage("blocks_microblocks", blocks.filter(F.col("uid") <= boundary))
-    for name in TX_NAMES:
+    for name in [*TX_NAMES, "tx_ids"]:
         df = store.read_or_none(name)
         if df is None:
             continue

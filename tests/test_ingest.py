@@ -77,9 +77,9 @@ def test_children_explode(raw_txs):
 def test_lease_cancel_resolution(raw_txs):
     typed = ingest.classify_txs(raw_txs)
     nine = typed[9].collect()
-    assert len(nine) == 1
+    assert len(nine) == 2  # same-batch cancel + the later cross-batch cancel
     lease_uid = {r["id"]: r["uid"] for r in raw_txs.collect()}["tx-8-8"]
-    assert nine[0]["lease_tx_uid"] == lease_uid  # J1 (pg.rs:472-505)
+    assert {r["lease_tx_uid"] for r in nine} == {lease_uid}  # J1 (pg.rs:472-505)
 
 
 def test_txs_union_view(raw_txs):

@@ -86,6 +86,17 @@ def test_squash_semantics(stores):
     assert {r["block_uid"] for r in micro_txs} == {2}
 
 
+def test_cross_batch_lease_cancel(stores):
+    """J1 against full history (pg.rs:472-484): a cancel arriving batches
+    after its lease still resolves lease_tx_uid."""
+    inc, one = stores
+    for store in (inc, one):
+        t8 = store.read("txs_8").filter(F.col("id") == "tx-8-8").collect()
+        t9 = store.read("txs_9").filter(F.col("id") == "tx-9-501").collect()
+        assert len(t8) == 1 and len(t9) == 1
+        assert t9[0]["lease_tx_uid"] == t8[0]["uid"]
+
+
 def test_rollback_semantics(stores):
     inc, _ = stores
     blocks = inc.read("blocks_microblocks").select("uid").collect()

@@ -76,3 +76,8 @@ def test_assets_view_semantics(spark, frames):
     # WAVES synthetic row carries the latest supply (A9: max height)
     assert int(out["WAVES"]["total_quantity"]) == 10_000_300
     assert out["WAVES"]["decimals"] == 8
+    # up.sql:471-485 constants: sender '', issue_height 0, genesis timestamp
+    assert out["WAVES"]["issuer"] == ""
+    assert out["WAVES"]["issue_height"] == 0
+    assert str(out["WAVES"]["issue_time_stamp"]) == "2016-04-11 21:00:00"
+    assert out["WAVES"]["min_sponsored_asset_fee"] is None

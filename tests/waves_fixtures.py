@@ -192,7 +192,15 @@ def scenario_log() -> list[dict]:
          exchange_tx(201, T0 + m + 15 * s, "B2", "A1", "3PMatcher1", 9, 310, version=3),
          exchange_tx(202, T0 + m + 25 * s, "A1", "WAVES", "3PMatcher0", 5, 220)],
         asset_updates=[asset_update("B2", 1, 600, name="name-B2-v2")],
-        data_entries=[ticker_entry("B2", "TWO")],
+        data_entries=[
+            ticker_entry("B2", "TWO"),
+            # decoys the extractor must DROP (mod.rs:555-574): marker not
+            # prefix-anchored; present non-string value
+            {"address": ASSET_STORAGE, "key": "X__assetId2ticker__Z9",
+             "value_type": "string", "value_string": "NOPE"},
+            {"address": ASSET_STORAGE, "key": "%s%s__assetId2ticker__Z8",
+             "value_type": "integer", "value_string": None},
+        ],
         waves_quantity=10_000_100,
     ))
     # microblocks on height 102
@@ -215,7 +223,9 @@ def scenario_log() -> list[dict]:
     # re-append after rollback: new block at height 104 + ticker delete
     log.append(block(
         7, 104, 4,
-        [exchange_tx(500, T0 + 4 * m + 5 * s, "B2", "A1", "3PMatcher1", 11, 320, version=3)],
+        [exchange_tx(500, T0 + 4 * m + 5 * s, "B2", "A1", "3PMatcher1", 11, 320, version=3),
+         # cancel of a lease ingested 6 batches earlier (J1 cross-batch)
+         _tx(501, 9, T0 + 4 * m + 6 * s, lease_id="tx-8-8")],
         asset_updates=[asset_update("C3", 8, 20)],
         data_entries=[ticker_entry("A1", None)],  # delete => ticker ''
         waves_quantity=10_000_300,
