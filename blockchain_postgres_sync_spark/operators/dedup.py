@@ -47,8 +47,19 @@ def tokenset_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
-def _seeded_md5(seed: Column | int, value: Column) -> Column:
-    return F.md5(F.concat_ws("|", F.lit(seed).cast("string"), value))
+#: Mersenne prime 2^31 - 1: affine products stay under 2^62 (no long overflow
+#: in Spark, no HUGEINT needed in an external SQL oracle).
+MINHASH_PRIME = 2147483647
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal family h_j(x) = (a_j*x+b_j)
+    mod p — reproducible from the seed index alone, so any SQL engine can
+    regenerate the exact permutation family."""
+    return [
+        ((2654435761 * (j + 1)) % MINHASH_PRIME, (40503 * (j + 7)) % MINHASH_PRIME)
+        for j in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -58,24 +69,33 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """Per-document minhash signature: for each seed j, the lexicographic min
-    of md5(j || '|' || shingle).  Output: (id, mh_0..mh_{k-1}) — wide.
+    """Per-document minhash signature: each shingle is hashed ONCE
+    (md5 → 60-bit int → mod p), then the k permutations are affine integer
+    hashes h_j(x) = (a_j*x + b_j) mod p (p = 2^31-1) and mh_j = min over
+    shingles.  Output: (id, mh_0..mh_{k-1}) — wide.
 
     One explode (shingles) + ONE shuffle (groupBy id with k parallel min
     aggregates, map-side partial agg) — no seed explode, so shuffle volume
-    is k small strings per doc instead of k rows per shingle.  min() is
-    duplicate-insensitive, so shingles need no distinct pass.  md5-as-string
-    keeps the permutation family reproducible in any engine with md5 (the
-    DuckDB oracle recomputes identical signatures).
+    is k ints per doc instead of k rows per shingle.  The expensive digest
+    runs once per shingle, not once per (seed, shingle): the k-way fan-out
+    is whole-stage-codegen integer arithmetic.  min() is duplicate-
+    insensitive, so shingles need no distinct pass.  md5-as-base-hash keeps
+    the family reproducible in any engine with md5 (the DuckDB oracle
+    recomputes identical signatures).
     """
     sh = df.select(
         F.col(id_col),
         F.explode(token_shingles(F.col(text_col), shingle_size)).alias("shingle"),
     )
-    return sh.groupBy(id_col).agg(
+    hv = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = sh.select(F.col(id_col), hv.alias("hv"))
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(_seeded_md5(j, F.col("shingle"))).alias(f"mh_{j}")
-            for j in range(num_hashes)
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(minhash_affine_params(num_hashes))
         ]
     )
 
@@ -93,7 +113,10 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     bucket_cols = []
     for b in range(bands):
-        members = [F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        members = [
+            F.col(f"mh_{j}").cast("string")
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
         bucket_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bucket"))
         )
@@ -120,25 +143,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle.
 
-    |A ∩ B| via a shingle-equijoin + count; |A ∪ B| = |A| + |B| - |A ∩ B|.
-    Jaccard is reported as an exact integer permille-style x100 score
-    (floor) to stay hash-comparable.  The shared-shingle join bounds the
-    candidate set (linear in shingle postings, not quadratic in docs).
+    |A ∩ B| via shared-shingle co-occurrence + count; |A ∪ B| = |A| + |B|
+    - |A ∩ B|.  Jaccard is reported as an exact integer permille-style x100
+    score (floor) to stay hash-comparable.
+
+    Plan shape: ONE groupBy(shingle) builds the posting list per shingle,
+    then pairs expand IN-ROW (two explodes over the same list) — no
+    shuffle self-join, and the overwhelmingly common singleton shingles
+    (|postings| = 1, which can never witness a pair) are dropped before
+    expansion.  Per-doc sizes reuse the same persisted postings aggregate.
+    At 100 TB a viral shingle makes |postings|^2 in-row pairs — cap it by
+    filtering ``size(ids) <= max_postings`` before expansion (stop-shingle
+    removal, the standard MinHash-LSH trick) or fall back to the
+    AQE-skew-split equijoin for those keys.
     """
-    # The postings relation fans into three consumers (both self-join sides
-    # and the per-doc size agg); persist it so the tokenize+shingle+explode
-    # lineage runs once, not three times.  Postings are ~|docs|*|shingles/doc|
-    # rows — at 100 TB this persist becomes a checkpoint to a bucketed table
-    # on the shingle key so the self-join needs no shuffle at all.
+    # postings aggregate fans into two consumers (pair expansion + per-doc
+    # sizes); persist so tokenize+shingle+groupBy runs once.  |grouped| ≤
+    # |distinct shingles| rows — at 100 TB this persist becomes a checkpoint
+    # to a table bucketed on the shingle key.
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
-    ).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    )
+    grouped = (
+        sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("ids")).persist()
+    )
+    sizes = (
+        grouped.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(b, "shingle")
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -198,7 +236,37 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 _CLUSTER_CACHE: list[DataFrame] = []
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def _unionfind_local(edges: list[tuple], spark, id_type: str) -> DataFrame:
+    """Driver-side union-find over a collected edge list; returns the same
+    (doc_id, cluster_id = min id in component) relation as the distributed
+    loop.  Linear in edges (inverse-Ackermann union-find), deterministic."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: smaller id becomes the root, so the final root
+            # of every component is its minimum member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {x for e in edges for x in e}
+    rows = [(x, find(x)) for x in sorted(nodes)]
+    return spark.createDataFrame(
+        rows, f"doc_id {id_type}, cluster_id {id_type}"
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 25, collect_threshold: int = 2_000_000
+) -> DataFrame:
     """Connected components over candidate-pair edges -> duplicate clusters.
 
     Input: (id_a, id_b) near-dup candidate pairs (e.g. ``lsh_candidate_pairs``
@@ -206,26 +274,42 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     the component — the canonical "keep one representative per duplicate
     cluster" step of a training-data dedup pipeline.
 
-    Algorithm: min-label propagation with label contraction.  Each round
+    Adaptive, like Spark's own broadcast threshold: the candidate-pair set is
+    orders of magnitude smaller than the corpus (it is the near-dup subset),
+    and the label→root map the distributed loop maintains is collected to the
+    driver each round anyway.  So when the edge count is at most
+    ``collect_threshold`` the whole edge list is collected ONCE and solved
+    with a linear union-find — one job instead of one per round.  Above the
+    threshold, the distributed min-label contraction loop runs: each round
     projects the edge set onto current labels, computes each label's minimum
-    neighbouring label, and re-points every member of a losing label in one
-    join — so whole clusters merge per round (pointer-jumping-style), not one
-    hop per round.  Rounds are O(log diameter)-ish on near-clique dedup
-    graphs; every round is two hash joins + one groupBy (all shuffle on the
-    label key, map-side combined).  At 100 TB the loop runs over the bounded
+    neighbouring label, and re-points every member of a losing label via a
+    broadcast map — whole clusters merge per round (pointer-jumping-style),
+    O(log diameter)-ish rounds, one aggregate job per round over the
+    persisted edge set.  At 100 TB both paths run over the bounded
     candidate-pair set (linear in LSH postings), never over the corpus.
 
     Raises RuntimeError if not converged within ``max_iters`` — a wrong
     partial clustering must never be silently returned.
     """
     spark = pairs.sparkSession
+    id_type = pairs.schema["id_a"].dataType.simpleString()
     # release the previous call's cached edge set (the returned frame reads
     # from it, so it cannot be unpersisted before the caller consumes it)
     while _CLUSTER_CACHE:
         _CLUSTER_CACHE.pop().unpersist()
+    dedup_pairs = pairs.select("id_a", "id_b").distinct().persist()
+    _CLUSTER_CACHE.append(dedup_pairs)
+    # one count triggers the (expensive) candidate-pair lineage and decides
+    # the strategy; the collect below reuses the persisted result
+    if dedup_pairs.count() <= collect_threshold:
+        edge_list = [(r["id_a"], r["id_b"]) for r in dedup_pairs.collect()]
+        return _unionfind_local(edge_list, spark, id_type)
+
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        dedup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            dedup_pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
         .distinct()
         .persist()
     )

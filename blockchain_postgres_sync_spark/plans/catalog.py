@@ -554,13 +554,20 @@ def q_candles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute agg (pg.rs:708-713, get_decimals_or_exception).  Decimals are a
     deterministic function of asset_id so the oracle reproduces the dim."""
     trades = _trades(spark, sf_dir)
-    ids = (
-        trades.select(F.col("amount_asset_id").alias("asset_id"))
-        .unionByName(trades.select(F.col("price_asset_id").alias("asset_id")))
+    # one scan: explode both asset columns, distinct once, collect the dim —
+    # it is bounded by the asset universe (a dimension table at scale), so a
+    # local relation feeds both broadcast sides of scale_prices without
+    # re-running the distinct per broadcast exchange
+    ids = [
+        r["asset_id"]
+        for r in trades.select(
+            F.explode(F.array("amount_asset_id", "price_asset_id")).alias("asset_id")
+        )
         .distinct()
-    )
-    decimals = ids.select(
-        "asset_id", (F.length("asset_id") * 3 % 9).cast("int").alias("decimals")
+        .collect()
+    ]
+    decimals = spark.createDataFrame(
+        [(a, len(a) * 3 % 9) for a in sorted(ids)], "asset_id string, decimals int"
     )
     scaled = scale_prices(trades, decimals)
     return _candles_final(minute_candles(scaled), with_interval=False)
@@ -763,20 +770,40 @@ _SHINGLES_SQL = """
            FROM pos)
 """
 
+#: md5-hex → integer (DuckDB-side), mirroring F.conv(substring(md5, 1, n), 16, 10)
+def _hex_int_sql(expr: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> CAST(strpos('0123456789abcdef', substr({expr}, i, 1)) - 1 "
+        f"AS BIGINT)), (a, b) -> a*16 + b)"
+    )
+
+
+#: mirrors operators.dedup.minhash_signatures: one md5 per shingle → 60-bit
+#: int → mod p, then k affine permutations (a_j*x + b_j) mod p with the
+#: parameters regenerated from the seed index (minhash_affine_params).
+_MINHASH_P = 2147483647
+
 _MINHASH_SQL = f"""
     WITH {_SHINGLES_SQL},
-    seeded AS (
-        SELECT doc_id, unnest(generate_series(0, 11)) AS seed, shingle
+    hv AS (
+        SELECT doc_id,
+               {_hex_int_sql('md5(shingle)', 15)} % {_MINHASH_P} AS hv
         FROM sh),
+    seeded AS (
+        SELECT doc_id, unnest(generate_series(0, 11)) AS seed, hv
+        FROM hv),
     hashed AS (
         SELECT doc_id, seed,
-               md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+               (((2654435761 * (seed + 1)) % {_MINHASH_P}) * hv
+                + ((40503 * (seed + 7)) % {_MINHASH_P})) % {_MINHASH_P} AS h
         FROM seeded),
     sig AS (SELECT doc_id, seed, min(h) AS minhash
             FROM hashed GROUP BY doc_id, seed),
     banded AS (
         SELECT doc_id, CAST(floor(seed / 3.0) AS INT) AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
         FROM sig GROUP BY doc_id, CAST(floor(seed / 3.0) AS INT))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
@@ -831,15 +858,6 @@ _CANDLES_SCALED_SQL = f"""
     c AS ({_SCALED_C1M_SQL})
     SELECT {_CANDLE_OUT} FROM c
 """
-
-#: md5-hex → integer (DuckDB-side), mirroring F.conv(substring(md5, 1, n), 16, 10)
-def _hex_int_sql(expr: str, n: int) -> str:
-    return (
-        f"list_reduce(list_transform(generate_series(1, {n}), "
-        f"i -> CAST(strpos('0123456789abcdef', substr({expr}, i, 1)) - 1 "
-        f"AS BIGINT)), (a, b) -> a*16 + b)"
-    )
-
 
 _SIMHASH_SQL = f"""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -73,6 +73,19 @@ def test_duplicate_clusters_path_and_island(spark):
     assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_duplicate_clusters_distributed_path(spark):
+    # collect_threshold=0 forces the iterative min-label contraction loop;
+    # must agree with the union-find fast path on a multi-round graph
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(pairs, collect_threshold=0).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
 def test_duplicate_clusters_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.duplicate_clusters(pairs).count() == 0
