@@ -52,6 +52,9 @@ HEADLINE = [
     "media_frame_sample",
     "json_field_agg",
     "asset_name_search",
+    "asof_quotes",
+    "session_windows",
+    "twap",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
 from ..sources.tables import load_table
 from ..functions import text as T
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, similarity, temporal
 from ..operators.candles import full_cascade, minute_candles, scale_prices
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
@@ -740,6 +740,47 @@ def q_squash_repoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables["txs"].select("tx_uid", "block_uid")
 
 
+def q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each 'trade' event picks the most recent
+    'quote' event of the same user at or before its timestamp — the lookup
+    the reference's rates/pairs consumers answer against candle history.
+    Spark shape: union-tag + one window (operators/temporal.py::asof_join);
+    oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_id") % 5 == 0).select("event_id", "user_id", "ts")
+    quotes = ev.filter(F.col("event_id") % 5 != 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("quote_event_id"),
+        F.col("value").alias("quote_value"),
+    )
+    out = temporal.asof_join(
+        trades, quotes, on="user_id", value_cols=["quote_event_id", "quote_value"]
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts").cast("string").alias("ts"),
+        "quote_event_id", "quote_value",
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (6h) per user via Spark's native session_window —
+    the batch twin of the streaming stateful session agg."""
+    out = temporal.sessionize(_t(spark, sf_dir, "events"), gap="6 hours")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events", "first_event_id", "last_event_id",
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (each event's value holds until
+    the next event) — integer-exact weighted mean, one lead window + agg."""
+    return temporal.twap(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- registry
 
 _DOC_STATS_SQL = """
@@ -1132,6 +1173,9 @@ CATALOG: dict[str, QueryFn] = {
     "rollback_scd": q_rollback_scd,
     "squash_blocks": q_squash_blocks,
     "squash_repoint": q_squash_repoint,
+    "asof_quotes": q_asof_quotes,
+    "session_windows": q_session_windows,
+    "twap": q_twap,
 }
 
 ORACLES: dict[str, str] = {
@@ -1365,6 +1409,59 @@ ORACLES: dict[str, str] = {
     "media_image_features": _MEDIA_IMAGE_SQL,
     "media_audio_features": _MEDIA_AUDIO_SQL,
     "media_frame_sample": _MEDIA_FRAMES_SQL,
+    "asof_quotes": """
+        WITH t AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_id % 5 = 0),
+        q AS (SELECT user_id, ts, event_id AS quote_event_id,
+                     value AS quote_value
+              FROM events WHERE event_id % 5 <> 0)
+        SELECT t.event_id, t.user_id, CAST(t.ts AS VARCHAR) AS ts,
+               q.quote_event_id, q.quote_value
+        FROM t ASOF LEFT JOIN q
+            ON t.user_id = q.user_id AND q.ts <= t.ts
+    """,
+    "session_windows": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o)
+        SELECT user_id,
+               CAST(min(ts) AS VARCHAR) AS session_start,
+               CAST(max(ts) + INTERVAL 6 HOUR AS VARCHAR) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id
+        FROM s GROUP BY user_id, sess
+    """,
+    "twap": """
+        WITH d AS (
+            SELECT user_id,
+                   CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+                   CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id))) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+            FROM events),
+        g AS (
+            SELECT user_id,
+                   sum(CAST(vm * dur AS DECIMAL(38,0))) AS wsum,
+                   sum(CAST(dur AS DECIMAL(38,0))) AS dsum,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+        SELECT user_id,
+               CASE WHEN dsum > 0 THEN
+                   CAST(floor(CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE))
+                        AS BIGINT) END AS twap_micros,
+               CAST(dsum AS BIGINT) AS total_seconds,
+               n_intervals
+        FROM g
+    """,
     "rollback_scd": _ROLLBACK_SCD_SQL,
     "squash_blocks": _SQUASH_BLOCKS_SQL,
     "squash_repoint": _SQUASH_REPOINT_SQL,

@@ -1,0 +1,96 @@
+"""Unit tests for operators/temporal.py: as-of join, sessionize, twap."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.operators import temporal
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "t1"),
+            (1, _ts("2024-01-01 12:00:00"), "t2"),
+            (2, _ts("2024-01-01 09:00:00"), "t3"),  # no prior quote -> NULL
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 5.0),
+            (1, _ts("2024-01-01 10:00:00"), 7.0),  # equal ts: inclusive
+            (1, _ts("2024-01-01 11:00:00"), 9.0),
+            (2, _ts("2024-01-01 09:30:00"), 1.0),  # after left -> no match
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in temporal.asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+    assert out == {"t1": 7.0, "t2": 9.0, "t3": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "t1")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 08:00:00"), 5.0)], "k long, ts timestamp, v double"
+    )
+    ok = temporal.asof_join(left, right, on="k", value_cols=["v"]).collect()
+    assert ok[0]["v"] == 5.0
+    stale = temporal.asof_join(
+        left, right, on="k", value_cols=["v"], tolerance_seconds=3600
+    ).collect()
+    assert stale[0]["v"] is None
+
+
+def test_sessionize_gap_rule(spark):
+    # gaps: 1h (merge), exactly 2h (merge — session_window is inclusive at
+    # the boundary), 2h + 1s (split)
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1),
+            (1, _ts("2024-01-01 01:00:00"), 2),
+            (1, _ts("2024-01-01 03:00:00"), 3),
+            (1, _ts("2024-01-01 05:00:01"), 4),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = sorted(
+        (r["first_event_id"], r["last_event_id"], r["n_events"])
+        for r in temporal.sessionize(ev, gap="2 hours").collect()
+    )
+    assert out == [(1, 3, 3), (4, 4, 1)]
+
+
+def test_twap_holding_time_weights(spark):
+    # value 10 held 30s, value 20 held 10s -> twap = (10*30+20*10)/40 = 12.5
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, 10.0),
+            (1, _ts("2024-01-01 00:00:30"), 2, 20.0),
+            (1, _ts("2024-01-01 00:00:40"), 3, 99.0),  # last: closes, weight 0
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    row = temporal.twap(ev).collect()[0]
+    assert row["twap_micros"] == 12_500_000
+    assert row["total_seconds"] == 40
+    assert row["n_intervals"] == 2
+
+
+def test_twap_single_event_user_excluded(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 1, 10.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    assert temporal.twap(ev).count() == 0
