@@ -209,27 +209,31 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    # 64-bit value from the first 15 hex chars (60 bits) + next hex char:
-    # use two 8-hex-char (32-bit) halves to stay in exact integer range.
+    # 60-bit value from the first 15 hex chars of md5 — fits a long exactly.
+    # Bit votes are 60 parallel sum-aggregates over the token rows (map-side
+    # partial agg, whole-stage codegen) — NOT an explode to 60 rows per
+    # token, which would shuffle 60x the data for the same result.
     h = toks.select(
-        id_col,
+        F.col(id_col),
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h60"),
     )
-    bits = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        F.col("h60"),
-    ).select(
-        id_col,
-        "bit",
-        F.when(F.expr("(shiftright(h60, bit) & 1) = 1"), 1).otherwise(-1).alias("vote"),
-    )
-    agg = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return agg.groupBy(id_col).agg(
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash60")
-    )
+            F.when(F.expr(f"(shiftright(h60, {i}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(60)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(60)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return agg.select(F.col(id_col), total.alias("simhash60"))
 
 
 #: cached edge sets from previous duplicate_clusters calls, released lazily
@@ -451,18 +455,23 @@ def embedding_neardup_pairs_blocked(
         d = b64.shape[1]
         nacc = np.zeros(len(ids_b))
         for k in range(d):
-            nacc = nacc + b64[:, k] * b64[:, k]
+            nacc += b64[:, k] * b64[:, k]
         nb = np.sqrt(nacc)
         for pdf in batches:
             if not len(pdf):
                 continue
             ida = pdf["_id"].to_numpy(dtype=np.int64)
             a64 = np.asarray(list(pdf["_v"]), dtype=np.float32).astype(np.float64)
+            # in-place accumulate with a reused temp: identical FP op order
+            # to the `acc = acc + ...` left fold (bit-exact scores), but no
+            # 64 fresh |batch| x n allocations per batch
             acc = np.zeros((len(ida), len(ids_b)))
+            tmp = np.empty_like(acc)
             na_acc = np.zeros(len(ida))
             for k in range(d):
-                acc = acc + a64[:, k][:, None] * b64[:, k][None, :]
-                na_acc = na_acc + a64[:, k] * a64[:, k]
+                np.multiply(a64[:, k][:, None], b64[:, k][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
+                na_acc += a64[:, k] * a64[:, k]
             na = np.sqrt(na_acc)
             cos = np.floor(acc / (na[:, None] * nb[None, :]) * 1000.0)
             keep = (ida[:, None] < ids_b[None, :]) & (cos >= thr)

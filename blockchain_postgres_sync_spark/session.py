@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # honor the advisory partition size when coalescing instead of
+        # defaulting to full parallelism: multi-stage plans over heavily
+        # reduced aggregates (the candle cascade's 12 rollups) otherwise
+        # launch shuffle.partitions tiny tasks per stage — pure scheduler
+        # overhead locally, and stragglers' worth of tiny tasks on a busy
+        # cluster (Spark's own guidance for this flag)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

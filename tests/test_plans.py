@@ -70,3 +70,42 @@ def test_no_rowwise_python_in_text_ops(spark):
     for name in ("text_stats", "lang_id", "doc_fingerprint", "dedup_simhash"):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"Arguments: hashpartitioning", plan))
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of lookup must be the union+window form: ONE hash exchange on
+    the key and NO join operator — an inequality join here would be a
+    nested-loop over the full quote history per trade."""
+    plan = _plan(spark, "asof_quotes")
+    assert _n_exchanges(plan) == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_twap_agg_reuses_window_partitioning(spark):
+    """The lead-window and the weighted-mean agg group on the same key: the
+    agg must NOT add a second exchange."""
+    plan = _plan(spark, "twap")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_simhash_votes_without_bit_explode(spark):
+    """Bit votes are 60 parallel aggregates, not a 60x row explode: exactly
+    one Generate node (the token split), one exchange (the doc groupBy)."""
+    plan = _plan(spark, "dedup_simhash")
+    generate_nodes = set(re.findall(r"\((\d+)\) Generate", plan))
+    assert len(generate_nodes) == 1, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_ngram_jaccard_has_no_shuffle_self_join(spark):
+    """Pair candidates expand in-row from per-shingle posting lists; the
+    only joins are the broadcast per-doc size lookups."""
+    plan = _plan(spark, "ngram_jaccard")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
