@@ -55,6 +55,8 @@ HEADLINE = [
     "asof_quotes",
     "session_windows",
     "twap",
+    "stratified_sample",
+    "corpus_curation",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Deterministic sampling & corpus curation for training-data pipelines.
+
+Large-corpus curation needs samples that are (a) reproducible across runs
+and engines — no RNG state, no partition-order dependence — and (b) cheap at
+100 TB — no global sort, no shuffle beyond what the quota requires.  Both
+operators key randomness off a content hash, the standard trick (e.g. web
+crawl dedup + subsampling pipelines): h = md5(id) is uniform, so a
+hash-threshold cut IS a uniform sample and a hash-order rank IS a uniform
+shuffle order.
+
+- :func:`hash_sample` — stateless Bernoulli-style sample: keep rows whose
+  64-bit content-hash bucket falls below rate * 2^31.  Filter-only (no
+  shuffle, fully pushdown-friendly); sampling decision is per-row and
+  reproducible on any engine with md5.
+- :func:`stratified_quota` — per-stratum top-N by hash order (uniform
+  without replacement within each stratum).  One window shuffle on the
+  stratum key; at 100 TB strata are the natural partition key and skewed
+  strata can pre-filter with :func:`hash_sample` at ~(N / |stratum|) before
+  ranking.
+- :func:`curate` — the canonical quality gate chain (token-count bounds,
+  mean-token-length bounds, repetition floor) composed from
+  ``functions.text.quality_ratios`` — integer-exact, so the kept set is
+  engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_ratios
+
+#: same 31-bit space as the minhash family: md5 → 60-bit int → mod p keeps
+#: every intermediate in exact BIGINT range in any engine.
+HASH_SPACE = 2147483647
+
+
+def _hash31(col: Column) -> Column:
+    """Uniform 31-bit integer from a value's md5 (cross-engine exact)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % HASH_SPACE
+    )
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows with h31(key) < rate * 2^31.
+
+    A pure filter — no shuffle, no RNG, stable under repartitioning and
+    re-runs, and the same rows are kept by any engine that can md5.  At
+    100 TB this pushes down to the scan like any other predicate.
+    """
+    threshold = int(rate * HASH_SPACE)
+    return df.filter(_hash31(F.col(key_col)) < threshold)
+
+
+def stratified_quota(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform without-replacement sample of ``n_per_stratum`` rows per
+    stratum: rank rows inside each stratum by (hash, key) and keep the top
+    N.  Hash order is uniform, so the quota is an unbiased within-stratum
+    sample; the (hash, key) tie-break makes it total and deterministic.
+
+    One shuffle (window on the stratum key).  Skew note: a giant stratum
+    sorts |stratum| rows to keep N — pre-thin it with :func:`hash_sample`
+    at a few times N/|stratum| first, which keeps the quota unbiased
+    (hash-threshold and hash-order agree on which rows rank first).
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash31(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_mean_token_len_x100: int = 250,
+    max_mean_token_len_x100: int = 1200,
+    min_repetition_x100: int = 30,
+) -> DataFrame:
+    """Quality-gate filter chain over the standard integer-exact ratios:
+    token-count bounds, mean-token-length bounds (x100 fixed-point), and a
+    distinct-token floor (low repetition_x100 = heavy repetition).  Returns
+    the surviving rows with the diagnostic columns attached — a pure
+    filter+project, no shuffle.
+    """
+    r = quality_ratios(F.col(text_col))
+    out = df.withColumns(
+        {
+            "n_tokens": r["n_tokens"],
+            "mean_token_len_x100": r["mean_token_len_x100"],
+            "repetition_x100": r["repetition_x100"],
+        }
+    )
+    return out.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_token_len_x100") >= min_mean_token_len_x100)
+        & (F.col("mean_token_len_x100") <= max_mean_token_len_x100)
+        & (F.col("repetition_x100") >= min_repetition_x100)
+    )

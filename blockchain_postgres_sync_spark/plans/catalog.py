@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
 from ..sources.tables import load_table
 from ..functions import text as T
-from ..operators import dedup, multimodal, similarity, temporal
+from ..operators import dedup, multimodal, sampling, similarity, temporal
 from ..operators.candles import full_cascade, minute_candles, scale_prices
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
@@ -781,6 +781,34 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.twap(_t(spark, sf_dir, "events"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sample (20 docs/stratum by content-hash
+    order) — reproducible corpus subsampling, no RNG state."""
+    out = sampling.stratified_quota(
+        _t(spark, sf_dir, "documents"), stratum_col="source", n_per_stratum=20
+    )
+    return out.select("doc_id", "source")
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation pipeline: quality gates (token bounds, mean
+    token length, repetition floor) then a deterministic 50% hash sample —
+    filter-only plan, every decision integer-exact and engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.curate(
+        docs,
+        min_tokens=20,
+        max_tokens=5000,
+        min_mean_token_len_x100=400,
+        max_mean_token_len_x100=500,
+        min_repetition_x100=35,
+    )
+    out = sampling.hash_sample(kept, rate=0.5)
+    return out.select(
+        "doc_id", "lang", "n_tokens", "mean_token_len_x100", "repetition_x100"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _DOC_STATS_SQL = """
@@ -1176,6 +1204,8 @@ CATALOG: dict[str, QueryFn] = {
     "asof_quotes": q_asof_quotes,
     "session_windows": q_session_windows,
     "twap": q_twap,
+    "stratified_sample": q_stratified_sample,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLES: dict[str, str] = {
@@ -1461,6 +1491,38 @@ ORACLES: dict[str, str] = {
                CAST(dsum AS BIGINT) AS total_seconds,
                n_intervals
         FROM g
+    """,
+    "stratified_sample": f"""
+        WITH h AS (
+            SELECT doc_id, source,
+                   {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+                       % 2147483647 AS h31
+            FROM documents),
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h31, doc_id) AS rk
+            FROM h)
+        SELECT doc_id, source FROM r WHERE rk <= 20
+    """,
+    "corpus_curation": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(length(replace(text, ' ', '')) * 100
+                        AS DOUBLE) / len(string_split(text, ' '))) AS BIGINT)
+                       AS mean_token_len_x100,
+                   CAST(floor(CAST(len(list_distinct(string_split(text, ' ')))
+                        * 100 AS DOUBLE) / len(string_split(text, ' ')))
+                        AS BIGINT) AS repetition_x100
+            FROM documents)
+        SELECT doc_id, lang, n_tokens, mean_token_len_x100, repetition_x100
+        FROM s
+        WHERE n_tokens BETWEEN 20 AND 5000
+          AND mean_token_len_x100 BETWEEN 400 AND 500
+          AND repetition_x100 >= 35
+          AND {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+              % 2147483647 < CAST(floor(0.5 * 2147483647) AS BIGINT)
     """,
     "rollback_scd": _ROLLBACK_SCD_SQL,
     "squash_blocks": _SQUASH_BLOCKS_SQL,

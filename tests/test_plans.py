@@ -102,6 +102,14 @@ def test_simhash_votes_without_bit_explode(spark):
     assert _n_exchanges(plan) == 1, plan
 
 
+def test_corpus_curation_is_filter_only(spark):
+    """Quality gates + hash sample must stay a scan+filter+project plan:
+    zero exchanges, no Python, so the whole pipeline pushes to the scan."""
+    plan = _plan(spark, "corpus_curation")
+    assert _n_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_ngram_jaccard_has_no_shuffle_self_join(spark):
     """Pair candidates expand in-row from per-shingle posting lists; the
     only joins are the broadcast per-doc size lookups."""

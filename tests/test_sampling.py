@@ -1,0 +1,54 @@
+"""Unit tests for operators/sampling.py: deterministic sampling + curation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.operators import sampling
+
+
+def _docs(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+    )
+
+
+def test_hash_sample_deterministic_and_bounded(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in sampling.hash_sample(df, 0.5).collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(df.repartition(7), 0.5).collect()}
+    assert a == b  # stable under repartitioning
+    assert sampling.hash_sample(df, 1.0).count() == 100
+    assert sampling.hash_sample(df, 0.0).count() == 0
+    assert 20 <= len(a) <= 80  # ~50% of a uniform hash
+
+
+def test_stratified_quota_per_stratum(spark):
+    df = _docs(spark)  # 4 strata x 25 rows
+    out = sampling.stratified_quota(df, "source", 10)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 10, "1": 10, "2": 10, "3": 10}
+    # deterministic: same members every run
+    again = sampling.stratified_quota(df.repartition(5), "source", 10)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # quota larger than stratum keeps the whole stratum
+    assert sampling.stratified_quota(df, "source", 100).count() == 100
+
+
+def test_curate_thresholds(spark):
+    rows = [
+        (1, "one two three four five"),          # 5 tokens < min -> dropped
+        (2, " ".join(["word"] * 30)),            # repetition 3% -> dropped
+        (3, " ".join(f"tok{i}" for i in range(30))),  # healthy -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sampling.curate(
+        df, min_tokens=10, max_tokens=100,
+        min_mean_token_len_x100=100, max_mean_token_len_x100=1000,
+        min_repetition_x100=30,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [3]
