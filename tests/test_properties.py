@@ -116,3 +116,83 @@ def test_uid_assignment_repartition_invariant(spark, nparts):
         ).collect()
     }
     assert base == shuffled
+
+
+# ---------------------------------------------------------------- temporal
+
+
+@st.composite
+def _event_stream(draw):
+    """(key, ts_seconds, event_id) with unique (key, ts) per stream —
+    the asof contract's determinism precondition."""
+    n = draw(st.integers(min_value=2, max_value=25))
+    keys = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    ts = draw(
+        st.lists(
+            st.integers(0, 10_000), min_size=n, max_size=n, unique=True
+        )
+    )
+    return [(k, t, i) for i, (k, t) in enumerate(zip(keys, ts))]
+
+
+@given(_event_stream())
+@_slow
+def test_asof_join_matches_naive(spark, stream):
+    from datetime import datetime, timezone
+
+    from blockchain_postgres_sync_spark.operators.temporal import asof_join
+
+    def dt(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(k, dt(t), i, float(i) * 1.5) for k, t, i in stream]
+    left = [r[:3] for r in rows if r[2] % 2 == 0]
+    right = [(r[0], r[1], r[2], r[3]) for r in rows if r[2] % 2 == 1]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, "k long, ts timestamp, eid long")
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, rid long, v double")
+    got = {
+        r["eid"]: (r["rid"], r["v"])
+        for r in asof_join(ldf, rdf, on="k", value_cols=["rid", "v"]).collect()
+    }
+    for lk, lt, le in left:
+        cands = [r for r in right if r[0] == lk and r[1] <= lt]
+        want = max(cands, key=lambda r: r[1]) if cands else None
+        assert got[le] == ((want[2], want[3]) if want else (None, None))
+
+
+@given(_event_stream())
+@_slow
+def test_twap_matches_naive(spark, stream):
+    import math
+    from datetime import datetime, timezone
+
+    from blockchain_postgres_sync_spark.operators.temporal import twap
+
+    def dt(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [(k, dt(t), i, float((i * 37) % 100)) for k, t, i in stream]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["twap_micros"], r["total_seconds"], r["n_intervals"])
+        for r in twap(df).collect()
+    }
+    per_key: dict[int, list] = {}
+    for k, t, i in stream:
+        per_key.setdefault(k, []).append((t, float((i * 37) % 100)))
+    for k, evs in per_key.items():
+        evs.sort()
+        if len(evs) < 2:
+            assert k not in got
+            continue
+        ws = ds = 0
+        for (t0, v0), (t1, _) in zip(evs, evs[1:]):
+            vm = math.floor(v0 * 1e6)
+            ws += vm * (t1 - t0)
+            ds += t1 - t0
+        want = math.floor(ws / ds) if ds > 0 else None
+        assert got[k] == (want, ds, len(evs) - 1)
