@@ -57,6 +57,7 @@ HEADLINE = [
     "twap",
     "stratified_sample",
     "corpus_curation",
+    "corpus_stats",
 ]
 
 

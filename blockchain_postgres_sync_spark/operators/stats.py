@@ -1,0 +1,64 @@
+"""Exact distribution summaries: per-group order statistics.
+
+Percentiles for corpus analysis (document-length / token-count
+distributions per source) as EXACT order statistics — the p-th percentile
+is the value at zero-based rank floor(p * (n-1)), always an actual member
+of the group.  No interpolation, no sketch: results are integer-exact and
+engine-independent, unlike approx_percentile (t-digest/G-K sketches differ
+per engine) or interpolating quantiles (float arithmetic order differs).
+
+Plan shape: one shuffle (the per-group rank window); the group count rides
+the same window partition, and the final aggregate groups on the window's
+partition key so Catalyst reuses the exchange — rank-pick percentiles cost
+ONE exchange total.
+
+Scale (100 TB): a window sort per group — groups (corpus sources) are the
+natural partition key; a single giant group degrades to a one-partition
+sort, in which case pre-aggregate (value, count) pairs first (value domains
+like char counts are small) and rank over the compressed histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def order_statistics(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    percentiles: tuple[tuple[str, int, int], ...] = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p95", 19, 20),
+    ),
+) -> DataFrame:
+    """Per-``group_col`` summary of ``value_col``: count, min, max, and the
+    exact order statistics at rank floor(num * (n-1) / den) for each
+    (name, num, den) percentile spec.  ``order_tiebreak`` totalizes the
+    order among equal values so the picked rank is deterministic.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(order_tiebreak).asc()
+    )
+    d = (
+        df.select(group_col, value_col, order_tiebreak)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    aggs = [
+        F.max("_n").alias("n_docs"),
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+    ]
+    for name, num, den in percentiles:
+        rank = F.expr(f"({num} * (_n - 1)) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank, F.col(value_col))).alias(
+                f"{name}_{value_col}"
+            )
+        )
+    return d.groupBy(group_col).agg(*aggs)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
 from ..sources.tables import load_table
 from ..functions import text as T
-from ..operators import dedup, multimodal, sampling, similarity, temporal
+from ..operators import dedup, multimodal, sampling, similarity, stats, temporal
 from ..operators.candles import full_cascade, minute_candles, scale_prices
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
@@ -781,6 +781,19 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.twap(_t(spark, sf_dir, "events"))
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: exact rank-pick order
+    statistics (p25/p50/p75/p95) — engine-independent, unlike approximate
+    or interpolating quantiles.  One exchange (window + agg share the
+    source partitioning)."""
+    return stats.order_statistics(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        value_col="n_chars",
+        order_tiebreak="doc_id",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source quota sample (20 docs/stratum by content-hash
     order) — reproducible corpus subsampling, no RNG state."""
@@ -1206,6 +1219,7 @@ CATALOG: dict[str, QueryFn] = {
     "twap": q_twap,
     "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
+    "corpus_stats": q_corpus_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1491,6 +1505,27 @@ ORACLES: dict[str, str] = {
                CAST(dsum AS BIGINT) AS total_seconds,
                n_intervals
         FROM g
+    """,
+    "corpus_stats": """
+        WITH r AS (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents)
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               min(n_chars) AS min_n_chars,
+               max(n_chars) AS max_n_chars,
+               max(CASE WHEN rn = (1 * (n - 1)) // 4 THEN n_chars END)
+                   AS p25_n_chars,
+               max(CASE WHEN rn = (1 * (n - 1)) // 2 THEN n_chars END)
+                   AS p50_n_chars,
+               max(CASE WHEN rn = (3 * (n - 1)) // 4 THEN n_chars END)
+                   AS p75_n_chars,
+               max(CASE WHEN rn = (19 * (n - 1)) // 20 THEN n_chars END)
+                   AS p95_n_chars
+        FROM r GROUP BY source
     """,
     "stratified_sample": f"""
         WITH h AS (

@@ -110,6 +110,12 @@ def test_corpus_curation_is_filter_only(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_corpus_stats_single_exchange(spark):
+    """Rank window + percentile agg group on the same key: one exchange."""
+    plan = _plan(spark, "corpus_stats")
+    assert _n_exchanges(plan) == 1, plan
+
+
 def test_ngram_jaccard_has_no_shuffle_self_join(spark):
     """Pair candidates expand in-row from per-shingle posting lists; the
     only joins are the broadcast per-doc size lookups."""

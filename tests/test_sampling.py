@@ -52,3 +52,34 @@ def test_curate_thresholds(spark):
         min_repetition_x100=30,
     )
     assert [r["doc_id"] for r in kept.collect()] == [3]
+
+
+def test_order_statistics_exact_ranks(spark):
+    from blockchain_postgres_sync_spark.operators import stats
+
+    # one group, values 0..99: p25 -> rank 24, p50 -> 49, p75 -> 74, p95 -> 94
+    df = spark.range(100).select(
+        F.lit("g").alias("source"),
+        F.col("id").alias("n_chars"),
+        F.col("id").alias("doc_id"),
+    )
+    row = stats.order_statistics(
+        df, group_col="source", value_col="n_chars", order_tiebreak="doc_id"
+    ).collect()[0]
+    assert (row["n_docs"], row["min_n_chars"], row["max_n_chars"]) == (100, 0, 99)
+    assert (row["p25_n_chars"], row["p50_n_chars"],
+            row["p75_n_chars"], row["p95_n_chars"]) == (24, 49, 74, 94)
+
+
+def test_order_statistics_singleton_group(spark):
+    from blockchain_postgres_sync_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("g", 7, 1)], "source string, n_chars long, doc_id long"
+    )
+    row = stats.order_statistics(
+        df, group_col="source", value_col="n_chars", order_tiebreak="doc_id"
+    ).collect()[0]
+    # every percentile of a singleton group is the single value
+    assert (row["p25_n_chars"], row["p50_n_chars"],
+            row["p75_n_chars"], row["p95_n_chars"]) == (7, 7, 7, 7)
