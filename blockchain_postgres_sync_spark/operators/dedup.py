@@ -140,6 +140,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     x100: bool = True,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle.
 
@@ -152,10 +153,13 @@ def ngram_jaccard_pairs(
     shuffle self-join, and the overwhelmingly common singleton shingles
     (|postings| = 1, which can never witness a pair) are dropped before
     expansion.  Per-doc sizes reuse the same persisted postings aggregate.
-    At 100 TB a viral shingle makes |postings|^2 in-row pairs — cap it by
-    filtering ``size(ids) <= max_postings`` before expansion (stop-shingle
-    removal, the standard MinHash-LSH trick) or fall back to the
-    AQE-skew-split equijoin for those keys.
+    At 100 TB a viral shingle makes |postings|^2 in-row pairs — pass
+    ``max_postings`` to drop such stop-shingles before expansion (standard
+    stop-shingle removal: a shingle shared by that many documents carries
+    no near-dup signal).  Intersection counts then undercount by the
+    dropped shingles, making the score a LOWER bound — sizes still count
+    every shingle, so capped scores only ever filter pairs out, never
+    admit false positives.
     """
     # postings aggregate fans into two consumers (pair expansion + per-doc
     # sizes); persist so tokenize+shingle+groupBy runs once.  |grouped| ≤
@@ -173,9 +177,11 @@ def ngram_jaccard_pairs(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    expandable = grouped.filter(F.size("ids") >= 2)
+    if max_postings is not None:
+        expandable = expandable.filter(F.size("ids") <= max_postings)
     inter = (
-        grouped.filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("id_a"), "ids")
+        expandable.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")

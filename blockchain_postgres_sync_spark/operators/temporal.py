@@ -36,10 +36,14 @@ def asof_join(
     right_time: str = "ts",
     value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` for the same ``on`` key (backward as-of, left
-    outer: no prior right row -> NULL values).
+    ``right.ts <= left.ts`` for the same ``on`` key (``direction=
+    "backward"``, the default) or the earliest right row with ``right.ts >=
+    left.ts`` (``direction="forward"``).  Left outer: no matching right row
+    -> NULL values.  Both directions are inclusive at equal timestamps,
+    matching pandas.merge_asof.
 
     Plan shape: tag both sides, union, ONE window over
     (partitionBy=key, orderBy=(ts, tag, order within ties)) taking
@@ -79,15 +83,34 @@ def asof_join(
         ).alias("_l"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
-    # at equal ts the right row must sort BEFORE the left row so the left row
-    # sees it (inclusive <=): _is_r descending
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("_r", ignorenulls=True).over(w)
-    carried_t = F.last(F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True).over(w)
+    if direction == "backward":
+        # at equal ts the right row must sort BEFORE the left row so the
+        # left row's preceding frame includes it (inclusive <=)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("_r", ignorenulls=True).over(w)
+        carried_t = F.last(
+            F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True
+        ).over(w)
+        age = F.col("_t").cast("long") - F.col("_rt").cast("long")
+    elif direction == "forward":
+        # at equal ts the right row must sort AFTER the left row so the
+        # left row's following frame includes it (inclusive >=)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_is_r").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("_r", ignorenulls=True).over(w)
+        carried_t = F.first(
+            F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True
+        ).over(w)
+        age = F.col("_rt").cast("long") - F.col("_t").cast("long")
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out = (
         lft.unionByName(rgt)
         .withColumn("_rv", carried)
@@ -96,12 +119,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         out = out.withColumn(
-            "_rv",
-            F.when(
-                F.col("_t").cast("long") - F.col("_rt").cast("long")
-                <= tolerance_seconds,
-                F.col("_rv"),
-            ),
+            "_rv", F.when(age <= tolerance_seconds, F.col("_rv"))
         )
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],

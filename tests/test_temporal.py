@@ -94,3 +94,38 @@ def test_twap_single_event_user_excluded(spark):
         "user_id long, ts timestamp, event_id long, value double",
     )
     assert temporal.twap(ev).count() == 0
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "t1"),  # next quote at 11:00
+            (1, _ts("2024-01-01 11:00:00"), "t2"),  # equal ts: inclusive
+            (1, _ts("2024-01-01 13:00:00"), "t3"),  # no later quote -> NULL
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 5.0),
+            (1, _ts("2024-01-01 11:00:00"), 7.0),
+            (1, _ts("2024-01-01 12:00:00"), 9.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in temporal.asof_join(
+            left, right, on="k", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {"t1": 7.0, "t2": 7.0, "t3": None}
+    # forward tolerance: t1's match is 1h away -> dropped at 30min tolerance
+    tight = {
+        r["tag"]: r["v"]
+        for r in temporal.asof_join(
+            left, right, on="k", value_cols=["v"], direction="forward",
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    assert tight == {"t1": None, "t2": 7.0, "t3": None}

@@ -89,3 +89,30 @@ def test_duplicate_clusters_distributed_path(spark):
 def test_duplicate_clusters_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.duplicate_clusters(pairs).count() == 0
+
+
+def test_ngram_jaccard_max_postings_cap(spark):
+    # docs share the stop-shingle "a b c" (all 3) plus a pair-specific one;
+    # capping postings at 2 drops the stop-shingle, lowering (never raising)
+    # scores.
+    rows = [
+        (1, "a b c x y z"),
+        (2, "a b c x y z"),
+        (3, "a b c q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): r.jaccard_x100
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard_x100
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_postings=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, score in capped.items():
+        assert score <= full[pair]
+    # the identical pair keeps its pair-specific shingles
+    assert (1, 2) in capped and capped[(1, 2)] < full[(1, 2)] == 100
