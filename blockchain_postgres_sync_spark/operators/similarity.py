@@ -125,6 +125,37 @@ def lsh_topk(
     )
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train an IVF codebook with MLlib k-means|| over the embedding column;
+    returns a (cid, _cent) centroid DataFrame that plugs straight into
+    :func:`ivf_topk` — the trained-codebook path promised there, same plan
+    shape.  Seeded, so repeated fits on the same corpus agree.
+
+    Scale: k-means|| is the distributed initialization built for exactly
+    this (per-iteration cost O(N*k*d) map-side + a k*d-sized reduce); the
+    returned codebook is k*d floats — always a broadcast dimension.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cid int, _cent array<float>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -134,24 +165,29 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
     cells by nearest centroid, search only the query's ``n_probe`` nearest
     cells.  Expected work O(Q x (C + N*n_probe/C)) vs brute force O(Q x N).
 
-    Centroids here are the first ``n_centroids`` corpus vectors by id — a
-    deterministic stand-in for a trained codebook so results are exactly
-    reproducible (and oracle-checkable); at real scale you'd swap in
-    sampled k-means centroids (MLlib kmeans||) without touching the plan
-    shape.  Cell assignment is one broadcast crossJoin (C is small) + a
+    Default centroids are the first ``n_centroids`` corpus vectors by id —
+    a deterministic stand-in for a trained codebook so results are exactly
+    reproducible (and oracle-checkable); pass ``centroids=ivf_fit(corpus)``
+    for the trained k-means|| codebook — identical plan shape, cells just
+    get better balance.  Cell assignment is one broadcast crossJoin (C is
+    small) + a
     per-vector top-1 window; each corpus vector lands in exactly one cell,
     so probed cells never produce duplicate candidates.  At 100 TB the
     assignment window becomes a groupBy max_by and cells are written
     bucketed by cid, making the probe join a pruned, co-located read.
     """
-    cent = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cent")
-    )
+    if centroids is not None:
+        cent = centroids.select("cid", "_cent")
+    else:
+        cent = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("_cent")
+        )
     assigned = (
         corpus.crossJoin(F.broadcast(cent))
         .select(

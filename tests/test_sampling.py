@@ -83,3 +83,31 @@ def test_order_statistics_singleton_group(spark):
     # every percentile of a singleton group is the single value
     assert (row["p25_n_chars"], row["p50_n_chars"],
             row["p75_n_chars"], row["p95_n_chars"]) == (7, 7, 7, 7)
+
+
+def test_ivf_fit_trained_codebook_path(spark):
+    import random
+
+    from blockchain_postgres_sync_spark.operators import similarity
+
+    # three well-separated 4-d blobs; k-means must recover them and the
+    # fitted-codebook IVF with full probing must agree with brute force
+    rng = random.Random(7)
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.ivf_fit(corpus, n_centroids=3, seed=11)
+    assert cents.count() == 3
+    got = similarity.ivf_topk(
+        corpus, queries, k=5, n_probe=3, centroids=cents
+    ).select("query_id", "rank", "neighbor_id")
+    want = similarity.brute_force_topk(corpus, queries, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
