@@ -58,6 +58,7 @@ HEADLINE = [
     "stratified_sample",
     "corpus_curation",
     "corpus_stats",
+    "session_attribution",
 ]
 
 

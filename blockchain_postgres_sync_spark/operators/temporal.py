@@ -162,6 +162,68 @@ def sessionize(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row matches every
+    ``intervals`` row of the same ``on`` key with
+    ``start <= point_time <= end`` (inclusive).
+
+    Spark's native plan for this predicate is a nested-loop join — O(P x I)
+    per key.  Here the time axis is bucketized: every interval is exploded
+    to the coarse buckets it covers (bounded by interval length /
+    ``bucket_seconds``), points map to exactly one bucket, and the match
+    becomes an EQUI-join on (key, bucket) + an exact range filter.  One
+    shuffle on a uniform composite key, work O(P + I x buckets_per_interval
+    + candidates).  Pick ``bucket_seconds`` ≈ the typical interval length:
+    larger buckets = fewer interval replicas but more false candidates;
+    smaller = the reverse.
+
+    ``how='left'`` keeps unmatched points with NULL interval columns.
+    Intervals of one key may overlap; a point then matches each of them
+    (standard join semantics).
+    """
+    pt_bucket = F.floor(F.col(point_time).cast("long") / bucket_seconds)
+    iv_buckets = F.sequence(
+        F.floor(F.col(start_col).cast("long") / bucket_seconds),
+        F.floor(F.col(end_col).cast("long") / bucket_seconds),
+    )
+    p = points.withColumn("_b", pt_bucket)
+    iv = intervals.withColumn("_b", F.explode(iv_buckets))
+    joined = p.join(
+        iv,
+        [on, "_b"],
+        "left" if how == "left" else "inner",
+    )
+    in_range = (F.col(point_time) >= F.col(start_col)) & (
+        F.col(point_time) <= F.col(end_col)
+    )
+    if how == "left":
+        # demote out-of-range candidates to non-matches, then keep all
+        # matches — or, for a point with none, a single NULL row.  (Points
+        # are assumed row-unique, e.g. carry an id column.)
+        iv_cols = [c for c in intervals.columns if c != on]
+        demoted = joined.select(
+            *[F.col(c) for c in points.columns],
+            *[F.when(in_range, F.col(c)).alias(c) for c in iv_cols],
+            F.when(in_range, F.lit(0)).otherwise(F.lit(1)).alias("_miss"),
+        )
+        w = Window.partitionBy(*points.columns).orderBy(F.col("_miss").asc())
+        return (
+            demoted.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_miss") == 0) | (F.col("_rn") == 1))
+            .drop("_rn", "_miss")
+        )
+    return joined.filter(in_range).drop("_b")
+
+
 def twap(
     quotes: DataFrame,
     key: str = "user_id",

@@ -781,6 +781,35 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.twap(_t(spark, sf_dir, "events"))
 
 
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): attribute each 'trade' event to the
+    6h activity session (built from the user's other events) containing it.
+    Spark shape: bucketized equi-join + exact range filter
+    (operators/temporal.py::range_join) — no nested-loop; oracle: DuckDB
+    inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_id") % 5 == 0).select("event_id", "user_id", "ts")
+    sessions = temporal.sessionize(
+        ev.filter(F.col("event_id") % 5 != 0), gap="6 hours"
+    ).select("user_id", "session_start", "session_end", "n_events")
+    out = temporal.range_join(
+        trades,
+        sessions,
+        on="user_id",
+        point_time="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("session_start").cast("string").alias("session_start"),
+        "n_events",
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution: exact rank-pick order
     statistics (p25/p50/p75/p95) — engine-independent, unlike approximate
@@ -1220,6 +1249,7 @@ CATALOG: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
     "corpus_stats": q_corpus_stats,
+    "session_attribution": q_session_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -1505,6 +1535,32 @@ ORACLES: dict[str, str] = {
                CAST(dsum AS BIGINT) AS total_seconds,
                n_intervals
         FROM g
+    """,
+    "session_attribution": """
+        WITH q AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_id % 5 <> 0),
+        o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS brk
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o),
+        s AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 6 HOUR AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sess),
+        t AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0)
+        SELECT t.event_id, t.user_id, CAST(t.ts AS VARCHAR) AS ts,
+               CAST(s.session_start AS VARCHAR) AS session_start, s.n_events
+        FROM t JOIN s ON t.user_id = s.user_id
+                     AND t.ts >= s.session_start AND t.ts <= s.session_end
     """,
     "corpus_stats": """
         WITH r AS (

@@ -110,6 +110,14 @@ def test_corpus_curation_is_filter_only(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_range_join_is_equijoin_not_nested_loop(spark):
+    """Point-in-interval attribution must run as a bucketized hash equi-join
+    — Spark's native plan for a bare range predicate is a nested loop."""
+    plan = _plan(spark, "session_attribution")
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan
+
+
 def test_corpus_stats_single_exchange(spark):
     """Rank window + percentile agg group on the same key: one exchange."""
     plan = _plan(spark, "corpus_stats")

@@ -129,3 +129,42 @@ def test_asof_join_forward(spark):
         ).collect()
     }
     assert tight == {"t1": None, "t2": 7.0, "t3": None}
+
+
+def test_range_join_inner_multibucket_and_overlap(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-02 12:00:00"), 100),  # inside long interval
+            (1, _ts("2024-01-05 00:00:00"), 101),  # outside everything
+            (2, _ts("2024-01-01 06:00:00"), 102),  # inside BOTH overlapping
+        ],
+        "k long, ts timestamp, pid long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            # spans 3 daily buckets
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"), "a"),
+            (2, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 12:00:00"), "b"),
+            (2, _ts("2024-01-01 03:00:00"), _ts("2024-01-01 09:00:00"), "c"),
+        ],
+        "k long, start timestamp, end timestamp, tag string",
+    )
+    out = temporal.range_join(points, intervals, on="k")
+    got = sorted((r["pid"], r["tag"]) for r in out.collect())
+    assert got == [(100, "a"), (102, "b"), (102, "c")]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-02 12:00:00"), 100), (1, _ts("2024-03-01 00:00:00"), 101)],
+        "k long, ts timestamp, pid long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _ts("2024-01-02 00:00:00"), _ts("2024-01-03 00:00:00"), "a")],
+        "k long, start timestamp, end timestamp, tag string",
+    )
+    out = temporal.range_join(points, intervals, on="k", how="left")
+    got = sorted(
+        (r["pid"], r["tag"]) for r in out.collect()
+    )
+    assert got == [(100, "a"), (101, None)]
