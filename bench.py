@@ -59,6 +59,7 @@ HEADLINE = [
     "corpus_curation",
     "corpus_stats",
     "session_attribution",
+    "dedup_kept_corpus",
 ]
 
 

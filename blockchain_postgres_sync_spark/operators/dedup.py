@@ -374,6 +374,21 @@ def duplicate_clusters(
     raise RuntimeError(f"duplicate_clusters did not converge in {max_iters} rounds")
 
 
+def keep_representatives(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup payoff step: drop every clustered document except its
+    cluster representative (the min-id member ``duplicate_clusters``
+    labels as cluster_id); unclustered documents pass through.
+
+    One broadcast anti-join: the drop-list (clustered non-representatives)
+    is bounded by the near-dup subset, never the corpus — at 100 TB the
+    corpus streams through map-side while the drop-list broadcasts.
+    """
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -505,6 +505,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def q_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup payoff: the corpus after dropping every clustered
+    doc except its cluster representative (min-id member) — broadcast
+    anti-join of the bounded drop-list against the full corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.keep_representatives(docs, clusters).select("doc_id", "source")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs via shingle-postings join."""
     return dedup.ngram_jaccard_pairs(
@@ -1225,6 +1236,7 @@ CATALOG: dict[str, QueryFn] = {
     "dedup_tokenset": q_dedup_tokenset,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_kept_corpus": q_dedup_kept_corpus,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1424,6 +1436,21 @@ ORACLES: dict[str, str] = {
             UNION
             SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
         SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "dedup_kept_corpus": f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+        nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY id)
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
+                               WHERE doc_id <> cluster_id)
     """,
     "ngram_jaccard": _JACCARD_SQL,
     "text_stats": _DOC_STATS_SQL,

@@ -116,3 +116,17 @@ def test_ngram_jaccard_max_postings_cap(spark):
         assert score <= full[pair]
     # the identical pair keeps its pair-specific shingles
     assert (1, 2) in capped and capped[(1, 2)] < full[(1, 2)] == 100
+
+
+def test_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, source string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.keep_representatives(docs, clusters).collect()
+    )
+    # 0 unclustered; 1 and 4 are representatives; 2,3,5 dropped
+    assert kept == [0, 1, 4]
