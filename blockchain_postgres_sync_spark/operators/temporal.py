@@ -28,6 +28,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch(c: Column) -> Column:
+    """Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ inputs alike.  NTZ
+    cannot cast straight to BIGINT; routing through TIMESTAMP is the
+    identity under the engine's fixed UTC session timezone."""
+    return c.cast("timestamp").cast("long")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -95,7 +102,7 @@ def asof_join(
         carried_t = F.last(
             F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True
         ).over(w)
-        age = F.col("_t").cast("long") - F.col("_rt").cast("long")
+        age = _epoch(F.col("_t")) - _epoch(F.col("_rt"))
     elif direction == "forward":
         # at equal ts the right row must sort AFTER the left row so the
         # left row's following frame includes it (inclusive >=)
@@ -108,7 +115,7 @@ def asof_join(
         carried_t = F.first(
             F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True
         ).over(w)
-        age = F.col("_rt").cast("long") - F.col("_t").cast("long")
+        age = _epoch(F.col("_rt")) - _epoch(F.col("_t"))
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out = (
@@ -190,10 +197,10 @@ def range_join(
     Intervals of one key may overlap; a point then matches each of them
     (standard join semantics).
     """
-    pt_bucket = F.floor(F.col(point_time).cast("long") / bucket_seconds)
+    pt_bucket = F.floor(_epoch(F.col(point_time)) / bucket_seconds)
     iv_buckets = F.sequence(
-        F.floor(F.col(start_col).cast("long") / bucket_seconds),
-        F.floor(F.col(end_col).cast("long") / bucket_seconds),
+        F.floor(_epoch(F.col(start_col)) / bucket_seconds),
+        F.floor(_epoch(F.col(end_col)) / bucket_seconds),
     )
     p = points.withColumn("_b", pt_bucket)
     iv = intervals.withColumn("_b", F.explode(iv_buckets))
@@ -251,8 +258,8 @@ def twap(
         F.col(key),
         value_micros.alias("_vm"),
         (
-            F.lead(F.col(time_col)).over(w).cast("long")
-            - F.col(time_col).cast("long")
+            _epoch(F.lead(F.col(time_col)).over(w))
+            - _epoch(F.col(time_col))
         ).alias("_dur"),
     )
     wsum = F.sum((F.col("_vm") * F.col("_dur")).cast("decimal(38,0)"))
