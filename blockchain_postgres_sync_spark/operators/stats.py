@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import token_shingles
+
 
 def order_statistics(
     df: DataFrame,
@@ -62,3 +64,45 @@ def order_statistics(
             )
         )
     return d.groupBy(group_col).agg(*aggs)
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n: int = 2,
+    k: int = 15,
+) -> DataFrame:
+    """Top-``k`` most frequent token n-grams per ``group_col`` — the corpus
+    vocabulary/frequency pass of an LM data pipeline.  Deterministic: ranks
+    break count ties on the gram string ascending.
+
+    Plan shape: explode shingles → hash-aggregate counts keyed on
+    (group, gram) → per-group row_number window, rank <= k.  The exploded
+    stream never shuffles raw: Spark's partial hash aggregation collapses
+    repeated grams map-side, so the one big exchange carries only the
+    per-partition distinct (group, gram) counts — a uniform high-cardinality
+    key, no skew.  The window then sorts only the globally-distinct grams.
+
+    Scale (100 TB): the heavy stage is linear in corpus tokens with map-side
+    combine; the window stage is linear in VOCABULARY size per group (far
+    smaller, but for an open-vocab web corpus still billions) — if one group
+    dominates, pre-prune with a count floor (``HAVING count >= c``) before
+    the window: any gram in the true top-k of a trillion-token group passes
+    any sane floor, and the filter is free (rides the agg).
+    """
+    grams = df.select(
+        F.col(group_col),
+        F.explode(token_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy(group_col, "gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "gram", "n_occurrences", "rank")
+    )

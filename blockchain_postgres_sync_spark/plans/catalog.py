@@ -834,6 +834,15 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-15 bigram frequencies — the LM-corpus vocabulary
+    pass.  Explode + map-side-combined count, then a window over only the
+    distinct vocabulary (operators/stats.py::ngram_topk)."""
+    return stats.ngram_topk(
+        _t(spark, sf_dir, "documents"), text_col="text", group_col="lang", n=2, k=15
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source quota sample (20 docs/stratum by content-hash
     order) — reproducible corpus subsampling, no RNG state."""
@@ -1261,6 +1270,7 @@ CATALOG: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
     "corpus_stats": q_corpus_stats,
+    "ngram_topk": q_ngram_topk,
     "session_attribution": q_session_attribution,
 }
 
@@ -1588,6 +1598,20 @@ ORACLES: dict[str, str] = {
                CAST(s.session_start AS VARCHAR) AS session_start, s.n_events
         FROM t JOIN s ON t.user_id = s.user_id
                      AND t.ts >= s.session_start AND t.ts <= s.session_end
+    """,
+    "ngram_topk": """
+        WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        pos AS (SELECT lang, t,
+                       unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks),
+        g AS (SELECT lang, array_to_string(t[i:i+1], ' ') AS gram FROM pos),
+        c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM g GROUP BY lang, gram),
+        r AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY n_occurrences DESC, gram ASC) AS INT) AS rank
+              FROM c)
+        SELECT lang, gram, n_occurrences, rank FROM r WHERE rank <= 15
     """,
     "corpus_stats": """
         WITH r AS (
