@@ -507,3 +507,108 @@ def embedding_neardup_pairs_blocked(
 
     out = side.repartition(side.sparkSession.sparkContext.defaultParallelism)
     return out.mapInPandas(kernel, "id_a long, id_b long, cos_x1000 long")
+
+
+def embedding_neardup_pairs_grid(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding near-dup pairs, fully distributed — the 100 TB form.
+
+    Same pairs and bit-identical scores as ``embedding_neardup_pairs``/
+    ``_blocked``, but with NO driver-side collect and no broadcast of the
+    corpus: ids hash into ``n_blocks`` blocks, every unordered block pair
+    (bi <= bj) becomes one grid cell, and each row is replicated to the
+    ``n_blocks`` cells its block participates in.  One shuffle
+    (groupBy cell) then scores each cell with the numpy block kernel:
+    a cell task holds only 2/n_blocks of the corpus, so executor memory
+    bounds the CELL, not the table.  Work is the exact O(n^2/2) all-pairs
+    total, spread over n_blocks*(n_blocks+1)/2 independent tasks; shuffle
+    volume is n_blocks * |corpus| rows.  Pick n_blocks ~ sqrt(2 * tasks)
+    for the cluster (cells ~= tasks); at 100 TB grow n_blocks so a cell's
+    two blocks fit an executor.
+
+    Scores accumulate dimension-at-a-time in fixed array order — the same
+    FP operation sequence as the ``aggregate`` left fold and the DuckDB
+    ``list_reduce`` oracle, so the floor(x1000) cut is bit-identical
+    (dot and the norm product are commutative per element, so (a,b) and
+    (b,a) orientations agree bitwise and min/max-id emission is safe).
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = int(threshold * 1000)
+    side = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
+    )
+    cells = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_blk"), F.lit(q)).alias("bi"),
+                    F.greatest(F.col("_blk"), F.lit(q)).alias("bj"),
+                )
+                for q in range(n_blocks)
+            ]
+        )
+    )
+    replicated = side.select(
+        "_id", "_v", "_blk", F.explode(cells).alias("_cell")
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.col("_cell.bi").alias("_bi"),
+        F.col("_cell.bj").alias("_bj"),
+    )
+
+    def cell_kernel(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        left = pdf[pdf["_blk"] == bi]
+        right = pdf[pdf["_blk"] == bj] if bi != bj else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_x1000": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_x1000": "int64"}
+            )
+        ida = left["_id"].to_numpy(dtype=np.int64)
+        idb = right["_id"].to_numpy(dtype=np.int64)
+        a64 = np.asarray(list(left["_v"]), dtype=np.float32).astype(np.float64)
+        b64 = np.asarray(list(right["_v"]), dtype=np.float32).astype(np.float64)
+        d = a64.shape[1]
+        acc = np.zeros((len(ida), len(idb)))
+        tmp = np.empty_like(acc)
+        na_acc = np.zeros(len(ida))
+        nb_acc = np.zeros(len(idb))
+        for k in range(d):
+            np.multiply(a64[:, k][:, None], b64[:, k][None, :], out=tmp)
+            np.add(acc, tmp, out=acc)
+            na_acc += a64[:, k] * a64[:, k]
+            nb_acc += b64[:, k] * b64[:, k]
+        na = np.sqrt(na_acc)
+        nb = np.sqrt(nb_acc)
+        cos = np.floor(acc / (na[:, None] * nb[None, :]) * 1000.0)
+        if bi == bj:
+            keep = (ida[:, None] < idb[None, :]) & (cos >= thr)
+            ii, jj = np.nonzero(keep)
+            lo, hi = ida[ii], idb[jj]
+        else:
+            # disjoint blocks: every qualifying (x, y) appears exactly once
+            # in this cell's cross product; orient by id
+            keep = cos >= thr
+            ii, jj = np.nonzero(keep)
+            lo = np.minimum(ida[ii], idb[jj])
+            hi = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_x1000": cos[ii, jj].astype(np.int64)}
+        )
+
+    return replicated.groupBy("_bi", "_bj").applyInPandas(
+        cell_kernel, "id_a long, id_b long, cos_x1000 long"
+    )

@@ -590,9 +590,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at cosine >= 0.4 (numpy block kernel;
-    bit-identical to the Catalyst fold — see embedding_neardup_pairs_blocked)."""
-    return dedup.embedding_neardup_pairs_blocked(
+    """Embedding-cosine near-dup pairs at cosine >= 0.4 via the distributed
+    block-grid kernel (no driver collect, no corpus broadcast; bit-identical
+    scores to the Catalyst fold — see embedding_neardup_pairs_grid)."""
+    return dedup.embedding_neardup_pairs_grid(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 

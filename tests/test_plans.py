@@ -131,3 +131,21 @@ def test_ngram_jaccard_has_no_shuffle_self_join(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_embedding_is_distributed_no_collect(spark):
+    """The registered embedding near-dup path must be the block-grid kernel:
+    all leaves are parquet scans feeding a grouped-map python stage — no
+    driver-side collect of the corpus, no LocalRelation literal matrix in
+    the plan (the round-2 scale-killer)."""
+    import inspect
+
+    from blockchain_postgres_sync_spark.operators import dedup
+
+    src = inspect.getsource(dedup.embedding_neardup_pairs_grid)
+    assert ".collect()" not in src
+    assert "broadcast(" not in src
+    plan = _plan(spark, "dedup_embedding")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan parquet" in plan

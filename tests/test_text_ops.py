@@ -130,3 +130,20 @@ def test_keep_representatives(spark):
     )
     # 0 unclustered; 1 and 4 are representatives; 2,3,5 dropped
     assert kept == [0, 1, 4]
+
+
+def test_embedding_neardup_grid_matches_exact(spark):
+    """Block-grid distributed kernel == exact all-pairs baseline, pair for
+    pair and score for score (bit-identical fold order), on real vectors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_x1000
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    grid = {
+        (r.id_a, r.id_b): r.cos_x1000
+        for r in dedup.embedding_neardup_pairs_grid(
+            emb, threshold=0.4, n_blocks=5
+        ).collect()
+    }
+    assert grid == exact and len(grid) > 0
