@@ -44,7 +44,19 @@ def get_spark(
         # overhead locally, and stragglers' worth of tiny tasks on a busy
         # cluster (Spark's own guidance for this flag)
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        # ...but keep the coalesce target small enough that a mostly-reduced
+        # intermediate (a candle level is ~1-2 MB of shuffle bytes at bench
+        # SF) still fans across cores instead of collapsing to ONE partition
+        # — with the 64 MB default the 13-level cascade ran 13 sequential
+        # single-threaded stages (measured 6.4s -> 3.0s at sf0.1).  Coalesce
+        # can only MERGE map outputs (never exceed shuffle.partitions), so a
+        # small advisory size costs nothing on big stages; on a real cluster
+        # override via extra_conf to ~64m for multi-GB shuffles
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "256k"),
+        )
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
