@@ -244,8 +244,9 @@ def full_cascade(minute: DataFrame, persist_levels: bool = True) -> DataFrame:
     CANDLE_INTERVALS).  With ``persist_levels=False`` the unioned plan
     textually repeats each branch's lineage, but AQE's exchange reuse
     dedups the shared prefixes at runtime: one job, 13 shuffles each
-    executed once — measured the fastest form at sf0.1/local[32] (~2s
-    steady-state) and the shape that scales (per-level hash partitioning
+    executed once — measured the fastest form at sf0.1/local[32] (~3s on a
+    quiet box, min-of-N; sensitive to the AQE advisory partition size, see
+    session.py) and the shape that scales (per-level hash partitioning
     on the full grouping key, AQE skew handling, no cache memory).
     ``persist_levels=True`` (default) persists + materializes each level —
     13 sequential cache-fill jobs; use it when levels are consumed AGAIN

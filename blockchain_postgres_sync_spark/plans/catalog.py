@@ -208,10 +208,13 @@ def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plain per-level hash aggregation, no persist: AQE's exchange reuse
     already dedups the shared lineage across the 13 union branches, so the
     whole cascade is ONE job with 13 reused exchanges — measured faster
-    (~2s steady-state at sf0.1) than both the persist-per-level form
-    (13 sequential cache-fill jobs) and the pair-repartitioned narrow form
-    (parallelism bounded by distinct pairs), and it is the shape that
-    scales: per-level hash on the full grouping key + AQE skew handling."""
+    (~3s quiet-box / ~7s under harness load at sf0.1, min-of-N) than both
+    the persist-per-level form (13 sequential cache-fill jobs, ~7s) and the
+    pair-repartitioned narrow form (~20s: parallelism bounded by distinct
+    pairs), and it is the shape that scales: per-level hash on the full
+    grouping key + AQE skew handling.  The level intermediates are ~1-2 MB
+    shuffles here, so the session's small AQE advisory partition size is
+    what keeps the 13 stages multi-threaded (session.py)."""
     return _candles_final(
         full_cascade(minute_candles(_trades(spark, sf_dir)), persist_levels=False),
         True,
@@ -565,20 +568,19 @@ def q_candles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute agg (pg.rs:708-713, get_decimals_or_exception).  Decimals are a
     deterministic function of asset_id so the oracle reproduces the dim."""
     trades = _trades(spark, sf_dir)
-    # one scan: explode both asset columns, distinct once, collect the dim —
-    # it is bounded by the asset universe (a dimension table at scale), so a
-    # local relation feeds both broadcast sides of scale_prices without
-    # re-running the distinct per broadcast exchange
-    ids = [
-        r["asset_id"]
-        for r in trades.select(
+    # the decimals dim is a deterministic function of asset_id, so derive it
+    # relationally: explode both asset columns, distinct, project the
+    # decimals expression — stays a DataFrame end-to-end (no driver collect
+    # in the query lineage); scale_prices broadcasts it like any dimension
+    decimals = (
+        trades.select(
             F.explode(F.array("amount_asset_id", "price_asset_id")).alias("asset_id")
         )
         .distinct()
-        .collect()
-    ]
-    decimals = spark.createDataFrame(
-        [(a, len(a) * 3 % 9) for a in sorted(ids)], "asset_id string, decimals int"
+        .select(
+            "asset_id",
+            (F.length("asset_id") * 3 % 9).cast("int").alias("decimals"),
+        )
     )
     scaled = scale_prices(trades, decimals)
     return _candles_final(minute_candles(scaled), with_interval=False)
