@@ -63,6 +63,88 @@ HEADLINE = [
 ]
 
 
+def stream_throughput(spark, sf_dir: str) -> dict:
+    """End-to-end streaming-pipeline throughput: synthesize block updates
+    from the events table (same mapping as the analytical `_trades`), drain
+    them through run_stream (startup ladder + squash + SCD + candle
+    recompute + atomic commits), report events/sec.  Makes ingest/reorg
+    regressions visible in BENCH — the catalog queries above never exercise
+    the streaming path."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from blockchain_postgres_sync_spark.sources.tables import load_table
+    from blockchain_postgres_sync_spark.streaming.pipeline import run_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.orderBy("event_id")
+        .limit(10_000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+    )
+    per_block = 200
+    blocks: dict[int, list] = {}
+    for r in rows:
+        blocks.setdefault(int(r["event_id"]) // per_block, []).append(r)
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    files, per_file = [], 10
+    for fi in range(0, (len(blocks) + per_file - 1) // per_file):
+        lines = []
+        for bi in range(fi * per_file, min((fi + 1) * per_file, len(blocks))):
+            txs = [
+                {
+                    "id": f"tx-7-{int(r['event_id'])}",
+                    "tx_type": 7,
+                    "sender": f"3PM{int(r['user_id']) % 2}",
+                    "sender_public_key": "pk",
+                    "time_stamp": int(r["ts"].timestamp() * 1000),
+                    "signature": None, "proofs": ["p"], "tx_version": 2,
+                    "fee": 300000, "fee_asset_id": None, "invoke_error": None,
+                    "amount": int(r["event_id"]) % 97 + 1,
+                    "price": int(float(r["value"]) * 100),
+                    "amount_asset_id": r["event_type"],
+                    "price_asset_id": ["USD", "EUR", "BTC"][int(r["user_id"]) % 3],
+                    "buy_matcher_fee": 1, "sell_matcher_fee": 2,
+                }
+                for r in blocks[bi]
+            ]
+            lines.append(_json.dumps({
+                "seq": bi + 1, "kind": "block", "id": f"b{bi}",
+                "height": 1000 + bi,
+                "time_stamp": txs[0]["time_stamp"],
+                "ref_id": None, "waves_quantity": None,
+                "transactions": txs,
+                "asset_updates": [
+                    {"asset_id": a, "decimals": 2, "name": a,
+                     "description": "", "reissuable": True, "volume": 1,
+                     "script": None, "sponsorship": None, "nft": False}
+                    for a in sorted({t["amount_asset_id"] for t in txs}
+                                    | {t["price_asset_id"] for t in txs})
+                ] if bi == 0 else [],
+                "data_entries": [],
+            }))
+        path = os.path.join(events_dir, f"batch_{fi:04d}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+        files.append(path)
+    n_events = len(rows)
+    t0 = time.time()
+    run_stream(spark, events_dir, os.path.join(work, "store"),
+               max_files_per_trigger=1)
+    elapsed = time.time() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "events": n_events,
+        "batches": len(files),
+        "sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -92,12 +174,17 @@ def main() -> None:
             print(f"# pass {r} {name}: {round(time.time() - t0, 3)}s", file=sys.stderr)
     timings = {name: round(v, 3) for name, v in best.items()}
 
+    # streaming path: synthesized updates from sf0.01's events table (fixed
+    # size so the number is comparable across rounds regardless of bench SF)
+    stream = stream_throughput(spark, "/root/testdata/sf0.01")
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "catalog_headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stream": stream,
         "sf": sf,
         "runs_per_query": runs,
     }))

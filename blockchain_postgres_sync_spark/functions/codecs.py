@@ -161,6 +161,29 @@ def address_from_pk_udf(pk: pd.Series, chain_id: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(StringType())
+def sender_or_address_udf(
+    sender: pd.Series, pk_b58: pd.Series, chain_id: pd.Series
+) -> pd.Series:
+    """Ingest sender rule: keep a non-empty sender (the node-provided
+    address, convert.rs:130 `(sender.len() > 0).then_some(sender)`), else
+    derive it from the base58 public key (waves.rs:35-51 Address::from
+    ((pk, chain_id))); empty/invalid pk (genesis) -> NULL.  The expensive
+    blake2b+keccak chain runs only for rows actually missing the sender."""
+
+    def one(s, pk, c):
+        if s is not None and len(s) > 0:
+            return s
+        if pk is None or len(pk) == 0:
+            return None
+        raw = b58decode_str(str(pk))
+        if raw is None or len(raw) == 0:
+            return None
+        return address_from_public_key(raw, int(c))
+
+    return pd.Series(one(s, pk, c) for s, pk, c in zip(sender, pk_b58, chain_id))
+
+
 # ---------------------------------------------------------------- Catalyst
 
 

@@ -23,7 +23,7 @@ no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, BooleanType, DecimalType, IntegerType, LongType,
@@ -31,7 +31,13 @@ from pyspark.sql.types import (
 )
 
 from .constants import UID_HEIGHT_MULTIPLIER
-from .functions.codecs import default_asset_id
+from .functions.codecs import (
+    base58_encode_udf,
+    default_asset_id,
+    escape_nul,
+    sender_or_address_udf,
+)
+from .functions.orders import ARG_ITEM, ORDER_RAW, arg_list_json, canonical_order_json
 from .schemas import TX_COMMON_COLUMNS, TX_SCHEMAS
 
 # ------------------------------------------------------------ raw schemas
@@ -73,6 +79,10 @@ RAW_TX = StructType([
     _f("sell_matcher_fee", _L),
     _f("order1", _S),
     _f("order2", _S),
+    # structured (unserialized) orders: when present, ingest serializes them
+    # canonically (models.rs:101-189) instead of trusting order1/order2
+    _f("order1_raw", ORDER_RAW),
+    _f("order2_raw", ORDER_RAW),
     _f("lease_id", _S),
     _f("alias", _S),
     _f("attachment", _S),
@@ -92,6 +102,10 @@ RAW_TX = StructType([
     _f("args", ArrayType(StructType([
         _f("arg_type", _S), _f("arg_value_integer", _L), _f("arg_value_boolean", _B),
         _f("arg_value_binary", _S), _f("arg_value_string", _S), _f("arg_value_list", _S),
+        # typed list items (models.rs:40-71); when present, ingest builds
+        # arg_value_list from them canonically instead of trusting the
+        # pre-serialized string
+        _f("arg_list", ArrayType(ARG_ITEM)),
     ]))),
     _f("payments", ArrayType(StructType([
         _f("amount", _L), _f("asset_id", _S),
@@ -138,12 +152,26 @@ def extract_blocks(updates: DataFrame) -> DataFrame:
     )
 
 
-def extract_raw_txs(updates: DataFrame) -> DataFrame:
+def extract_raw_txs(updates: DataFrame, chain_id: int = 87) -> DataFrame:
     """Explode transactions, derive common columns + deterministic uid (W3).
 
     uid = height*100000 + per-height seq ordered by (update seq, position) —
     byte-for-byte the reference's TxUidGenerator semantics
     (convert.rs:45-72: counter resets when height changes).
+
+    Codec rules applied here (the reference formats these itself rather
+    than trusting the envelope):
+    - sender: non-empty passes through (convert.rs:130); absent -> derived
+      from the base58 public key via blake2b+keccak+base58
+      (waves.rs:35-51), NULL for genesis rows with no key.
+    - attachment: the envelope carries raw bytes base64-encoded (the JSON
+      convention for proto ``bytes``); stored form is base58 of the raw
+      bytes (convert.rs:336, 504 into_base58).
+    - script: envelope carries raw-script base64; stored form is the
+      ``base64:``-prefixed string (convert.rs:743 into_prefixed_base64,
+      utils.rs:7-15), empty stays empty.
+    - asset_name/description: embedded NULs escaped to the literal ``\\0``
+      (convert.rs:307-308, 722-723, utils.rs:22-24).
     """
     appends = updates.filter(F.col("kind").isin("block", "microblock"))
     tx = appends.select(
@@ -160,7 +188,9 @@ def extract_raw_txs(updates: DataFrame) -> DataFrame:
     return tx.select(
         uid.alias("uid"),
         t["tx_type"].alias("tx_type"),
-        t["sender"].alias("sender"),
+        sender_or_address_udf(
+            t["sender"], t["sender_public_key"], F.lit(chain_id)
+        ).alias("sender"),
         t["sender_public_key"].alias("sender_public_key"),
         F.timestamp_millis(t["time_stamp"]).alias("time_stamp"),
         F.col("height"),
@@ -181,22 +211,31 @@ def extract_raw_txs(updates: DataFrame) -> DataFrame:
         t["recipient_alias"].alias("recipient_alias"),
         t["amount"].alias("amount"),
         default_asset_id(t["asset_id"]).alias("asset_id"),
-        t["asset_name"].alias("asset_name"),
-        t["description"].alias("description"),
+        escape_nul(t["asset_name"]).alias("asset_name"),
+        escape_nul(t["description"]).alias("description"),
         t["quantity"].alias("quantity"),
         t["decimals"].alias("decimals"),
         t["reissuable"].alias("reissuable"),
-        t["script"].alias("script"),
+        F.when(
+            t["script"].isNotNull() & (F.length(t["script"]) > 0),
+            F.concat(F.lit("base64:"), t["script"]),
+        )
+        .otherwise(t["script"])
+        .alias("script"),
         t["price"].alias("price"),
         default_asset_id(t["amount_asset_id"]).alias("amount_asset_id"),
         default_asset_id(t["price_asset_id"]).alias("price_asset_id"),
         t["buy_matcher_fee"].alias("buy_matcher_fee"),
         t["sell_matcher_fee"].alias("sell_matcher_fee"),
-        t["order1"].alias("order1"),
-        t["order2"].alias("order2"),
+        # canonical serialization preferred; pre-serialized passthrough kept
+        # for envelopes that only carry the JSON (models.rs:101-189)
+        F.coalesce(canonical_order_json(t["order1_raw"]), t["order1"]).alias("order1"),
+        F.coalesce(canonical_order_json(t["order2_raw"]), t["order2"]).alias("order2"),
         t["lease_id"].alias("lease_id"),
         t["alias"].alias("alias"),
-        t["attachment"].alias("attachment"),
+        base58_encode_udf(
+            F.expr("try_to_binary(tx.attachment, 'base64')")
+        ).alias("attachment"),
         t["min_sponsored_asset_fee"].alias("min_sponsored_asset_fee"),
         t["dapp_address"].alias("dapp_address"),
         t["dapp_alias"].alias("dapp_alias"),
@@ -269,6 +308,14 @@ def txs_union_view(typed: dict[int, DataFrame]) -> DataFrame:
     return out
 
 
+def _prefixed_b64(col: Column) -> Column:
+    """Envelope binary (already base64 of raw bytes) -> the reference's
+    stored ``base64:``-prefixed form (utils.rs:7-15); empty stays empty."""
+    return F.when(
+        col.isNotNull() & (F.length(col) > 0), F.concat(F.lit("base64:"), col)
+    ).otherwise(col)
+
+
 def extract_children(raw_txs: DataFrame) -> dict[str, DataFrame]:
     """Detail tables (SURVEY.md §1.1): mass-transfer recipients, data
     entries, invoke args/payments, ethereum args/payments — positional
@@ -289,12 +336,14 @@ def extract_children(raw_txs: DataFrame) -> dict[str, DataFrame]:
         F.posexplode("data_entries").alias("position_in_tx", "d"),
     ).select(
         "tx_uid",
-        F.col("d.data_key").alias("data_key"),
+        # data-entry codecs (convert.rs:561-566): key + string values get
+        # NUL escaping; binary values store as base64:-prefixed text
+        escape_nul(F.col("d.data_key")).alias("data_key"),
         F.col("d.data_type").alias("data_type"),
         F.col("d.data_value_integer").alias("data_value_integer"),
         F.col("d.data_value_boolean").alias("data_value_boolean"),
-        F.col("d.data_value_binary").alias("data_value_binary"),
-        F.col("d.data_value_string").alias("data_value_string"),
+        _prefixed_b64(F.col("d.data_value_binary")).alias("data_value_binary"),
+        escape_nul(F.col("d.data_value_string")).alias("data_value_string"),
         F.col("position_in_tx").cast("short").alias("position_in_tx"),
         "height",
     )
@@ -305,12 +354,15 @@ def extract_children(raw_txs: DataFrame) -> dict[str, DataFrame]:
             F.posexplode("args").alias("position_in_args", "a"),
         ).select(
             "tx_uid",
+            # invoke/ethereum arg codecs (convert.rs:204-205, 686-687)
             F.col("a.arg_type").alias("arg_type"),
             F.col("a.arg_value_integer").alias("arg_value_integer"),
             F.col("a.arg_value_boolean").alias("arg_value_boolean"),
-            F.col("a.arg_value_binary").alias("arg_value_binary"),
-            F.col("a.arg_value_string").alias("arg_value_string"),
-            F.col("a.arg_value_list").alias("arg_value_list"),
+            _prefixed_b64(F.col("a.arg_value_binary")).alias("arg_value_binary"),
+            escape_nul(F.col("a.arg_value_string")).alias("arg_value_string"),
+            F.coalesce(
+                arg_list_json(F.col("a.arg_list")), F.col("a.arg_value_list")
+            ).alias("arg_value_list"),
             F.col("position_in_args").cast("short").alias("position_in_args"),
             "height",
         )

@@ -99,13 +99,105 @@ def _fnv_batch(payloads: pd.Series, salt: int) -> np.ndarray:
     return h
 
 
-def image_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """Decode + feature-extract images.  Real plumbing, stubbed codec."""
+def decode_png_stdlib(data: bytes) -> tuple[int, int, float]:
+    """Minimal stdlib PNG decoder: parses IHDR, inflates IDAT, undoes the
+    None/Sub/Up scanline filters — enough for real (small) 8-bit RGB/gray
+    images.  Returns (width, height, mean_intensity).  This is the proof
+    that the ``codec`` seam in :func:`image_features` accepts a REAL
+    decoder: same signature a PIL-backed codec would have.
+    """
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, bit_depth, color_type = 8, 0, 0, 0, 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if bit_depth != 8 or color_type not in (0, 2):
+        raise ValueError("stdlib decoder handles 8-bit gray/RGB only")
+    channels = 1 if color_type == 0 else 3
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    total, count = 0, 0
+    for y in range(height):
+        row_start = y * (stride + 1)
+        filt = raw[row_start]
+        line = np.frombuffer(raw[row_start + 1 : row_start + 1 + stride], np.uint8).copy()
+        if filt == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
+        elif filt == 2:  # Up
+            line = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
+        elif filt != 0:
+            raise ValueError(f"unsupported PNG filter {filt}")
+        total += int(line.sum())
+        count += stride
+        prev = line
+    return width, height, total / max(count, 1)
+
+
+def decode_wav_stdlib(data: bytes) -> tuple[int, float]:
+    """Stdlib WAV decoder via the ``wave`` module: returns (duration_ms,
+    rms in [0, 1]) for 16-bit PCM — the real-codec seam for
+    :func:`audio_features`."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        frames = w.readframes(n)
+    if width != 2:
+        raise ValueError("stdlib decoder handles 16-bit PCM only")
+    samples = np.frombuffer(frames, dtype=np.int16).astype(np.float64) / 32768.0
+    duration_ms = int(n * 1000 / rate)
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    return duration_ms, rms
+
+
+def image_features(
+    media: DataFrame, decode_stub: bool = True, codec=None
+) -> DataFrame:
+    """Decode + feature-extract images.  Real plumbing; the codec is
+    pluggable: ``codec`` is any ``bytes -> (width, height, mean_intensity)``
+    callable (:func:`decode_png_stdlib` is a working stdlib instance; a
+    PIL/cv2 codec drops in with the same shape).  With no codec and
+    ``decode_stub=False`` the stage raises at the plug point."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             imgs = pdf[pdf["kind"] == "image"]
             if imgs.empty:
+                continue
+            if codec is not None:
+                decoded = [
+                    codec(bytes(p)) if p is not None else (0, 0, 0.0)
+                    for p in imgs["payload"]
+                ]
+                yield pd.DataFrame({
+                    "media_id": imgs["media_id"].to_numpy(),
+                    "width": np.array([d[0] for d in decoded], dtype=np.int32),
+                    "height": np.array([d[1] for d in decoded], dtype=np.int32),
+                    "n_bytes": np.array(
+                        [len(bytes(p)) if p is not None else 0
+                         for p in imgs["payload"]], dtype=np.int64),
+                    "mean_intensity": np.array(
+                        [d[2] for d in decoded], dtype=np.float32),
+                    "phash64": _fnv_batch(imgs["payload"], 2).astype(np.int64),
+                })
                 continue
             if not decode_stub:
                 raise NotImplementedError(
@@ -148,32 +240,75 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decode_stub: bool = Tr
             vids = pdf[pdf["kind"] == "video"]
             if vids.empty:
                 continue
-            rows = []
-            for _, r in vids.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                duration = int(r["duration_ms"]) if pd.notna(r["duration_ms"]) else 0
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real frame extraction requires ffmpeg; plug codec here"
-                    )
-                for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
-                    marker = _fake_u64(payload + i.to_bytes(4, "big"), 3)
-                    rows.append({
-                        "media_id": r["media_id"],
-                        "frame_index": i,
-                        "frame_ts_ms": ts,
-                        "frame": marker.to_bytes(8, "big"),
-                    })
-            yield pd.DataFrame(rows)
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg; plug codec here"
+                )
+            # vectorized fan-out: per-video frame counts -> repeat video
+            # indices, derive each frame's index by subtracting its video's
+            # running offset (the repeat + cumcount idiom) — no row loop
+            payloads = [
+                bytes(p) if p is not None else b"" for p in vids["payload"]
+            ]
+            durations = np.where(
+                vids["duration_ms"].notna(), vids["duration_ms"].fillna(0), 0
+            ).astype(np.int64)
+            counts = np.maximum(
+                -(-np.maximum(durations, 1) // every_ms), 1
+            ).astype(np.int64)
+            vid_idx = np.repeat(np.arange(len(vids)), counts)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            frame_index = (
+                np.arange(counts.sum()) - np.repeat(offsets, counts)
+            ).astype(np.int64)
+            # marker hash = FNV over (payload + frame-index suffix), batch-
+            # vectorized; same truncation as _fake_u64 so values match the
+            # per-row form bit for bit
+            suffixed = pd.Series(
+                [
+                    payloads[v] + int(i).to_bytes(4, "big")
+                    for v, i in zip(vid_idx, frame_index)
+                ]
+            )
+            markers = _fnv_batch(suffixed, 3)
+            yield pd.DataFrame({
+                "media_id": vids["media_id"].to_numpy()[vid_idx],
+                "frame_index": frame_index.astype(np.int32),
+                "frame_ts_ms": frame_index * every_ms,
+                "frame": [int(m).to_bytes(8, "big") for m in markers],
+            })
 
     return media.mapInPandas(_batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
-def audio_features(media: DataFrame, n_mfcc: int = 4, decode_stub: bool = True) -> DataFrame:
+def audio_features(
+    media: DataFrame, n_mfcc: int = 4, decode_stub: bool = True, codec=None
+) -> DataFrame:
+    """Audio decode + features; ``codec`` is any ``bytes -> (duration_ms,
+    rms)`` callable (:func:`decode_wav_stdlib` is the stdlib instance)."""
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             auds = pdf[pdf["kind"] == "audio"]
             if auds.empty:
+                continue
+            if codec is not None:
+                decoded = [
+                    codec(bytes(p)) if p is not None else (0, 0.0)
+                    for p in auds["payload"]
+                ]
+                yield pd.DataFrame({
+                    "media_id": auds["media_id"].to_numpy(),
+                    "duration_ms": np.array(
+                        [d[0] for d in decoded], dtype=np.int64),
+                    "n_bytes": np.array(
+                        [len(bytes(p)) if p is not None else 0
+                         for p in auds["payload"]], dtype=np.int64),
+                    "rms": np.array([d[1] for d in decoded], dtype=np.float32),
+                    "mfcc": [
+                        [float(d[1])] * n_mfcc for d in decoded
+                    ],
+                })
                 continue
             if not decode_stub:
                 raise NotImplementedError(

@@ -47,15 +47,18 @@ def current_snapshot(
     state (tickers view, up.sql:432-435; superseded_by = MAX_UID filter in
     the assets view, up.sql:451-469).
 
-    Implemented as max_by over all columns rather than row_number so Catalyst
-    can do a partial (map-side) aggregation instead of a full sort window.
+    Implemented as max_by of the packed row struct keyed on uid, rather than
+    a row_number window: a declarative aggregate gets a partial (map-side)
+    combine — each map task keeps one candidate row per key before the
+    shuffle — and the reducer needs no sort, so the exchange moves at most
+    one row per (key, map task) instead of the whole table.  uid is unique
+    per key (the log's primary order), so max_by is deterministic.
     """
-    w = Window.partitionBy(key).orderBy(F.col(uid).desc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    others = [c for c in df.columns if c != key]
+    packed = df.groupBy(key).agg(
+        F.max_by(F.struct(*others), F.col(uid)).alias("_row")
     )
+    return packed.select(key, *[F.col(f"_row.{c}").alias(c) for c in others])
 
 
 def reopen_after_rollback(

@@ -175,11 +175,14 @@ def ivf_topk(
     a deterministic stand-in for a trained codebook so results are exactly
     reproducible (and oracle-checkable); pass ``centroids=ivf_fit(corpus)``
     for the trained k-means|| codebook — identical plan shape, cells just
-    get better balance.  Cell assignment is one broadcast crossJoin (C is
-    small) + a
-    per-vector top-1 window; each corpus vector lands in exactly one cell,
-    so probed cells never produce duplicate candidates.  At 100 TB the
-    assignment window becomes a groupBy max_by and cells are written
+    get better balance.  Cell assignment is IN-ROW: the codebook collapses
+    to a single array row (broadcast), and each corpus vector picks its
+    cell with an ``aggregate`` argmax over that array — scan -> project,
+    NO exchange between the scan and the assignment (the round-2 form
+    shuffled corpus x C rows through a per-vector window).  Ties break to
+    the lowest cid, matching a (cos desc, cid asc) rank.  Each corpus
+    vector lands in exactly one cell, so probed cells never produce
+    duplicate candidates.  At 100 TB the assigned cells are written
     bucketed by cid, making the probe join a pruned, co-located read.
     """
     if centroids is not None:
@@ -188,43 +191,53 @@ def ivf_topk(
         cent = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("_cent")
         )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cvec"),
-            "cid",
-            cosine(F.col(vec_col), F.col("_cent")).alias("_acs"),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("_acs").desc(), F.col("cid").asc()
-                )
+    # one-row broadcast dimension: the codebook as an array in cid order
+    # (array_sort on struct(cid, _cent) orders by the leading cid field, so
+    # the argmax fold's tie-break is deterministic regardless of partitioning)
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "_cent"))).alias("_cents")
+    )
+
+    def cell_scores(vec):
+        return F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(vec, c["_cent"]).alias("cos"), c["cid"].alias("cid")
             ),
         )
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "_cvec", "cid")
+
+    best_cell = F.aggregate(
+        cell_scores(F.col(vec_col)),
+        F.struct(
+            F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("int").alias("cid")
+        ),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )["cid"]
+    assigned = corpus.crossJoin(F.broadcast(cent_arr)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        best_cell.alias("cid"),
+    )
+    # probe cells in-row as well: sort scores by (cos desc, cid asc) via the
+    # (-cos, cid) ascending struct sort, take the first n_probe, explode
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                cell_scores(F.col(vec_col)),
+                lambda s: F.struct((-s["cos"]).alias("negcos"), s["cid"].alias("cid")),
+            )
+        ),
+        1,
+        n_probe,
     )
     probes = (
-        queries.crossJoin(F.broadcast(cent))
+        queries.crossJoin(F.broadcast(cent_arr))
         .select(
             F.col(query_id_col),
             F.col(vec_col).alias("_qvec"),
-            "cid",
-            cosine(F.col(vec_col), F.col("_cent")).alias("_qcs"),
+            F.explode(probe_cells).alias("_p"),
         )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("_qcs").desc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("_rn") <= n_probe)
-        .select(query_id_col, "_qvec", "cid")
+        .select(query_id_col, "_qvec", F.col("_p.cid").alias("cid"))
     )
     scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,

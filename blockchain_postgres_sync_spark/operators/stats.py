@@ -91,7 +91,10 @@ def ngram_topk(
     the window: any gram in the true top-k of a trillion-token group passes
     any sane floor, and the filter is free (rides the agg).
     """
-    grams = df.select(
+    # explicit NULL-text contract (not fixture-dependent): rows with NULL
+    # text contribute no grams — stated here and mirrored in the oracle's
+    # WHERE, instead of relying on explode(NULL) dropping rows
+    grams = df.filter(F.col(text_col).isNotNull()).select(
         F.col(group_col),
         F.explode(token_shingles(F.col(text_col), n)).alias("gram"),
     )

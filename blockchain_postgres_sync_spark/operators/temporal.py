@@ -31,7 +31,24 @@ from pyspark.sql import functions as F
 def _epoch(c: Column) -> Column:
     """Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ inputs alike.  NTZ
     cannot cast straight to BIGINT; routing through TIMESTAMP is the
-    identity under the engine's fixed UTC session timezone."""
+    identity ONLY under a UTC session timezone (any other zone would shift
+    NTZ epochs — skewing as-of tolerances, range buckets and TWAP
+    durations), so the session zone is checked once per plan build here
+    rather than silently mis-bucketing.  Use ``session.get_spark()`` or
+    re-pin ``spark.sql.session.timeZone=UTC`` before calling the temporal
+    operators."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"temporal operators require a UTC session timezone for "
+                f"exact NTZ epoch math; session has {tz!r} — build the "
+                f"session via session.get_spark() or set "
+                f"spark.sql.session.timeZone=UTC first"
+            )
     return c.cast("timestamp").cast("long")
 
 

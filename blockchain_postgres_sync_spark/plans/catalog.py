@@ -1603,7 +1603,8 @@ ORACLES: dict[str, str] = {
                      AND t.ts >= s.session_start AND t.ts <= s.session_end
     """,
     "ngram_topk": """
-        WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents
+                      WHERE text IS NOT NULL),
         pos AS (SELECT lang, t,
                        unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
                 FROM toks),

@@ -13,6 +13,7 @@ Usage::
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.pipeline import CANDLE_TABLES, CHILD_NAMES, TX_NAMES, read_all_candles
 from ..streaming.store import TableStore
@@ -53,7 +54,7 @@ def register_views(store: TableStore) -> None:
         ["blocks_microblocks", "waves_data", "asset_origins",
          "asset_updates", "asset_tickers", "asset_updates_log",
          "asset_tickers_log"]
-        + TX_NAMES + CHILD_NAMES + CANDLE_TABLES
+        + TX_NAMES + CHILD_NAMES
     )
     for name in table_names:
         df = store.read_or_none(name)
@@ -69,14 +70,21 @@ def register_views(store: TableStore) -> None:
         )
         spark.sql(f"CREATE OR REPLACE TEMP VIEW txs AS {union}")
 
+    c1m = None
     try:
-        read_all_candles(store).createOrReplaceTempView("candles")
+        candles = read_all_candles(store)
+        candles.createOrReplaceTempView("candles")
+        # per-interval views kept for the reference's partial-index access
+        # pattern (up.sql:368-385): candles_1m, candles_1h, ... are filters
+        # over the unified table (interval|month partition pruning applies)
+        for name in CANDLE_TABLES:
+            ivl = name[len("candles_"):]
+            candles.filter(F.col("interval") == ivl).createOrReplaceTempView(name)
+        c1m = candles.filter(F.col("interval") == "1m")
     except KeyError:
         pass
-
-    c1m = store.read_or_none("candles_1m")
     if c1m is not None:
-        pairs_view(c1m.drop("p_bucket")).createOrReplaceTempView("pairs")
+        pairs_view(c1m).createOrReplaceTempView("pairs")
 
     au = store.read_or_none("asset_updates")
     if au is not None:

@@ -88,7 +88,9 @@ def _read_or_empty(store: TableStore, name: str, like: DataFrame) -> DataFrame:
 
 
 def normalize_squash(
-    blocks: DataFrame, tx_tables: dict[str, DataFrame]
+    blocks: DataFrame,
+    tx_tables: dict[str, DataFrame],
+    settled_below: int | None = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Wholesale microblock-tail normalization.
 
@@ -98,13 +100,30 @@ def normalize_squash(
     (pg.rs:216-223).  Microblocks above the latest key block are the live
     tail and stay.  One pass, pure window algebra — equivalent to the
     reference performing a squash at every key-block arrival.
+
+    ``settled_below`` (the previous batch's last key-block uid) bounds the
+    anchoring window to rows ABOVE it: everything at or below is already
+    normalized (all key rows, ids final — a settled block never changes
+    again), so the only unpartitioned window sorts the speculative tail +
+    this batch's rows, never O(history).  Tail rows preceding any new key
+    block anchor to ``settled_below`` itself, which can therefore still
+    absorb folded ids.
     """
+    if settled_below is None:
+        head = blocks.filter(F.lit(False))
+        tail = blocks
+    else:
+        head = blocks.filter(F.col("uid") <= settled_below)
+        tail = blocks.filter(F.col("uid") > settled_below)
     w = Window.orderBy("uid").rowsBetween(Window.unboundedPreceding, 0)
-    anchored = blocks.withColumn(
+    anchored = tail.withColumn(
         "anchor",
-        F.max(F.when(F.col("time_stamp").isNotNull(), F.col("uid"))).over(w),
+        F.coalesce(
+            F.max(F.when(F.col("time_stamp").isNotNull(), F.col("uid"))).over(w),
+            F.lit(settled_below).cast("long"),
+        ),
     )
-    last_key = blocks.filter(F.col("time_stamp").isNotNull()).agg(
+    last_key = tail.filter(F.col("time_stamp").isNotNull()).agg(
         F.max("uid")
     ).collect()[0][0]
     if last_key is None:
@@ -112,12 +131,14 @@ def normalize_squash(
 
     settled = anchored.filter(F.col("uid") <= last_key)
     total_ids = settled.groupBy("anchor").agg(F.max_by("id", "uid").alias("_total_id"))
-    key_rows = settled.filter(F.col("time_stamp").isNotNull()).drop("anchor")
+    key_rows = settled.filter(F.col("time_stamp").isNotNull()).drop("anchor").unionByName(head)
     new_blocks = (
-        key_rows.join(F.broadcast(total_ids), key_rows.uid == total_ids.anchor)
+        key_rows.join(
+            F.broadcast(total_ids), key_rows.uid == total_ids.anchor, "left"
+        )
         .select(
             "uid",
-            F.col("_total_id").alias("id"),
+            F.coalesce(F.col("_total_id"), F.col("id")).alias("id"),
             "height",
             "time_stamp",
         )
@@ -156,7 +177,18 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
     level from trades at/after the watermark, then cascade each interval
     from the merged source level, replacing only the affected time range
     (range-replace ≡ the reference's keyed upsert, because the recompute
-    regenerates every key in the range)."""
+    regenerates every key in the range).
+
+    All 13 intervals live in ONE store table ``candles`` partitioned by
+    ``p_ib = interval|yyyy-MM`` (the engine analog of the reference's single
+    candles table with its interval column, up.sql:368-385).  The whole
+    recompute is ONE union plan — each level chains from the previous
+    level's in-plan frame (AQE reuses the shared exchanges) — and lands in
+    ONE partitioned write; per-interval month boundaries decide which
+    partitions are replaced vs hardlinked.  vs the 13-table form this cuts
+    per-batch candle maintenance from 13 read+write jobs to one write, the
+    difference between ~50 and ~100 events/s end-to-end at the bench size.
+    """
     spark = store.spark
     starts = _interval_starts(spark, since_ts)
 
@@ -171,55 +203,80 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
         "uid", "time_stamp", "amount_asset_id", "price_asset_id",
         "sender", "height", "amount", "price",
     )
-    # Each interval table is partitioned by month (p_bucket); the recompute
-    # replaces only partitions at/above the watermark month — partitions
-    # below are hardlinked forward by the store, so per-batch maintenance
-    # cost is O(affected months), not O(history) (the scale form of the
-    # reference's keyed upsert, pg.rs:721-730).
-    def _with_bucket(df: DataFrame) -> DataFrame:
-        return df.withColumn("p_bucket", F.date_format("time_start", "yyyy-MM"))
+    stored_all = store.read_or_none("candles")
 
-    def _replace(name: str, new_part: DataFrame, start: _dt.datetime) -> None:
-        start_lit = F.lit(start).cast("timestamp")
-        replace_from = start.strftime("%Y-%m")
-        stored = store.read_or_none(name)
-        content = _with_bucket(new_part)
-        if stored is not None:
-            # rows in the boundary month but before the watermark are kept
-            # content of the replaced partition set
-            boundary_tail = stored.filter(
-                (F.col("p_bucket") >= replace_from)
-                & (F.col("time_start") < start_lit)
-            )
-            content = boundary_tail.unionByName(content)
-        store.stage_range_replace(name, content, "p_bucket", replace_from)
+    def stored_level(ivl: str) -> DataFrame | None:
+        if stored_all is None:
+            return None
+        return stored_all.filter(F.col("interval") == ivl).drop("p_ib")
 
-    new_1m = minute_candles(trades, since_ts=F.lit(starts["1m"]).cast("timestamp"))
-    _replace("candles_1m", new_1m, starts["1m"])
-    by_interval = {"1m": store.read("candles_1m")}
+    intervals = ["1m"] + [dst for _, dst in CANDLE_CASCADE]
+    replace_month = {ivl: starts[ivl].strftime("%Y-%m") for ivl in intervals}
+
+    new_content: dict[str, DataFrame] = {}
+    cur_level: dict[str, DataFrame] = {}
+
+    def _merge(ivl: str, new_part: DataFrame) -> None:
+        """new_part = recomputed rows with time_start >= starts[ivl].
+        Persisted (lazily): each level feeds BOTH the next rollup and the
+        final content union — without the cache the deep per-branch lineage
+        defeats exchange reuse and each level recomputes once per consumer."""
+        new_content[ivl] = new_part.persist()
+        stored = stored_level(ivl)
+        start_lit = F.lit(starts[ivl]).cast("timestamp")
+        if stored is None:
+            cur_level[ivl] = new_content[ivl]
+        else:
+            cur_level[ivl] = stored.filter(
+                F.col("time_start") < start_lit
+            ).unionByName(new_content[ivl])
+
+    _merge("1m", minute_candles(trades, since_ts=F.lit(starts["1m"]).cast("timestamp")))
     for src, dst in CANDLE_CASCADE:
         d_start = F.lit(starts[dst]).cast("timestamp")
-        new_dst = rollup_interval(
-            by_interval[src].filter(F.col("time_start") >= d_start), src, dst
-        )
-        _replace(f"candles_{dst}", new_dst, starts[dst])
-        by_interval[dst] = store.read(f"candles_{dst}")
+        _merge(dst, rollup_interval(
+            cur_level[src].filter(F.col("time_start") >= d_start), src, dst
+        ))
+
+    # written content = per interval: new rows plus the boundary-month tail
+    # (stored rows in a replaced month but before that interval's watermark)
+    pieces = []
+    for ivl in intervals:
+        start_lit = F.lit(starts[ivl]).cast("timestamp")
+        piece = new_content[ivl]
+        stored = stored_level(ivl)
+        if stored is not None:
+            boundary_tail = stored.filter(
+                (F.date_format("time_start", "yyyy-MM") >= replace_month[ivl])
+                & (F.col("time_start") < start_lit)
+            )
+            piece = boundary_tail.unionByName(piece)
+        pieces.append(piece)
+    content = pieces[0]
+    for p in pieces[1:]:
+        content = content.unionByName(p)
+    content = content.withColumn(
+        "p_ib",
+        F.concat_ws("|", F.col("interval"), F.date_format("time_start", "yyyy-MM")),
+    )
+
+    def replaced(value: str) -> bool:
+        ivl, _, month = value.partition("|")
+        rf = replace_month.get(ivl)
+        return rf is None or month >= rf
+
+    store.stage_range_replace("candles", content, "p_ib", replaced)
+    for df in new_content.values():
+        df.unpersist()
 
 
 def read_all_candles(store: TableStore) -> DataFrame:
-    """The `candles` table view: union of the per-interval tables (physical
-    partition-by-interval, up.sql:368-385 + partial indexes)."""
-    out = None
-    for name in CANDLE_TABLES:
-        df = store.read_or_none(name)
-        if df is None:
-            continue
-        if "p_bucket" in df.columns:
-            df = df.drop("p_bucket")
-        out = df if out is None else out.unionByName(df)
-    if out is None:
-        raise KeyError("no candle tables in store")
-    return out
+    """The `candles` table (all 13 intervals; physical partitioning by
+    interval|month mirrors up.sql:368-385's interval column + indexes)."""
+    df = store.read_or_none("candles")
+    if df is None:
+        raise KeyError("no candles table in store")
+    return df.drop("p_ib")
 
 
 # ------------------------------------------------------------ appends
@@ -229,6 +286,7 @@ def apply_appends(
     store: TableStore,
     seg_updates: DataFrame,
     asset_storage_address: str = "",
+    chain_id: int = 87,
 ) -> _dt.datetime | None:
     """Merge one run of block/microblock updates into the store
     (mod.rs:253-357).  Returns the candle watermark (min exchange-tx
@@ -236,7 +294,7 @@ def apply_appends(
     spark = store.spark
 
     new_blocks = extract_blocks(seg_updates)
-    new_raw = extract_raw_txs(seg_updates)
+    new_raw = extract_raw_txs(seg_updates, chain_id=chain_id)
 
     # ---- speculative-tail floor: only height buckets at/above it are
     # touched this batch.  The tail = microblocks above the last stored key
@@ -245,6 +303,7 @@ def apply_appends(
     # changes again), so its partitions hardlink forward untouched.
     stored_blocks = store.read_or_none("blocks_microblocks")
     floor_candidates = [new_blocks.select("height")]
+    prev_key = None
     if stored_blocks is not None:
         prev_key = (
             stored_blocks.filter(F.col("time_stamp").isNotNull())
@@ -303,13 +362,33 @@ def apply_appends(
     # reference's lookup against the full txs table (pg.rs:472-484).
     typed_new = classify_txs(new_raw, prior_ids=store.read_or_none("tx_ids"))
     children_new = extract_children(new_raw)
+
+    # present tx types in ONE job (not one isEmpty probe per table): a table
+    # with no stored version and no rows of its type this batch needs no
+    # staging — the common case for most of the 18 typed tables in any one
+    # batch (the reference likewise only INSERTs types that occurred).
+    # Tables that already exist must still restage: squash can re-point
+    # their tail block_uids.
+    present_types = {
+        int(r["tx_type"])
+        for r in new_raw.select("tx_type").distinct().collect()
+    }
+
+    def _untouched(name: str, tx_type: int) -> bool:
+        return not store.exists(name) and tx_type not in present_types
+
     merged_tx: dict[str, DataFrame] = {}
     for n, df in typed_new.items():
         name = f"txs_{n}"
+        if _untouched(name, n):
+            continue
         merged_tx[name] = _tail(name, df.withColumn("p_hb", _hb("height"))).unionByName(
             df.withColumn("p_hb", _hb("height"))
         )
     for name, df in children_new.items():
+        parent_type = int(name.split("_")[1])
+        if _untouched(name, parent_type):
+            continue
         new_part = df.withColumn("p_hb", _hb("height"))
         store.stage_range_replace(
             name, _tail(name, new_part).unionByName(new_part), "p_hb", rb
@@ -318,7 +397,7 @@ def apply_appends(
     # blocks (tiny dimension: full rewrite) + squash normalization over the
     # block_uid-bearing tail frames
     blocks = _read_or_empty(store, "blocks_microblocks", new_blocks).unionByName(new_blocks)
-    blocks, merged_tx = normalize_squash(blocks, merged_tx)
+    blocks, merged_tx = normalize_squash(blocks, merged_tx, settled_below=prev_key)
     store.stage("blocks_microblocks", blocks)
     for name, df in merged_tx.items():
         store.stage_range_replace(name, df, "p_hb", rb)
@@ -329,16 +408,30 @@ def apply_appends(
     id_frames = [
         df.select("id", "uid", "block_uid", "p_hb") for df in merged_tx.values()
     ]
-    new_ids = id_frames[0]
-    for f in id_frames[1:]:
-        new_ids = new_ids.unionByName(f)
-    store.stage_range_replace("tx_ids", new_ids, "p_hb", rb)
+    if id_frames:
+        new_ids = id_frames[0]
+        for f in id_frames[1:]:
+            new_ids = new_ids.unionByName(f)
+        store.stage_range_replace("tx_ids", new_ids, "p_hb", rb)
 
     # SCD logs: asset updates + tickers.  Chains are per-key independent, so
     # only keys with updates in THIS batch rechain (W1 + the UNNEST close
     # join J6, pg.rs:225-256); untouched keys' chain rows pass through — at
     # scale the rechain cost follows batch size, not dimension size.
-    def _scd(log_name: str, chained_name: str, new_rows: DataFrame) -> None:
+    # batch-content flags in ONE job: which slowly-changing inputs does this
+    # segment actually carry?  (drives the skip-if-unchanged staging below)
+    flags = seg_updates.agg(
+        F.max(F.size(F.coalesce(F.col("asset_updates"), F.array())) > 0).alias("has_au"),
+        F.max(F.size(F.coalesce(F.col("data_entries"), F.array())) > 0).alias("has_de"),
+        F.max(F.col("waves_quantity").isNotNull()).alias("has_wd"),
+    ).collect()[0]
+
+    def _scd(log_name: str, chained_name: str, new_rows: DataFrame, has_new: bool) -> None:
+        if store.exists(log_name) and not has_new:
+            # no updates this batch: both the log and the chained table are
+            # already current — restaging would rewrite full history per
+            # batch for nothing
+            return
         log = _read_or_empty(store, log_name, new_rows).unionByName(new_rows)
         store.stage(log_name, log)
         stored_chain = store.read_or_none(chained_name)
@@ -354,27 +447,34 @@ def apply_appends(
         store.stage(chained_name, unchanged.unionByName(rechained))
 
     new_au = extract_asset_updates(seg_updates)
-    _scd("asset_updates_log", "asset_updates", new_au)
+    _scd("asset_updates_log", "asset_updates", new_au, bool(flags["has_au"]))
     au_log = store.read("asset_updates_log")
 
     new_tick = extract_ticker_updates(seg_updates, asset_storage_address)
-    _scd("asset_tickers_log", "asset_tickers", new_tick)
+    _scd("asset_tickers_log", "asset_tickers", new_tick, bool(flags["has_de"]))
 
-    # waves_data: dedupe on quantity (S6)
+    # waves_data: dedupe on quantity (S6); skip the full-history rewrite
+    # when the batch carries no supply rows
     new_wd = extract_waves_data(seg_updates)
     stored_wd = store.read_or_none("waves_data")
-    if stored_wd is not None:
-        new_wd = new_wd.join(
-            stored_wd.select("quantity"), "quantity", "left_anti"
-        )
-        new_wd = stored_wd.unionByName(new_wd)
-    store.stage("waves_data", new_wd)
+    if stored_wd is None or bool(flags["has_wd"]):
+        if stored_wd is not None:
+            new_wd = new_wd.join(
+                stored_wd.select("quantity"), "quantity", "left_anti"
+            )
+            new_wd = stored_wd.unionByName(new_wd)
+        store.stage("waves_data", new_wd)
 
-    # asset_origins: first-wins (S6)
-    store.stage(
-        "asset_origins",
-        extract_asset_origins(au_log, store.read("txs_3")),
-    )
+    # asset_origins: first-wins (S6); txs_3 may not exist yet (no issue tx
+    # ever seen) — origins are then empty by definition.  Only restage when
+    # this batch could have changed them (new asset updates or issue txs).
+    txs3 = store.read_or_none("txs_3")
+    if txs3 is not None and (
+        not store.exists("asset_origins")
+        or bool(flags["has_au"])
+        or 3 in present_types
+    ):
+        store.stage("asset_origins", extract_asset_origins(au_log, txs3))
 
     watermark_row = (
         typed_new[7].agg(F.min("time_stamp").alias("m")).collect()[0]
@@ -397,8 +497,14 @@ def apply_rollback(store: TableStore, ref_id: str) -> _dt.datetime | None:
     row = blocks.filter(F.col("id") == ref_id).select("uid").collect()
     if not row:
         return None
-    boundary = row[0]["uid"]
+    return rollback_to_uid(store, row[0]["uid"])
 
+
+def rollback_to_uid(store: TableStore, boundary: int) -> _dt.datetime | None:
+    """Drop every row above block uid ``boundary`` across all tables — the
+    shared core of reorg rollback (by block id) and the T4 startup ladder
+    (by height).  Returns the candle repair watermark."""
+    blocks = store.read("blocks_microblocks")
     deleted_ts = None
     txs7 = store.read_or_none("txs_7")
     if txs7 is not None:
@@ -461,6 +567,60 @@ def apply_rollback(store: TableStore, ref_id: str) -> _dt.datetime | None:
     return deleted_ts.replace(second=0, microsecond=0)
 
 
+# ------------------------------------------------ startup rollback ladder (T4)
+
+
+def startup_rollback(
+    store: TableStore, depth: int = 1, step: int = 500
+) -> int | None:
+    """Defensive restart ladder (mod.rs:122-137 via get_blocks_rollback_to,
+    pg.rs:80-112; defaults config/consumer.rs:18-24): on every consumer
+    start, roll the store back ``depth`` blocks below the current height in
+    ``step``-sized rungs, so a batch the previous process may have written
+    without fully settling is discarded and re-ingested.
+
+    Ladder heights mirror the reference exactly: step = min(step, depth),
+    rungs at current-step, current-2*step, ... (staying above current-depth)
+    and finally current-depth itself; stored blocks AT those heights become
+    (uid, height) targets processed in descending uid order, each rung a
+    bounded incremental delete instead of one huge one.  All rungs + the
+    single candle repair commit atomically as one store transaction
+    (the reference wraps the whole ladder in one Postgres transaction).
+
+    Returns the height ingestion should resume from (last rung height + 1),
+    or None when the store is empty (resume from the configured start).
+    """
+    blocks = store.read_or_none("blocks_microblocks")
+    if blocks is None:
+        return None
+    cur_row = blocks.agg(F.max("height")).collect()[0][0]
+    if cur_row is None:
+        return None
+    current = int(cur_row)
+    step = min(step, depth)
+    starting = max(current - step, 0)
+    final = max(current - depth, 0)
+    heights = list(range(starting, final, -step))
+    heights.append(final)
+    ladder = (
+        blocks.filter(F.col("height").isin(heights))
+        .select("uid", "height")
+        .orderBy(F.desc("uid"))
+        .collect()
+    )
+    if not ladder:
+        return None
+    watermark: _dt.datetime | None = None
+    for rung in ladder:
+        wm = rollback_to_uid(store, rung["uid"])
+        if wm is not None:
+            watermark = wm if watermark is None else min(watermark, wm)
+    if watermark is not None:
+        recompute_candles(store, watermark)
+    store.commit()
+    return int(ladder[-1]["height"]) + 1
+
+
 # ------------------------------------------------------------ batch driver
 
 
@@ -468,6 +628,7 @@ def process_batch(
     store: TableStore,
     batch_df: DataFrame,
     asset_storage_address: str = "",
+    chain_id: int = 87,
 ) -> None:
     """One foreachBatch invocation: segment the updates into append runs and
     rollbacks (mod.rs:200-230), apply in order, recompute candles once per
@@ -499,6 +660,7 @@ def process_batch(
                 store,
                 batch_df.filter((F.col("seq") >= lo) & (F.col("seq") <= hi)),
                 asset_storage_address,
+                chain_id=chain_id,
             )
         else:
             watermark = apply_rollback(store, seg[1])
@@ -513,9 +675,27 @@ def run_stream(
     store_root: str,
     asset_storage_address: str = "",
     max_files_per_trigger: int = 1,
+    start_rollback_depth: int = 1,
+    rollback_step: int = 500,
+    chain_id: int = 87,
 ) -> None:
     """S2: file-source stream over an events directory (one JSON file ≈ one
-    update batch), available-now trigger (drain then stop)."""
+    update batch), available-now trigger (drain then stop).
+
+    Startup performs the T4 defensive rollback ladder first (mod.rs:122-137;
+    ``start_rollback_depth``/``rollback_step`` mirror config/consumer.rs:
+    18-24): the store's speculative tail is discarded so updates re-delivered
+    after a crash reconstruct it.  The file source's checkpoint governs which
+    event files are re-read; a crash between store commit and checkpoint
+    advance re-delivers the batch, and the ladder + idempotent merges absorb
+    the overlap.  Set ``start_rollback_depth=0`` to skip (trusted shutdown).
+    """
+    if start_rollback_depth > 0:
+        startup_rollback(
+            TableStore(spark, store_root),
+            depth=start_rollback_depth,
+            step=rollback_step,
+        )
     stream = (
         spark.readStream.schema(RAW_UPDATE)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -523,7 +703,10 @@ def run_stream(
     )
 
     def _fb(batch_df: DataFrame, _batch_id: int) -> None:
-        process_batch(TableStore(spark, store_root), batch_df, asset_storage_address)
+        process_batch(
+            TableStore(spark, store_root), batch_df, asset_storage_address,
+            chain_id=chain_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(_fb)

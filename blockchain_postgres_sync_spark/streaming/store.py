@@ -73,18 +73,22 @@ class TableStore:
         name: str,
         new_df: DataFrame,
         partition_col: str,
-        replace_from: str | int,
+        replace_from,
     ) -> None:
         """Stage a new version where every partition with value >=
         ``replace_from`` (string order) comes from ``new_df`` and every
         partition below it is HARDLINKED from the previous version (no data
-        copy, no read).  This is the 100 TB form of the per-batch candle
-        upsert/rollback: a reorg or candle recompute touches a bounded,
-        right-open time range, so the rewrite cost is O(affected
+        copy, no read).  ``replace_from`` may also be a callable
+        ``(partition_value: str) -> bool`` returning True for REPLACED
+        partitions — used when the replaced set isn't a single ordered
+        range (e.g. the unified candles table, where each interval has its
+        own month boundary).  This is the 100 TB form of the per-batch
+        candle upsert/rollback: a reorg or candle recompute touches a
+        bounded, right-open time range, so the rewrite cost is O(affected
         partitions), not O(table) — and stale partitions above the boundary
         that ``new_df`` no longer produces disappear, which is exactly the
-        rollback delete (S7).  ``new_df`` must contain exactly the rows at
-        or above the boundary.
+        rollback delete (S7).  ``new_df`` must contain exactly the rows of
+        the replaced partitions.
 
         Falls back to a plain partitioned stage when the table doesn't
         exist yet.
@@ -106,12 +110,19 @@ class TableStore:
             except ValueError:
                 return str(a) >= str(b)
 
+        if callable(replace_from):
+            replaced = replace_from
+        else:
+            replaced = lambda v: _ge(v, replace_from)
+
+        from urllib.parse import unquote
+
         linked = False
         for entry in os.listdir(prev_dir):
             src = os.path.join(prev_dir, entry)
             if not entry.startswith(prefix) or not os.path.isdir(src):
                 continue
-            if _ge(entry[len(prefix):], replace_from):
+            if replaced(unquote(entry[len(prefix):])):
                 continue  # replaced (or deleted) range
             dst = os.path.join(new_dir, entry)
             os.makedirs(dst, exist_ok=True)

@@ -123,3 +123,50 @@ def test_asset_origins_first_wins(updates, raw_txs):
     org = ingest.extract_asset_origins(au, typed[3]).collect()
     assert len(org) == 1  # only A1 has an issue tx in the fixture
     assert org[0]["asset_id"] == "A1" and org[0]["origin_transaction_id"] == "tx-3-3"
+
+
+def test_codecs_wired_into_ingest(spark):
+    """P5/P6 wiring (convert.rs:130/242, 336, 561-566, 743; waves.rs:35-51):
+    sender derived from the pk when absent, attachment stored base58,
+    script base64:-prefixed, NULs escaped in names and data entries."""
+    from blockchain_postgres_sync_spark.functions import codecs
+
+    pk_raw = b"\x07" * 32
+    pk_b58 = codecs.b58encode_bytes(pk_raw)
+    expected_addr = codecs.address_from_public_key(pk_raw, 87)
+    ts = wf.T0
+    rows = [wf.block(1, 50, 0, [
+        wf._tx(1, 4, ts, sender=None, sender_public_key=pk_b58,
+               asset_id="A1", amount=5, recipient_address="3PR",
+               attachment="YXR0"),           # b64(b"att")
+        wf._tx(2, 3, ts, asset_id="A9", asset_name="bad\x00name",
+               description="d\x00d", quantity=1, decimals=0,
+               reissuable=True, script="AAE="),
+        wf._tx(3, 1, ts, sender=None, sender_public_key=None,
+               recipient_address="3PG", amount=1),  # genesis: stays NULL
+        wf._tx(4, 12, ts, data_entries=[
+            {"data_key": "k\x00k", "data_type": "binary",
+             "data_value_integer": None, "data_value_boolean": None,
+             "data_value_binary": "AQI=", "data_value_string": None},
+            {"data_key": "ks", "data_type": "string",
+             "data_value_integer": None, "data_value_boolean": None,
+             "data_value_binary": None, "data_value_string": "s\x00s"},
+        ]),
+    ])]
+    updates = spark.createDataFrame(rows, schema=ingest.RAW_UPDATE)
+    raw = ingest.extract_raw_txs(updates, chain_id=87)
+    by_id = {r["id"]: r for r in raw.collect()}
+    assert by_id["tx-4-1"]["sender"] == expected_addr
+    assert by_id["tx-4-1"]["attachment"] == codecs.b58encode_bytes(b"att")
+    assert by_id["tx-3-2"]["asset_name"] == "bad\\0name"
+    assert by_id["tx-3-2"]["description"] == "d\\0d"
+    assert by_id["tx-3-2"]["script"] == "base64:AAE="
+    assert by_id["tx-1-3"]["sender"] is None
+    # non-empty sender passes through untouched (convert.rs:130)
+    assert by_id["tx-12-4"]["sender"].startswith("3PSender")
+
+    children = ingest.extract_children(raw)
+    data = {r["data_key"]: r for r in children["txs_12_data"].collect()}
+    assert "k\\0k" in data
+    assert data["k\\0k"]["data_value_binary"] == "base64:AQI="
+    assert data["ks"]["data_value_string"] == "s\\0s"

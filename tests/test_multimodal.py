@@ -67,3 +67,70 @@ def test_fnv_batch_matches_scalar():
         got = _fnv_batch(pd.Series(payloads, dtype=object), salt)
         want = [_fake_u64(p if p is not None else b"", salt) for p in payloads]
         assert [int(x) for x in got] == want
+
+
+def _tiny_png(width=4, height=3):
+    """Hand-assembled 8-bit RGB PNG (filter 0 rows) via stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b""
+    val = 0
+    for _y in range(height):
+        raw += b"\x00"
+        for _x in range(width * 3):
+            raw += bytes([val % 256])
+            val += 7
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _tiny_wav(n_frames=800, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", (1000 if i % 2 else -1000)) for i in range(n_frames)
+        ))
+    return buf.getvalue()
+
+
+def test_real_codec_seam_png_wav(spark):
+    """The codec seam accepts REAL stdlib decoders: a hand-built PNG and a
+    wave-module WAV flow through the same mapInPandas stages as the stub
+    path and produce true decoded dimensions/duration — proving a PIL/
+    librosa codec plugs in without touching the Spark plumbing."""
+    from blockchain_postgres_sync_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features, decode_png_stdlib, decode_wav_stdlib,
+        image_features,
+    )
+
+    png = _tiny_png(width=4, height=3)
+    wav = _tiny_wav(n_frames=800, rate=8000)
+    rows = [
+        (1, "image", bytearray(png), "image/png", None, None, None),
+        (2, "audio", bytearray(wav), "audio/wav", None, None, 0),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    img = image_features(media, codec=decode_png_stdlib).collect()
+    assert len(img) == 1
+    assert (img[0]["width"], img[0]["height"]) == (4, 3)
+    assert img[0]["n_bytes"] == len(png)
+    assert 0.0 < img[0]["mean_intensity"] < 255.0
+
+    aud = audio_features(media, codec=decode_wav_stdlib).collect()
+    assert len(aud) == 1
+    assert aud[0]["duration_ms"] == 100  # 800 frames @ 8 kHz
+    assert abs(aud[0]["rms"] - 1000 / 32768) < 1e-4

@@ -61,7 +61,7 @@ def stores(spark, tmp_path_factory):
 
 ALL_TABLES = (
     ["blocks_microblocks", "asset_updates", "asset_tickers", "waves_data",
-     "asset_origins"] + TX_NAMES + CANDLE_TABLES
+     "asset_origins", "candles"] + TX_NAMES
 )
 
 
@@ -140,8 +140,9 @@ def test_candles_match_batch_recompute(spark, stores):
 def test_candle_price_scaling_applied(stores):
     """v3 trades scale price by 10^(price_dec - amount_dec) (A2)."""
     inc, _ = stores
-    c = inc.read("candles_1m").filter(
-        (F.col("amount_asset_id") == "B2") & (F.col("price_asset_id") == "A1")
+    c = inc.read("candles").filter(
+        (F.col("interval") == "1m")
+        & (F.col("amount_asset_id") == "B2") & (F.col("price_asset_id") == "A1")
     ).orderBy("time_start").collect()
     assert c, "B2/A1 candles missing"
     # B2 decimals=1 (v2 update), A1 decimals=2: price * 10^2 * 10^-1 = x10
@@ -171,8 +172,8 @@ def test_run_stream_end_to_end(spark, stores, tmp_path):
     store_root = str(tmp_path / "store")
     run_stream(spark, str(events_dir), store_root, wf.ASSET_STORAGE)
     got = TableStore(spark, store_root)
-    for name in ["blocks_microblocks", "txs_7", "asset_tickers", "candles_1m",
-                 "candles_1h", "waves_data"]:
+    for name in ["blocks_microblocks", "txs_7", "asset_tickers", "candles",
+                 "waves_data"]:
         g = got.read_or_none(name)
         e = one.read_or_none(name)
         assert g is not None and e is not None, name
@@ -242,3 +243,57 @@ def test_register_views_sql_surface(stores):
 
     age = liveness_age_seconds(inc)
     assert age is not None
+
+
+def test_startup_rollback_ladder_restart(spark, tmp_path):
+    """T4 (mod.rs:122-137, pg.rs:80-112): the defensive restart ladder.
+
+    Crash model: the full log was committed, then the consumer restarts
+    with start_rollback_depth=3 — the ladder height (current 104 - 3 = 101)
+    hits stored block uid 2, so the top block (uid 7) is discarded; the
+    node then re-delivers the canonical chain from the resume height and
+    the store must converge to the uninterrupted run's exact state."""
+    from blockchain_postgres_sync_spark.streaming.pipeline import (
+        startup_rollback,
+    )
+
+    rows = wf.scenario_log()
+    clean = _run_log(spark, tmp_path / "clean", rows, [len(rows)])
+    crash_root = tmp_path / "crash"
+    _run_log(spark, crash_root, rows, [len(rows)])
+
+    store = TableStore(spark, str(crash_root))
+    resume = startup_rollback(store, depth=3, step=500)
+    assert resume == 102
+    assert sorted(r["uid"] for r in store.read("blocks_microblocks").collect()) == [1, 2]
+    assert store.read("txs_7").filter(F.col("id") == "tx-7-500").count() == 0
+
+    # the node re-delivers the CANONICAL chain from the resume height: that
+    # is block-7 only — block-5 was reorged away (rollback-6) and is not on
+    # the canonical chain the node would serve after restart
+    replay = [r for r in rows if r["seq"] == 7]
+    assert all(r["height"] >= resume for r in replay)
+    process_batch(store, _mk_updates(spark, replay), wf.ASSET_STORAGE)
+    assert _table_sets(store, ALL_TABLES) == _table_sets(clean, ALL_TABLES)
+
+
+def test_startup_rollback_empty_and_missing_heights(spark, tmp_path):
+    """Ladder edge cases: empty store -> None (resume from configured
+    start); no stored block at any ladder height (reference .optional()
+    returning None) -> store untouched."""
+    from blockchain_postgres_sync_spark.streaming.pipeline import (
+        startup_rollback,
+    )
+
+    empty = TableStore(spark, str(tmp_path / "empty"))
+    assert startup_rollback(empty, depth=1, step=500) is None
+
+    rows = wf.scenario_log()
+    store_root = tmp_path / "gap"
+    _run_log(spark, store_root, rows, [len(rows)])
+    store = TableStore(spark, str(store_root))
+    before = _table_sets(store, ALL_TABLES)
+    # current height 104, depth 1 -> ladder [103]; no stored block there
+    # (block-5 was reorged away), so the ladder is a no-op
+    assert startup_rollback(store, depth=1, step=500) is None
+    assert _table_sets(store, ALL_TABLES) == before

@@ -149,3 +149,25 @@ def test_dedup_embedding_is_distributed_no_collect(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "LocalTableScan" not in plan
     assert "Scan parquet" in plan
+
+
+def test_current_snapshot_is_partial_agg_not_window(spark):
+    """A8: latest-per-key must run as a declarative max_by aggregate (map-
+    side partial combine, no sort) — a row_number window would sort every
+    partition and ship the full table through the exchange."""
+    plan = _plan(spark, "scd2_current")
+    assert "Window" not in plan
+    assert "max_by" in plan or "MaxBy" in plan, plan
+    assert "partial_max_by" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_ivf_cell_assignment_is_inrow_no_window(spark):
+    """IVF cell assignment must be an in-row argmax over the broadcast
+    codebook array: the only Window in the plan is the final per-query
+    top-k rank — the corpus-per-centroid shuffle + per-vector window of
+    the naive form must not appear."""
+    import re
+
+    plan = _plan(spark, "ann_ivf")
+    window_nodes = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(window_nodes) == 1, plan

@@ -168,3 +168,19 @@ def test_range_join_left_keeps_unmatched(spark):
         (r["pid"], r["tag"]) for r in out.collect()
     )
     assert got == [(100, "a"), (101, None)]
+
+
+def test_epoch_rejects_non_utc_session(spark):
+    """ADVICE r2: NTZ epoch math silently shifts under a non-UTC session —
+    the operators must refuse loudly instead."""
+    import pytest as _pytest
+
+    from blockchain_postgres_sync_spark.operators.temporal import _epoch
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        with _pytest.raises(ValueError, match="UTC session timezone"):
+            _epoch(F.col("ts"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _epoch(F.col("ts"))  # UTC session: fine

@@ -63,14 +63,14 @@ def all_types_txs(ts: dt.datetime) -> list[dict]:
         _tx(3, 3, ts, asset_id="A1", asset_name="Asset One", description="d",
             quantity=1000, decimals=2, reissuable=True),
         _tx(4, 4, ts, asset_id="A1", amount=5, recipient_address="3PRecip4",
-            attachment="att"),
+            attachment="YXR0"),
         _tx(5, 5, ts, asset_id="A1", quantity=50, reissuable=False),
         _tx(6, 6, ts, asset_id="A1", amount=7),
         exchange_tx(7, ts, "A1", "WAVES", "3PMatcher0", 100, 250),
         _tx(8, 8, ts, recipient_address="3PRecip8", amount=80),
         _tx(9, 9, ts, lease_id="tx-8-8"),
         _tx(10, 10, ts, alias="my-alias"),
-        _tx(11, 11, ts, asset_id="A1", attachment="a11",
+        _tx(11, 11, ts, asset_id="A1", attachment="YTEx",
             transfers=[{"recipient_address": "3PR0", "recipient_alias": None, "amount": 1},
                        {"recipient_address": "3PR1", "recipient_alias": None, "amount": 2}]),
         _tx(12, 12, ts,
@@ -80,9 +80,9 @@ def all_types_txs(ts: dt.datetime) -> list[dict]:
                           {"data_key": "k2", "data_type": "string",
                            "data_value_integer": None, "data_value_boolean": None,
                            "data_value_binary": None, "data_value_string": "v"}]),
-        _tx(13, 13, ts, script="base64:AAE="),
+        _tx(13, 13, ts, script="AAE="),
         _tx(14, 14, ts, asset_id="A1", min_sponsored_asset_fee=5),
-        _tx(15, 15, ts, asset_id="A1", script="base64:AAI="),
+        _tx(15, 15, ts, asset_id="A1", script="AAI="),
         _tx(16, 16, ts, dapp_address="3PDapp", function_name="call",
             invoke_error="boom",
             args=[{"arg_type": "integer", "arg_value_integer": 5,
