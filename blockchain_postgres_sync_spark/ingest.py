@@ -90,6 +90,9 @@ RAW_TX = StructType([
     _f("dapp_address", _S),
     _f("dapp_alias", _S),
     _f("function_name", _S),
+    # Ethereum action from decoded metadata (convert.rs:155-161):
+    # "transfer" | "invoke"; when absent, inferred from function_name
+    _f("eth_action", _S),
     _f("bytes", BinaryType()),
     _f("transfers", ArrayType(StructType([
         _f("recipient_address", _S), _f("recipient_alias", _S), _f("amount", _L),
@@ -198,7 +201,10 @@ def extract_raw_txs(updates: DataFrame, chain_id: int = 87) -> DataFrame:
         # signature = explicit signature else first proof (convert.rs:108-112)
         F.coalesce(t["signature"], F.element_at(t["proofs"], 1)).alias("signature"),
         t["proofs"].alias("proofs"),
-        t["tx_version"].alias("tx_version"),
+        # Ethereum txs always store version 1 (convert.rs:147)
+        F.when(t["tx_type"] == 18, F.lit(1).cast("short"))
+        .otherwise(t["tx_version"])
+        .alias("tx_version"),
         F.coalesce(t["fee"], F.lit(0)).alias("fee"),  # convert.rs:236-240
         # status rule: convert.rs:115-128
         F.when(t["invoke_error"].isNotNull(), F.lit("script_execution_failed"))
@@ -239,12 +245,21 @@ def extract_raw_txs(updates: DataFrame, chain_id: int = 87) -> DataFrame:
         t["min_sponsored_asset_fee"].alias("min_sponsored_asset_fee"),
         t["dapp_address"].alias("dapp_address"),
         t["dapp_alias"].alias("dapp_alias"),
-        t["function_name"].alias("function_name"),
+        # Ethereum transfer-vs-invoke from decoded metadata (convert.rs:
+        # 155-210): a transfer action stores NO function/args/payments;
+        # function_name only exists for invoke (up.sql:327 NULL=transfer)
+        F.when(_eth_transfer(t), F.lit(None).cast("string"))
+        .otherwise(t["function_name"])
+        .alias("function_name"),
         t["bytes"].alias("bytes"),
         t["transfers"].alias("transfers"),
         t["data_entries"].alias("data_entries"),
-        t["args"].alias("args"),
-        t["payments"].alias("payments"),
+        F.when(_eth_transfer(t), F.filter(t["args"], lambda _: F.lit(False)))
+        .otherwise(t["args"])
+        .alias("args"),
+        F.when(_eth_transfer(t), F.filter(t["payments"], lambda _: F.lit(False)))
+        .otherwise(t["payments"])
+        .alias("payments"),
     )
 
 
@@ -306,6 +321,18 @@ def txs_union_view(typed: dict[int, DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _eth_transfer(t: Column) -> Column:
+    """An Ethereum tx whose decoded metadata action is a plain transfer
+    (convert.rs:155-160): explicitly marked, or — when the envelope carries
+    no action — inferred from the absent function_name (up.sql:327)."""
+    return (t["tx_type"] == 18) & (
+        F.coalesce(
+            t["eth_action"] == "transfer",
+            t["function_name"].isNull(),
+        )
+    )
 
 
 def _prefixed_b64(col: Column) -> Column:

@@ -170,3 +170,36 @@ def test_codecs_wired_into_ingest(spark):
     assert "k\\0k" in data
     assert data["k\\0k"]["data_value_binary"] == "base64:AQI="
     assert data["ks"]["data_value_string"] == "s\\0s"
+
+
+def test_ethereum_transfer_vs_invoke(spark):
+    """txs_18 (mod.rs:518-568, convert.rs:134-210): version pinned to 1;
+    a transfer action stores NULL function_name and no args/payments even
+    if the envelope carries stale ones; invoke keeps them; raw bytes kept."""
+    ts = wf.T0
+    transfer = wf._tx(1, 18, ts, bytes=b"\xf8\x6b", eth_action="transfer",
+                      function_name="stale", tx_version=2,
+                      args=[{"arg_type": "integer", "arg_value_integer": 1,
+                             "arg_value_boolean": None, "arg_value_binary": None,
+                             "arg_value_string": None, "arg_value_list": None,
+                             "arg_list": None}],
+                      payments=[{"amount": 5, "asset_id": None}])
+    invoke = wf._tx(2, 18, ts, bytes=b"\xf8\x6c", eth_action="invoke",
+                    function_name="call", tx_version=3,
+                    args=[], payments=[{"amount": 9, "asset_id": "A1"}])
+    inferred = wf._tx(3, 18, ts, bytes=b"\xf8\x6d", function_name=None,
+                      args=[], payments=[{"amount": 7, "asset_id": None}])
+    updates = spark.createDataFrame(
+        [wf.block(1, 70, 0, [transfer, invoke, inferred])], schema=ingest.RAW_UPDATE
+    )
+    raw = ingest.extract_raw_txs(updates)
+    by_id = {r["id"]: r for r in raw.collect()}
+    t, i, n = by_id["tx-18-1"], by_id["tx-18-2"], by_id["tx-18-3"]
+    assert t["function_name"] is None and t["args"] == [] and t["payments"] == []
+    assert bytes(t["bytes"]) == b"\xf8\x6b"
+    assert t["tx_version"] == 1 and i["tx_version"] == 1
+    assert i["function_name"] == "call" and len(i["payments"]) == 1
+    assert n["function_name"] is None and n["payments"] == []  # inferred transfer
+    children = ingest.extract_children(raw)
+    pays = children["txs_18_payment"].collect()
+    assert {(p["tx_uid"], p["amount"]) for p in pays} == {(i["uid"], 9)}

@@ -297,3 +297,45 @@ def test_startup_rollback_empty_and_missing_heights(spark, tmp_path):
     # (block-5 was reorged away), so the ladder is a no-op
     assert startup_rollback(store, depth=1, step=500) is None
     assert _table_sets(store, ALL_TABLES) == before
+
+
+def test_liveness_probe_endpoints(spark, stores):
+    """S10 (bin/consumer.rs:9-12, 33-46): /live always 200; /ready reflects
+    newest-key-block age vs the 300 s bound; /metrics exposes the gauge."""
+    import json as _json
+    import urllib.request
+
+    from blockchain_postgres_sync_spark.streaming.probe import LivenessProbe
+
+    inc, _ = stores
+    # fixture blocks are dated 2024 -> stale -> not ready
+    probe = LivenessProbe(inc, port=0, poll_interval_secs=0)
+    port = probe.start()
+    try:
+        def get(path):
+            try:
+                r = urllib.request.urlopen(f"http://127.0.0.1:{port}{path}")
+                return r.status, r.read()
+            except urllib.error.HTTPError as e:
+                return e.code, e.read()
+
+        code, body = get("/live")
+        assert code == 200
+        code, body = get("/ready")
+        assert code == 503
+        payload = _json.loads(body)
+        assert payload["ready"] is False and payload["block_age_seconds"] > 300
+        code, body = get("/metrics")
+        assert code == 200 and b"block_age_seconds" in body
+
+        # a probe with an enormous allowed age reports ready
+        fresh = LivenessProbe(inc, port=0, max_block_age_secs=10**12,
+                              poll_interval_secs=0)
+        fport = fresh.start()
+        try:
+            r = urllib.request.urlopen(f"http://127.0.0.1:{fport}/ready")
+            assert r.status == 200
+        finally:
+            fresh.stop()
+    finally:
+        probe.stop()

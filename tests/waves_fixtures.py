@@ -90,7 +90,8 @@ def all_types_txs(ts: dt.datetime) -> list[dict]:
                    "arg_value_string": None, "arg_value_list": None}],
             payments=[{"amount": 9, "asset_id": None}]),
         _tx(17, 17, ts, asset_id="A1", asset_name="Asset One v2", description="d2"),
-        _tx(18, 18, ts, bytes=b"\x01\x02", function_name=None,
+        _tx(18, 18, ts, bytes=b"\x01\x02", function_name="call18",
+            eth_action="invoke",
             args=[], payments=[{"amount": 3, "asset_id": "A1"}]),
     ]
 
