@@ -422,6 +422,48 @@ def q_tumbling_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical exchange-order JSON serialization (models.rs:101-189):
+    structured orders synthesized deterministically from events are
+    serialized with the reference's version-dependent field set, 0x-hex
+    eip712 signature and priceMode decode; the oracle builds the identical
+    byte strings.  Covers all four version shapes, empty/missing assets,
+    empty proofs, and the matcherFee default in one oracle-hashed query."""
+    from ..functions.orders import canonical_order_json
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ts_ms = (F.floor(F.unix_timestamp(F.col("ts"))) * 1000).cast("long")
+    o = F.struct(
+        F.concat(F.lit("ord-"), F.col("event_id").cast("string")).alias("id"),
+        (F.col("event_id") % 4 + 1).cast("int").alias("version"),
+        F.concat(F.lit("3P"), (F.col("user_id") % 100).cast("string")).alias("sender"),
+        F.concat(F.lit("PK"), (F.col("user_id") % 7).cast("string")).alias("sender_public_key"),
+        F.lit("MPK").alias("matcher_public_key"),
+        F.col("event_type").alias("amount_asset_id"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("")).otherwise(F.lit("USD")).alias("price_asset_id"),
+        (F.col("event_id") % 2).cast("int").alias("order_side"),
+        (F.col("event_id") % 1000 + 1).cast("long").alias("amount"),
+        F.floor(F.col("value") * 100).cast("long").alias("price"),
+        ts_ms.alias("timestamp"),
+        (ts_ms + 86400000).cast("long").alias("expiration"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("event_id") % 10000).cast("long")).alias("matcher_fee"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("FEE1")).otherwise(F.lit("")).alias("matcher_fee_asset_id"),
+        F.when(F.col("event_id") % 7 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("sig-"), F.col("event_id").cast("string")), F.lit("p2")))
+        .alias("proofs"),
+        F.when(
+            F.col("event_id") % 2 == 1,
+            F.base64(F.encode(F.concat(F.lit("es"), F.col("event_id").cast("string")), "utf-8")),
+        ).alias("eip712_signature"),
+        (F.col("event_id") % 3).cast("int").alias("price_mode"),
+    )
+    return ev.select(
+        F.col("event_id").alias("order_id"),
+        canonical_order_json(o).alias("order_json"),
+    )
+
+
 def q_json_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 jsonb ``->>`` surface (order-doc indexes, up.sql:670-676):
     extract a JSON field with the Catalyst built-in get_json_object (no UDF)
@@ -1243,6 +1285,7 @@ CATALOG: dict[str, QueryFn] = {
     "tumbling_window_5m": q_tumbling_window_5m,
     "latest_supply": q_latest_supply,
     "json_field_agg": q_json_field_agg,
+    "order_json": q_order_json,
     "asset_name_search": q_asset_name_search,
     "dedup_exact": q_dedup_exact,
     "dedup_tokenset": q_dedup_tokenset,
@@ -1404,6 +1447,56 @@ ORACLES: dict[str, str] = {
                   (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1
+    """,
+    "order_json": """
+        WITH src AS (
+            SELECT event_id,
+                   event_id % 4 + 1 AS version,
+                   '3P' || (user_id % 100) AS sender,
+                   'PK' || (user_id % 7) AS spk,
+                   event_type AS aa,
+                   CASE WHEN user_id % 2 = 0 THEN 'null' ELSE '"USD"' END AS pa_tok,
+                   CASE WHEN event_id % 2 = 1 THEN 'sell' ELSE 'buy' END AS otype,
+                   event_id % 1000 + 1 AS amount,
+                   CAST(floor(value * 100) AS BIGINT) AS price,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS tsm,
+                   CASE WHEN event_id % 5 = 0 THEN 0
+                        ELSE event_id % 10000 END AS mfee,
+                   CASE WHEN event_id % 7 = 0 THEN '[]'
+                        ELSE '["sig-' || event_id || '","p2"]' END AS proofs_j,
+                   CASE WHEN event_id % 7 = 0 THEN ''
+                        ELSE 'sig-' || event_id END AS sig,
+                   CASE WHEN event_id % 3 = 0 THEN '"FEE1"'
+                        ELSE 'null' END AS mfa_tok,
+                   CASE WHEN event_id % 2 = 1
+                        THEN '"0x' || lower(hex('es' || event_id)) || '"'
+                        ELSE 'null' END AS eip_tok,
+                   CASE event_id % 3 WHEN 1 THEN '"fixedDecimals"'
+                                     WHEN 2 THEN '"assetDecimals"'
+                                     ELSE 'null' END AS pmode_tok
+            FROM events WHERE event_id < 500)
+        SELECT event_id AS order_id,
+               '{"id":"ord-' || event_id || '","version":' || version
+               || ',"sender":"' || sender
+               || '","senderPublicKey":"' || spk
+               || '","matcherPublicKey":"MPK","assetPair":{"amountAsset":"'
+               || aa || '","priceAsset":' || pa_tok
+               || '},"orderType":"' || otype
+               || '","amount":' || amount
+               || ',"price":' || price
+               || ',"timestamp":' || tsm
+               || ',"expiration":' || (tsm + 86400000)
+               || ',"matcherFee":' || mfee
+               || ',"proofs":' || proofs_j
+               || ',"signature":"' || sig || '"'
+               || CASE WHEN version >= 3
+                       THEN ',"matcherFeeAssetId":' || mfa_tok ELSE '' END
+               || CASE WHEN version >= 4
+                       THEN ',"eip712Signature":' || eip_tok
+                            || ',"priceMode":' || pmode_tok
+                       ELSE '' END
+               || '}' AS order_json
+        FROM src
     """,
     "json_field_agg": """
         WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
