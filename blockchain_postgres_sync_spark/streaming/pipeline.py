@@ -218,10 +218,14 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
 
     def _merge(ivl: str, new_part: DataFrame) -> None:
         """new_part = recomputed rows with time_start >= starts[ivl].
-        Persisted (lazily): each level feeds BOTH the next rollup and the
-        final content union — without the cache the deep per-branch lineage
-        defeats exchange reuse and each level recomputes once per consumer."""
-        new_content[ivl] = new_part.persist()
+        Materialized eagerly (localCheckpoint): each level feeds BOTH the
+        next rollup and the final content union — lazy caching leaves the
+        single write job racing its own branches (each recomputes the
+        shared prefix before the cache fills), measured ~1.5x slower
+        end-to-end.  Levels are tiny (the recompute window), so the
+        checkpoint is cheap; it is not executor-loss-resilient, but the
+        store commit is transactional so a lost batch simply replays."""
+        new_content[ivl] = new_part.localCheckpoint(eager=True)
         stored = stored_level(ivl)
         start_lit = F.lit(starts[ivl]).cast("timestamp")
         if stored is None:
@@ -266,8 +270,6 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
         return rf is None or month >= rf
 
     store.stage_range_replace("candles", content, "p_ib", replaced)
-    for df in new_content.values():
-        df.unpersist()
 
 
 def read_all_candles(store: TableStore) -> DataFrame:
