@@ -198,8 +198,18 @@ def _candles_final(df: DataFrame, with_interval: bool) -> DataFrame:
 
 
 def q_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A4/W2: the reference's minute-candle hash-agg (pg.rs:680-738)."""
-    return _candles_final(minute_candles(_trades(spark, sf_dir)), with_interval=False)
+    """A1/A4/W2: the reference's minute-candle hash-agg (pg.rs:680-738).
+
+    Uses the long fixed-point hot path (fixedpoint_frac=2): here price is
+    DECIMAL(18,2) by construction and amount <= 97, so amount*price*100 <
+    10^9 per row and a minute-pair group of even 10^9 rows stays under
+    2^63 — the documented bound holds with eight orders of margin.  Output
+    is bit-identical to the exact-decimal default (asserted by
+    test_candles_fixedpoint_parity)."""
+    return _candles_final(
+        minute_candles(_trades(spark, sf_dir), fixedpoint_frac=2),
+        with_interval=False,
+    )
 
 
 def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +226,10 @@ def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles here, so the session's small AQE advisory partition size is
     what keeps the 13 stages multi-threaded (session.py)."""
     return _candles_final(
-        full_cascade(minute_candles(_trades(spark, sf_dir)), persist_levels=False),
+        full_cascade(
+            minute_candles(_trades(spark, sf_dir), fixedpoint_frac=2),
+            persist_levels=False,
+        ),
         True,
     )
 

@@ -100,6 +100,26 @@ def test_candle_invariants(spark, trades):
         assert abs(agg["quote"] - base["quote"]) < 1e-6 * max(base["quote"], 1)
 
 
+@given(_trades())
+@_slow
+def test_candles_fixedpoint_parity(spark, trades):
+    """minute_candles(fixedpoint_frac=2) must be BIT-IDENTICAL (schema and
+    values) to the exact-decimal default whenever its declared bounds hold —
+    here prices carry exactly 2 fractional digits by construction."""
+    df = spark.createDataFrame(
+        trades,
+        ["uid", "time_stamp", "amount_asset_id", "price_asset_id",
+         "sender", "height", "amount", "price"],
+    ).withColumn("time_stamp", F.col("time_stamp").cast("timestamp")).withColumn(
+        "price", F.col("price").cast("decimal(18,2)")
+    )
+    a = minute_candles(df)
+    b = minute_candles(df, fixedpoint_frac=2)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 @given(st.integers(min_value=2, max_value=16))
 @_slow
 def test_uid_assignment_repartition_invariant(spark, nparts):
