@@ -60,6 +60,10 @@ HEADLINE = [
     "corpus_stats",
     "session_attribution",
     "dedup_kept_corpus",
+    "contamination",
+    "shingle_novelty",
+    "text_repetition",
+    "pii_scrub",
 ]
 
 

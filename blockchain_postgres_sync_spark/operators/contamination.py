@@ -1,0 +1,124 @@
+"""Benchmark-contamination detection and cross-document shingle novelty.
+
+Standard LLM training-data hygiene operators beyond the reference's own
+surface (the reference's closest analog is its tsvector name search,
+migrations/.../up.sql:703-705 — token-level containment over a corpus):
+
+- ``benchmark_contamination``: for each corpus document, the benchmark
+  document with the highest n-gram containment (|doc ∩ bench| / |doc|) —
+  the decontamination primitive (drop corpus docs that "contain" an eval
+  set item).
+- ``shingle_novelty``: per document, how many of its shingles also occur
+  in other documents — the inter-document repetition signal used for
+  boilerplate pruning.
+
+Plan shapes (100 TB posture):
+- contamination: the benchmark side is small by definition (an eval set) —
+  its exploded posting list BROADCASTS; the corpus streams map-side through
+  one explode + broadcast-hash-join, then a single shuffle groups
+  (doc, bench) pair hits.  No corpus self-join anywhere.
+- novelty: ONE groupBy(shingle) builds posting counts, then doc stats come
+  from re-exploding the grouped ids — same single-exchange re-use trick as
+  ngram_jaccard_pairs (operators/dedup.py), no shingle join back to docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_shingles
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Per corpus document: the benchmark document with the highest n-gram
+    containment score, ``containment_x100 = floor(100 * |doc ∩ bench| /
+    |doc shingles|)`` (exact integer — hash-comparable across engines).
+
+    Returns (id_col, bench_id, containment_x100) for documents whose best
+    score reaches ``min_containment`` (a 0..1 fraction).  Documents sharing
+    no shingle with any benchmark doc are clean and do not appear.
+
+    Ties on containment resolve to the smallest bench id (deterministic).
+    """
+    bench_sh = _doc_shingles(
+        benchmark.select(F.col(bench_id_col).alias("_bid"), text_col),
+        "_bid", text_col, shingle_size,
+    )
+    doc_sh = _doc_shingles(corpus, id_col, text_col, shingle_size)
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_doc"))
+
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "_bid")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    scored = hits.join(F.broadcast(sizes), id_col).withColumn(
+        "containment_x100",
+        F.floor(
+            F.col("_n_inter").cast("double") * 100.0 / F.col("_n_doc").cast("double")
+        ).cast("long"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("containment_x100"), (-F.col("_bid")).alias("_nb")))
+        .alias("_best")
+    )
+    return best.select(
+        id_col,
+        (-F.col("_best._nb")).cast("long").alias(bench_id_col),
+        F.col("_best.containment_x100").alias("containment_x100"),
+    ).filter(F.col("containment_x100") >= int(min_containment * 100))
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per document: distinct-shingle count, how many of those shingles also
+    appear in at least one OTHER document, and the shared fraction
+    ``shared_x100`` (floor of 100 * shared / total, exact integer).
+
+    Count-only postings (never a materialized id list — a stop-shingle's
+    posting list would be one corpus-sized row) joined back to the shingle
+    table ON THE SAME KEY the count aggregate shuffled on: AQE exchange
+    reuse executes the tokenize+shingle+shuffle once and the join consumes
+    the co-partitioned sides without a new exchange, so the whole operator
+    costs one wide exchange over (doc, shingle) plus the final per-doc agg.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_size)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n_docs"))
+    out = (
+        sh.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        F.floor(
+            F.col("n_shared").cast("double") * 100.0 / F.col("n_shingles").cast("double")
+        ).cast("long").alias("shared_x100"),
+    )

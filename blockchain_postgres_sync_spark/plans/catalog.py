@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from ..constants import ALL_INTERVALS, CANDLE_CASCADE, INTERVALS, MAX_UID
 from ..sources.tables import load_table
 from ..functions import text as T
-from ..operators import dedup, multimodal, sampling, similarity, stats, temporal
+from ..functions import pii as PII
+from ..operators import (
+    contamination, dedup, multimodal, sampling, similarity, stats, temporal,
+)
 from ..operators.candles import full_cascade, minute_candles, scale_prices
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
@@ -744,6 +747,62 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: docs with doc_id % 20 == 0 play the
+    eval set; every other doc reports its most-contaminating benchmark doc
+    at 3-gram containment >= 5%.  Benchmark postings broadcast; the corpus
+    never self-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination.benchmark_contamination(
+        corpus, bench, shingle_size=3, min_containment=0.05
+    )
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document shingle-sharing stats (boilerplate signal): one
+    groupBy(shingle) exchange, doc stats from re-exploded posting lists."""
+    return contamination.shingle_novelty(
+        _t(spark, sf_dir, "documents"), shingle_size=3
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate n-gram ratios (gopher-style repetition
+    signals), integer-exact, pure per-row Catalyst — zero shuffles."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def dup_x100(n: int) -> F.Column:
+        sh = T.token_shingles(F.col("text"), n)
+        total = F.size(sh)
+        distinct = F.size(F.array_distinct(sh))
+        return F.floor(
+            (total - distinct).cast("double") * 100.0 / total.cast("double")
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        dup_x100(2).alias("dup_2gram_x100"),
+        dup_x100(3).alias("dup_3gram_x100"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the corpus: per-doc match counts and the
+    md5 of the redacted text (hash-checks the full rewrite, not just the
+    counts).  Codegen regex — no Python in the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = PII.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(PII.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
 #: documents → opaque-binary media rows (multimodal plumbing over testdata):
 #: payload = utf-8 text bytes, kind cycles image/audio/video by doc_id.
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,6 +1400,10 @@ CATALOG: dict[str, QueryFn] = {
     "label_centroids": q_label_centroids,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "contamination": q_contamination,
+    "shingle_novelty": q_shingle_novelty,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
@@ -1650,6 +1713,81 @@ ORACLES: dict[str, str] = {
     """,
     "lang_id": _lang_id_oracle_sql(),
     "doc_fingerprint": _FINGERPRINT_SQL,
+    "contamination": f"""
+        WITH {_SHINGLES_SQL},
+        bench AS (SELECT doc_id AS bid, shingle FROM sh WHERE doc_id % 20 = 0),
+        corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc
+                  FROM corp GROUP BY doc_id),
+        hits AS (SELECT c.doc_id, b.bid, CAST(count(*) AS BIGINT) AS n_inter
+                 FROM corp c JOIN bench b USING (shingle)
+                 GROUP BY c.doc_id, b.bid),
+        scored AS (
+            SELECT h.doc_id, h.bid,
+                   CAST(floor(CAST(h.n_inter AS DOUBLE) * 100.0
+                       / CAST(s.n_doc AS DOUBLE)) AS BIGINT) AS cx,
+                   row_number() OVER (PARTITION BY h.doc_id
+                                      ORDER BY CAST(floor(CAST(h.n_inter AS DOUBLE) * 100.0
+                                          / CAST(s.n_doc AS DOUBLE)) AS BIGINT) DESC,
+                                          h.bid ASC) AS rn
+            FROM hits h JOIN sizes s ON s.doc_id = h.doc_id)
+        SELECT doc_id, CAST(bid AS BIGINT) AS bench_id,
+               cx AS containment_x100
+        FROM scored WHERE rn = 1 AND cx >= 5
+    """,
+    "shingle_novelty": f"""
+        WITH {_SHINGLES_SQL},
+        counts AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(floor(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS shared_x100
+        FROM sh s JOIN counts c USING (shingle)
+        GROUP BY s.doc_id
+    """,
+    "text_repetition": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                  i -> array_to_string(t[i:i+1], ' ')) AS g2,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS g3
+            FROM toks)
+        SELECT doc_id,
+               CAST(floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                   * 100.0 / CAST(len(g2) AS DOUBLE)) AS BIGINT)
+                   AS dup_2gram_x100,
+               CAST(floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                   * 100.0 / CAST(len(g3) AS DOUBLE)) AS BIGINT)
+                   AS dup_3gram_x100
+        FROM grams
+    """,
+    "pii_scrub": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                   AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+                   AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text,
+                   '[+][0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                   AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+                   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+                   '<IP>', 'g'),
+                   '[+][0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                   '<PHONE>', 'g')) AS redacted_md5
+        FROM documents
+    """,
     "media_image_features": _MEDIA_IMAGE_SQL,
     "media_audio_features": _MEDIA_AUDIO_SQL,
     "media_frame_sample": _MEDIA_FRAMES_SQL,

@@ -147,3 +147,63 @@ def test_embedding_neardup_grid_matches_exact(spark):
         ).collect()
     }
     assert grid == exact and len(grid) > 0
+
+
+def test_pii_redaction_and_counts(spark):
+    """Real-PII fixture strings: counts find every planted item and the
+    redacted text masks them all (the corpus oracle only proves the
+    zero-match case, so the positive path is pinned here)."""
+    from blockchain_postgres_sync_spark.functions import pii
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or call +14155552671"),
+        (2, "server at 192.168.0.1 logged bob@corp.io twice 10.0.0.255"),
+        (3, "phones: 415-555-2671 and +442071838750 end"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in counts.items()],
+            pii.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 0)
+    assert (out[2].n_emails, out[2].n_ips) == (1, 2)
+    assert (out[3].n_phones, out[3].n_emails) == (2, 0)
+    assert (out[4].n_emails, out[4].n_phones, out[4].n_ips) == (0, 0, 0)
+    assert out[1].red == "contact me at <EMAIL> or call <PHONE>"
+    assert out[2].red == "server at <IP> logged <EMAIL> twice <IP>"
+    assert out[3].red == "phones: <PHONE> and <PHONE> end"
+    assert out[4].red == "no pii here at all"
+
+
+def test_contamination_direct(spark):
+    """A corpus doc that quotes a benchmark doc verbatim scores 100;
+    a disjoint doc does not appear."""
+    from blockchain_postgres_sync_spark.operators import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "bench_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),       # verbatim: 100
+            (2, "alpha beta gamma zeta eta theta iota"), # partial overlap
+            (3, "one two three four five six"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination.benchmark_contamination(
+            corpus, bench, shingle_size=3
+        ).collect()
+    }
+    assert out[1].containment_x100 == 100 and out[1].bench_id == 100
+    # doc 2: shingles = 5, shared = 1 ("alpha beta gamma") -> 20
+    assert out[2].containment_x100 == 20
+    assert 3 not in out
