@@ -171,3 +171,31 @@ def test_ivf_cell_assignment_is_inrow_no_window(spark):
     plan = _plan(spark, "ann_ivf")
     window_nodes = re.findall(r"\(\d+\) Window\b", plan)
     assert len(window_nodes) == 1, plan
+
+
+def test_contamination_broadcasts_benchmark_postings(spark):
+    """The eval-set shingle postings must broadcast: a shuffle join would
+    move the full corpus's exploded shingles for a dimension-sized side."""
+    plan = _plan(spark, "contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pii_and_repetition_are_zero_shuffle(spark):
+    """Per-row text ops: no exchange, no Python — scan-bound at any scale."""
+    for name in ("pii_scrub", "text_repetition"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_shingle_novelty_reuses_shingle_exchange(spark):
+    """Count postings + join back must share ONE exchange over the exploded
+    shingles (AQE exchange reuse), and never materialize id lists."""
+    plan = _plan(spark, "shingle_novelty")
+    assert "collect_list" not in plan
+    # the (doc, shingle) explode feeds both the count agg and the join
+    # probe; with exchange reuse the *initial* plan carries at most the
+    # shuffles for: shingle count agg, join alignment, per-doc agg
+    assert plan.count("Exchange hashpartitioning") <= 3
