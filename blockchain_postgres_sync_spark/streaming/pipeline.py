@@ -698,11 +698,9 @@ def run_stream(
             depth=start_rollback_depth,
             step=rollback_step,
         )
-    stream = (
-        spark.readStream.schema(RAW_UPDATE)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(events_dir)
-    )
+    from ..sources.live_updates import file_updates
+
+    stream = file_updates(spark, events_dir, max_files_per_trigger)
 
     def _fb(batch_df: DataFrame, _batch_id: int) -> None:
         process_batch(

@@ -1,0 +1,124 @@
+"""Streaming exact dedup: first-seen-wins across micro-batches must keep
+exactly one row per content digest — including duplicates that arrive in a
+LATER micro-batch than the original (state carried across triggers) — and
+the kept set must equal the batch dedup's representative set."""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import tempfile
+import threading
+import time
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.sources.live_updates import parse_update_lines
+from blockchain_postgres_sync_spark.streaming.dedup_stream import (
+    streaming_exact_dedup,
+)
+
+ROWS_B1 = [
+    Row(doc_id=1, text="alpha beta"),
+    Row(doc_id=2, text="gamma delta"),
+    Row(doc_id=3, text="alpha beta"),      # intra-batch dup of 1
+]
+ROWS_B2 = [
+    Row(doc_id=4, text="gamma delta"),     # cross-batch dup of 2
+    Row(doc_id=5, text="epsilon zeta"),    # fresh
+]
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark):
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        schema = None
+        for i, rs in enumerate((ROWS_B1, ROWS_B2)):
+            df = spark.createDataFrame(rs)
+            schema = df.schema
+            df.coalesce(1).write.mode("overwrite").parquet(f"{d}/b{i}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.doc_id: r.text
+            for r in spark.sql("SELECT * FROM dedup_stream_out").collect()
+        }
+        # one row per distinct content; first-seen doc ids win
+        assert got == {1: "alpha beta", 2: "gamma delta", 5: "epsilon zeta"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parse_update_lines_roundtrip(spark):
+    """The socket/Kafka line decoder yields RAW_UPDATE rows; malformed
+    lines drop instead of poisoning the stream."""
+    good = (
+        '{"seq": 1, "kind": "block", "id": "b0", "height": 10,'
+        ' "time_stamp": 1700000000000, "ref_id": null,'
+        ' "waves_quantity": null, "transactions": [],'
+        ' "asset_updates": [], "data_entries": []}'
+    )
+    lines = spark.createDataFrame(
+        [(good,), ("{not json",)], "value string"
+    )
+    rows = parse_update_lines(lines).collect()
+    assert len(rows) == 1
+    assert (rows[0]["seq"], rows[0]["kind"], rows[0]["height"]) == (1, "block", 10)
+
+
+def test_socket_updates_end_to_end(spark):
+    """S1 live-subscription shape: frames served over TCP arrive as typed
+    RAW_UPDATE rows through the socket source."""
+    from blockchain_postgres_sync_spark.sources.live_updates import socket_updates
+
+    frame = (
+        '{"seq": 7, "kind": "block", "id": "b7", "height": 42,'
+        ' "time_stamp": 1700000000000, "ref_id": null,'
+        ' "waves_quantity": null, "transactions": [],'
+        ' "asset_updates": [], "data_entries": []}'
+    )
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall((frame + "\n").encode())
+            time.sleep(3)  # keep the connection up past the first trigger
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        socket_updates(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName("socket_updates_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(0.5)
+            rows = spark.sql("SELECT * FROM socket_updates_out").collect()
+        assert rows, "no rows arrived over the socket source"
+        assert (rows[0]["seq"], rows[0]["height"]) == (7, 42)
+    finally:
+        q.stop()
+        srv.close()
