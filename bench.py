@@ -64,6 +64,7 @@ HEADLINE = [
     "shingle_novelty",
     "text_repetition",
     "pii_scrub",
+    "corpus_cardinality",
 ]
 
 

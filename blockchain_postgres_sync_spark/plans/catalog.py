@@ -803,6 +803,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus cardinalities: docs, distinct contents (md5),
+    distinct tokens, total tokens.  Exercises Spark's multi-distinct
+    aggregation (Expand-based: one pass, per-distinct-column duplication)
+    — the exact counterpart of the approx_count_distinct sketch you would
+    switch to at 100 TB when +-2% suffices."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "lang", F.md5("text").alias("digest"), "doc_id",
+        F.explode(T.tokens(F.col("text"))).alias("tok"),
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("digest").alias("n_distinct_contents"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 #: documents → opaque-binary media rows (multimodal plumbing over testdata):
 #: payload = utf-8 text bytes, kind cycles image/audio/video by doc_id.
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,6 +1423,7 @@ CATALOG: dict[str, QueryFn] = {
     "shingle_novelty": q_shingle_novelty,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
+    "corpus_cardinality": q_corpus_cardinality,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
@@ -1767,6 +1787,18 @@ ORACLES: dict[str, str] = {
                    * 100.0 / CAST(len(g3) AS DOUBLE)) AS BIGINT)
                    AS dup_3gram_x100
         FROM grams
+    """,
+    "corpus_cardinality": """
+        WITH toks AS (
+            SELECT lang, md5(text) AS digest, doc_id,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+        SELECT lang,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_contents,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY lang
     """,
     "pii_scrub": """
         SELECT doc_id,

@@ -199,3 +199,40 @@ def test_shingle_novelty_reuses_shingle_exchange(spark):
     # probe; with exchange reuse the *initial* plan carries at most the
     # shuffles for: shingle count agg, join alignment, per-doc agg
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count must SortMergeJoin with no
+    exchange on either side — the storage layout SCALE.md prescribes for
+    repeated 100 TB equi-joins (postings, tx-id lookups)."""
+    from blockchain_postgres_sync_spark.sources.bucketed import (
+        read_bucketed, write_bucketed,
+    )
+
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "CAST(id % 50 AS STRING) AS shingle"
+    )
+    counts = spark.range(0, 50).selectExpr(
+        "CAST(id AS STRING) AS shingle", "id * 3 AS n_docs"
+    )
+    write_bucketed(docs, "b_docs", ["shingle"], 8,
+                   sort_cols=["shingle"], path=str(tmp_path / "b_docs"))
+    write_bucketed(counts, "b_counts", ["shingle"], 8,
+                   sort_cols=["shingle"], path=str(tmp_path / "b_counts"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "b_docs").join(
+            read_bucketed(spark, "b_counts"), "shingle"
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_counts")
