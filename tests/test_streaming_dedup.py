@@ -122,3 +122,71 @@ def test_socket_updates_end_to_end(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_inrow_minhash_matches_batch(spark):
+    """The per-row signature expressions must be value-identical to the
+    batch minhash_signatures aggregate (same md5 base, same affine family)."""
+    from blockchain_postgres_sync_spark.operators.dedup import minhash_signatures
+    from blockchain_postgres_sync_spark.streaming.lsh_stream import (
+        inrow_minhash_columns,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = {
+        r.doc_id: tuple(r[f"mh_{j}"] for j in range(12))
+        for r in minhash_signatures(docs).collect()
+    }
+    inrow = {
+        r.doc_id: tuple(r[f"mh_{j}"] for j in range(12))
+        for r in docs.select(
+            "doc_id", *inrow_minhash_columns(F.col("text"))
+        ).collect()
+    }
+    assert inrow == batch and len(batch) > 0
+
+
+def test_streaming_lsh_matches_batch_pairs(spark):
+    """Candidate pairs accumulated over a 2-micro-batch stream (deduped)
+    must equal batch lsh_candidate_pairs over the full corpus — including
+    pairs whose members arrive in DIFFERENT micro-batches."""
+    from blockchain_postgres_sync_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+    from blockchain_postgres_sync_spark.streaming.lsh_stream import (
+        streaming_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expected = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert expected, "fixture must contain near-dup pairs"
+
+    d = tempfile.mkdtemp(prefix="lsh_stream_")
+    try:
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        docs.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(f"{d}/b0")
+        docs.filter(F.col("doc_id") > half).coalesce(1).write.parquet(f"{d}/b1")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        q = (
+            streaming_lsh_candidates(stream)
+            .writeStream.format("memory")
+            .queryName("lsh_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.id_a, r.id_b)
+            for r in spark.sql("SELECT * FROM lsh_stream_out").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
