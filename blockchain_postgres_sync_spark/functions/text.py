@@ -138,6 +138,37 @@ def language_id(text: Column) -> tuple[Column, Column]:
     return pred, best["score"]
 
 
+def char_entropy_x1000(text: Column) -> Column:
+    """Character-distribution Shannon entropy in bits, floored to integer
+    thousandths — the classic gibberish/boilerplate detector (natural prose
+    sits ~4.0-4.5 bits; repeated padding or base64 blobs fall outside).
+
+    Entirely in-row — no explode, no shuffle: per distinct character ``c``
+    the count is ``len(text) - len(replace(text, c, ''))``, and
+    ``H = (ln N - sum(n_c * ln n_c) / N) / ln 2``.  The distinct-char array
+    is SORTED before the fold so the float summation order (and therefore
+    the floor(x1000) result) is identical in any engine that evaluates
+    left-to-right.  Empty text yields 0.
+    """
+    n = F.length(text).cast("double")
+    chars = F.array_sort(F.array_distinct(F.split(text, "")))
+    counts = F.transform(
+        chars,
+        lambda c: (F.length(text) - F.length(F.replace(text, c, F.lit("")))).cast(
+            "double"
+        ),
+    )
+    sum_nlogn = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + cnt * F.log(cnt),
+    )
+    h_bits = (F.log(n) - sum_nlogn / n) / F.log(F.lit(2.0))
+    return F.when(F.length(text) > 0, F.floor(h_bits * 1000.0).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
 #: rolling-hash fingerprint constants (polynomial hash, exact in int64:
 #: acc <= MOD*31 + 2^32 < 2^63)
 FP_BASE = 31

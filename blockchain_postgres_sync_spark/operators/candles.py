@@ -217,18 +217,13 @@ def minute_candles(
     )
 
 
-def _minute_candles_fixedpoint(
+def _minute_fixedpoint_raw(
     trades: DataFrame, f: int, partition_by_pair: bool
 ) -> DataFrame:
-    """Long fixed-point kernel behind ``minute_candles(fixedpoint_frac=f)``.
-
-    All per-row arithmetic and all aggregation buffers are LONGs; the exact
-    rescale back to the decimal schema happens once per GROUP.  Rescale is
-    multiplication by the exact 10^-f decimal literal (pow10_factor), never
-    division — DEC(20,0) * DEC(17,8) = DEC(38,8) holds every product
-    exactly for f <= 8, and widening casts to the public schema
-    (DEC(28,10) prices, DEC(38,9) quote_volume) are lossless.
-    """
+    """Long fixed-point minute aggregation, INTERNAL long schema — prices
+    as 10^f integer units, every aggregation buffer a LONG (whole-stage
+    codegen adds, no BigDecimal).  ``_finalize_fixedpoint`` projects this to
+    the public decimal schema; ``_rollup_fixedpoint`` re-aggregates it."""
     if not 0 <= f <= 8:
         raise ValueError(f"fixedpoint_frac must be in [0, 8], got {f}")
     scale = 10**f
@@ -264,29 +259,102 @@ def _minute_candles_fixedpoint(
         F.min_by("price_i", "uid").alias("_open"),
         F.max_by("price_i", "uid").alias("_close"),
     )
+    # wap = floor(sum(a*p)/sum(a)) = floor(qv_i / (vol * 10^f)); operands
+    # are non-negative longs, so integer `div` IS the floor — and vol*10^f
+    # stays in long under the documented bound.
+    return g.withColumn("_wap", F.expr(f"_qv div (_vol * {scale}L)").cast("long"))
+
+
+def _finalize_fixedpoint(
+    g: DataFrame, f: int, interval: str, volume_dec: str = "decimal(20,0)"
+) -> DataFrame:
+    """Project the internal long schema to the public decimal candle schema.
+
+    Rescale is multiplication by the exact 10^-f decimal literal
+    (pow10_factor), never division — DEC(20,0) * DEC(17,8) = DEC(38,8)
+    holds every product exactly for f <= 8, and widening casts to the
+    public schema (DEC(28,10) prices, DEC(38,9) quote_volume) are lossless.
+    ``volume_dec`` is DEC(20,0) for the standalone minute kernel (matching
+    sum(DEC(10,0))) but DEC(38,0) for cascade levels — the decimal cascade's
+    per-level sums widen volume and the 13-way union coerces to DEC(38,0),
+    so the fixed-point cascade pins the same type.
+    """
     unscale = pow10_factor(F.lit(-f))  # exact 10^-f as DEC(17,8)
 
     def price_dec(c: str) -> Column:
         return (F.col(c).cast("decimal(20,0)") * unscale).cast(PRICE_DEC)
 
-    # wap = floor(sum(a*p)/sum(a)) = floor(qv_i / (vol * 10^f)); operands
-    # are non-negative longs, so integer `div` IS the floor — and vol*10^f
-    # stays in long under the documented bound.
-    wap = F.expr(f"_qv div (_vol * {scale}L)").cast("long")
     return g.select(
         "time_start", "amount_asset_id", "price_asset_id",
         price_dec("_low").alias("low"),
         price_dec("_high").alias("high"),
-        F.col("_vol").cast("decimal(20,0)").alias("volume"),
+        F.col("_vol").cast(volume_dec).alias("volume"),
         (F.col("_qv").cast("decimal(20,0)") * unscale)
         .cast("decimal(38,9)")
         .alias("quote_volume"),
         "max_height", "txs_count",
-        wap.alias("weighted_average_price"),
+        F.col("_wap").alias("weighted_average_price"),
         price_dec("_open").alias("open"),
         price_dec("_close").alias("close"),
-        F.lit("1m").alias("interval"), "matcher_address",
+        F.lit(interval).alias("interval"), "matcher_address",
     )
+
+
+def _minute_candles_fixedpoint(
+    trades: DataFrame, f: int, partition_by_pair: bool
+) -> DataFrame:
+    """Long fixed-point kernel behind ``minute_candles(fixedpoint_frac=f)``."""
+    return _finalize_fixedpoint(
+        _minute_fixedpoint_raw(trades, f, partition_by_pair), f, "1m"
+    )
+
+
+def _rollup_fixedpoint(src_raw: DataFrame, dst: str) -> DataFrame:
+    """A3 rollup over the internal long schema — every buffer stays a LONG.
+
+    Identical integers to the decimal ``rollup_interval``: the cascade wap
+    is ``floor(sum(wap * volume) / sum(volume))`` over non-negative longs,
+    so integer ``div`` IS the floor; bound (caller-declared, same contract
+    as the minute kernel): per-(dst-window, pair) ``sum(wap * volume) <
+    2^63``."""
+    c = src_raw.withColumn("_dst_start", trunc_ts(F.col("time_start"), dst))
+    out = c.groupBy(
+        "_dst_start", "amount_asset_id", "price_asset_id", "matcher_address"
+    ).agg(
+        F.min("_low").alias("_low"),
+        F.max("_high").alias("_high"),
+        F.sum("_vol").alias("_vol"),
+        F.sum("_qv").alias("_qv"),
+        F.max("max_height").alias("max_height"),
+        F.sum("txs_count").alias("txs_count"),
+        F.expr("sum(_wap * _vol) div sum(_vol)").cast("long").alias("_wap"),
+        F.min_by("_open", "time_start").alias("_open"),
+        F.max_by("_close", "time_start").alias("_close"),
+    )
+    return out.withColumnRenamed("_dst_start", "time_start")
+
+
+def full_cascade_fixedpoint(
+    trades: DataFrame, f: int = 2, since_ts: Column | str | None = None
+) -> DataFrame:
+    """The full 13-interval cascade with LONG fixed-point buffers at every
+    level — one decimal projection per level at the very end, all 13 × 9
+    aggregation buffers pure codegen longs.  Same opt-in bounds contract as
+    ``minute_candles(fixedpoint_frac=f)`` plus the rollup-wap bound
+    (``_rollup_fixedpoint``); bit-identical to
+    ``full_cascade(minute_candles(...))`` under those bounds (pinned by
+    tests/test_properties.py::test_cascade_fixedpoint_parity).
+    """
+    if since_ts is not None:
+        trades = trades.filter(F.col("time_stamp") >= since_ts)
+    raw: dict[str, DataFrame] = {"1m": _minute_fixedpoint_raw(trades, f, False)}
+    for src, dst in CANDLE_CASCADE:
+        raw[dst] = _rollup_fixedpoint(raw[src], dst)
+    vol_dec = "decimal(38,0)"
+    out = _finalize_fixedpoint(raw[ALL_INTERVALS[0]], f, ALL_INTERVALS[0], vol_dec)
+    for ivl in ALL_INTERVALS[1:]:
+        out = out.unionByName(_finalize_fixedpoint(raw[ivl], f, ivl, vol_dec))
+    return out
 
 
 def rollup_interval(src_candles: DataFrame, src: str, dst: str) -> DataFrame:

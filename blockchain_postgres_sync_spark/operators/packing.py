@@ -1,0 +1,203 @@
+"""Sequence chunking & packing for training-data pipelines.
+
+A tokenized corpus is consumed by trainers in fixed-size context windows.
+Two standard layouts, both implemented shuffle-minimally:
+
+- :func:`doc_chunks` — split each document into consecutive windows of
+  ``chunk_tokens`` tokens (the "chunking" layout: no document crosses a
+  window, short tails kept).  Pure per-row explode — no shuffle at all; at
+  100 TB this is a map-only stage that preserves the input partitioning.
+- :func:`pack_concat` — the "concat-and-split" layout (GPT-style packing):
+  documents are concatenated in a deterministic order inside each stream
+  (e.g. language) and the stream is cut every ``budget`` tokens; a document
+  is labeled with the bin its first token lands in and its offset there.
+  One window (running sum per stream) — a single shuffle on the stream key.
+- :func:`pack_greedy` — next-fit bin packing: walk documents in order,
+  open a new bin whenever the next document would overflow ``budget``
+  (documents never split).  Inherently sequential per stream, so it runs
+  as an ``applyInPandas`` scan per stream group — the loop is O(|stream|)
+  driver-free and each stream packs independently in parallel.  At 100 TB
+  streams are the parallel unit; a single giant stream should be pre-split
+  (e.g. by hash_sample shards) since packing inside a shard is still valid
+  packing.
+
+All token counts are whitespace-token counts (``functions.text.token_count``)
+— integer-exact and engine-independent, so bin assignment is reproducible
+bit-for-bit by any engine (the DuckDB oracles mirror the same window
+algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+
+
+def doc_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_tokens``-token windows.
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text) — one row per
+    window, tail window possibly short, empty/short docs yield exactly one
+    window.  In-row ``sequence`` + ``slice`` explode: no shuffle, no UDF;
+    the plan is scan → generate → project, so at 100 TB it streams map-side
+    and inherits the scan's partitioning.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("long"), F.lit(1).cast("long")
+    )
+    e = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("chunk_idx") * chunk_tokens + 1).cast("int"), chunk_tokens
+    )
+    return e.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_concat(
+    df: DataFrame,
+    budget: int = 512,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split packing: per stream, concatenate documents in
+    ``id_col`` order and cut every ``budget`` tokens.
+
+    Output per document: (id, stream, n_tokens, bin_id, bin_offset) where
+    ``bin_id = floor(tokens_before / budget)`` (the bin holding the doc's
+    first token) and ``bin_offset = tokens_before % budget``.  Documents may
+    straddle bins — that is the point of this layout (zero padding waste).
+
+    One running-sum window per stream: a single shuffle on ``stream_col``,
+    partial-aggregation-free but sort-limited to each stream.  Skewed
+    streams at 100 TB: shard them first (packing a shard is still valid
+    packing) — see module docstring.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    n_tok = token_count(F.col(text_col)).cast("long")
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        df.select(F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens"))
+        .withColumn("_before", before)
+        .select(
+            id_col,
+            stream_col,
+            "n_tokens",
+            F.expr(f"_before div {budget}L").alias("bin_id"),
+            F.pmod(F.col("_before"), F.lit(budget)).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int = 512,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit packing: per stream (in ``id_col`` order), keep filling the
+    current bin until the next document would overflow ``budget``, then open
+    a new bin.  Documents never split; documents larger than ``budget`` get
+    a bin of their own.
+
+    Output per document: (id, stream, n_tokens, bin_id, bin_fill) with
+    ``bin_fill`` the bin's running token count AFTER this document.
+
+    The reset-on-overflow running sum is not a windowable recurrence
+    (each prefix sum depends on every previous reset), so this is the one
+    packing layout that needs imperative per-group code: ``applyInPandas``
+    over the stream key — one shuffle, then an O(|stream|) numpy-backed scan
+    per group, no driver participation.  Parallelism = number of streams;
+    shard giant streams upstream (module docstring).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    import pandas as pd
+
+    n_tok = token_count(F.col(text_col)).cast("long")
+    slim = df.select(F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        counts = pdf["n_tokens"].to_numpy()
+        bin_ids = [0] * len(counts)
+        fills = [0] * len(counts)
+        cur_bin, cur_fill = 0, 0
+        for i, c in enumerate(counts):
+            c = int(c)
+            if cur_fill > 0 and cur_fill + c > budget:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += c
+            bin_ids[i] = cur_bin
+            fills[i] = cur_fill
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, {stream_col} string, n_tokens long, "
+        "bin_id long, bin_fill long"
+    )
+    return slim.groupBy(stream_col).applyInPandas(pack, out_schema)
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    stream_col: str = "lang",
+    score_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each stream by a quality score:
+    percentile-gated curation (each language keeps its own best half, so a
+    verbose language can't crowd out a terse one — the standard per-stream
+    quality cut in corpus curation).
+
+    ``percent_rank`` over (score desc, id asc) — the tie-break makes the
+    ordering total, so the rank (and the kept set) is deterministic and
+    engine-independent: percent_rank = (rank-1)/(n-1) is a single IEEE
+    divide over exact integers.  Rows with percent_rank <= keep_frac stay.
+
+    One window per stream (single shuffle).  At 100 TB the exact window sort
+    is the cost; when an approximate cut suffices, compute per-stream
+    ``approx_percentile(score, 1-keep_frac)`` in one partial agg, broadcast
+    the thresholds, and filter — no sort, same shuffle count, slightly
+    ragged boundary.  The exact form is canonical here because the kept set
+    must be reproducible across engines.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = Window.partitionBy(stream_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_frac)
+        .drop("_pr")
+    )

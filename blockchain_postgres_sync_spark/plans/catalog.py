@@ -32,9 +32,15 @@ from ..sources.tables import load_table
 from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
-    contamination, dedup, multimodal, sampling, similarity, stats, temporal,
+    contamination, dedup, multimodal, packing, sampling, similarity, stats,
+    temporal,
 )
-from ..operators.candles import full_cascade, minute_candles, scale_prices
+from ..operators.candles import (
+    full_cascade,
+    full_cascade_fixedpoint,
+    minute_candles,
+    scale_prices,
+)
 from ..operators.scd import chain_superseded_by, current_snapshot
 from ..operators.uids import assign_uids
 from ..streaming.reorg import rollback_scd, squash_microblocks
@@ -227,12 +233,15 @@ def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), and it is the shape that scales: per-level hash on the full
     grouping key + AQE skew handling.  The level intermediates are ~1-2 MB
     shuffles here, so the session's small AQE advisory partition size is
-    what keeps the 13 stages multi-threaded (session.py)."""
+    what keeps the 13 stages multi-threaded (session.py).
+
+    Long fixed-point end-to-end (full_cascade_fixedpoint): every one of the
+    13 levels aggregates LONG buffers — the decimal projection happens once
+    per level at the very end, so no BigDecimal sum ever runs; bit-identical
+    to the decimal cascade under the documented bounds
+    (test_cascade_fixedpoint_parity)."""
     return _candles_final(
-        full_cascade(
-            minute_candles(_trades(spark, sf_dir), fixedpoint_frac=2),
-            persist_levels=False,
-        ),
+        full_cascade_fixedpoint(_trades(spark, sf_dir), f=2),
         True,
     )
 
@@ -1031,6 +1040,51 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into consecutive
+    16-token windows — map-only explode, no shuffle (operators.packing)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return packing.doc_chunks(docs, chunk_tokens=16)
+
+
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (GPT-style): per-language token
+    stream cut every 64 tokens; one running-sum window per language."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return packing.pack_concat(docs, budget=64)
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing (documents never split) — the reset-on-overflow
+    recurrence is not windowable SQL, so this runs as an applyInPandas scan
+    per language stream; correctness is pinned by
+    tests/test_packing.py::test_pack_greedy_matches_reference (driver check
+    is rows-only by design)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return packing.pack_greedy(docs, budget=64)
+
+
+def q_quality_gate_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated curation: each language keeps its top half by token
+    count (deterministic percent_rank cut, one window per stream)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = docs.withColumn("n_tokens", T.token_count(F.col("text")).cast("long"))
+    kept = packing.quality_percentile_gate(
+        scored, keep_frac=0.5, stream_col="lang", score_col="n_tokens"
+    )
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy quality score (gibberish/boilerplate
+    detector) — fully in-row, no explode, no shuffle
+    (functions.text.char_entropy_x1000)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id", T.char_entropy_x1000(F.col("text")).alias("entropy_x1000")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _DOC_STATS_SQL = """
@@ -1438,7 +1492,17 @@ CATALOG: dict[str, QueryFn] = {
     "corpus_stats": q_corpus_stats,
     "ngram_topk": q_ngram_topk,
     "session_attribution": q_session_attribution,
+    "doc_chunks": q_doc_chunks,
+    "pack_concat": q_pack_concat,
+    "pack_greedy": q_pack_greedy,
+    "quality_gate_pct": q_quality_gate_pct,
+    "char_entropy": q_char_entropy,
 }
+
+#: queries with no SQL-expressible oracle (the driver records a rows-only
+#: check for these; each must carry a pytest pinning its semantics instead —
+#: see the query docstring for the test reference).
+ROWS_ONLY_QUERIES: frozenset[str] = frozenset({"pack_greedy"})
 
 ORACLES: dict[str, str] = {
     "candles_1m": f"WITH trades AS ({_TRADES_SQL}), c AS ({_C1M_SQL}) "
@@ -1973,4 +2037,57 @@ ORACLES: dict[str, str] = {
     "rollback_scd": _ROLLBACK_SCD_SQL,
     "squash_blocks": _SQUASH_BLOCKS_SQL,
     "squash_repoint": _SQUASH_REPOINT_SQL,
+    "doc_chunks": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(t[i*16+1 : i*16+16]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk_text
+        FROM toks,
+             UNNEST(generate_series(
+                 0, CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT) - 1))
+             AS u(i)
+    """,
+    "pack_concat": """
+        WITH s AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS pre
+              FROM s)
+        SELECT doc_id, lang, n_tokens,
+               CAST(pre // 64 AS BIGINT) AS bin_id,
+               CAST(pre % 64 AS BIGINT) AS bin_offset
+        FROM c
+    """,
+    "quality_gate_pct": """
+        WITH s AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents WHERE text IS NOT NULL),
+        r AS (SELECT doc_id, lang, n_tokens,
+                     percent_rank() OVER (
+                         PARTITION BY lang
+                         ORDER BY n_tokens DESC, doc_id ASC) AS pr
+              FROM s)
+        SELECT doc_id, lang, n_tokens FROM r WHERE pr <= 0.5
+    """,
+    "char_entropy": """
+        SELECT doc_id,
+               CASE WHEN length(text) > 0 THEN
+                   CAST(floor(((ln(length(text))
+                       - list_sum(list_transform(
+                             list_sort(list_distinct(string_split(text, ''))),
+                             c -> (length(text) - length(replace(text, c, '')))
+                                  * ln(length(text)
+                                       - length(replace(text, c, '')))))
+                         / length(text)) / ln(2)) * 1000) AS BIGINT)
+               ELSE 0 END AS entropy_x1000
+        FROM documents WHERE text IS NOT NULL
+    """,
 }

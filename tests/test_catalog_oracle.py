@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from blockchain_postgres_sync_spark.plans.catalog import CATALOG, ORACLES
+from blockchain_postgres_sync_spark.plans.catalog import (
+    CATALOG,
+    ORACLES,
+    ROWS_ONLY_QUERIES,
+)
 
 from .conftest import SF_SMOKE
 from .oracle_harness import compare
@@ -13,6 +17,11 @@ from .oracle_harness import compare
 
 @pytest.mark.parametrize("name", sorted(CATALOG.keys()))
 def test_query_matches_oracle(spark, name):
+    if name in ROWS_ONLY_QUERIES:
+        # no SQL-expressible oracle: execute and require a non-degenerate
+        # result; the semantics are pinned by a dedicated pytest instead.
+        assert CATALOG[name](spark, SF_SMOKE).count() > 0
+        return
     assert name in ORACLES, f"{name} has no oracle"
     df = CATALOG[name](spark, SF_SMOKE)
     problems = compare(df, ORACLES[name], SF_SMOKE)
@@ -21,3 +30,4 @@ def test_query_matches_oracle(spark, name):
 
 def test_catalog_oracle_keys_match():
     assert set(ORACLES).issubset(set(CATALOG))
+    assert set(ORACLES) | ROWS_ONLY_QUERIES == set(CATALOG)

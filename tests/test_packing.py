@@ -1,0 +1,147 @@
+"""Chunking / packing / percentile-gate operator tests.
+
+pack_greedy has no SQL oracle (reset-on-overflow recurrence); its semantics
+are pinned here against a pure-Python reference implementation instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.functions.text import char_entropy_x1000
+from blockchain_postgres_sync_spark.operators.packing import (
+    doc_chunks,
+    pack_concat,
+    pack_greedy,
+    quality_percentile_gate,
+)
+
+from .conftest import SF_SMOKE
+
+DOCS = [
+    (1, "a b c d e", "en"),
+    (2, "f g", "en"),
+    (3, "h i j k l m n o p q r s t u v w x y z aa bb", "en"),
+    (4, "uno dos tres", "es"),
+    (5, "cuatro", "es"),
+    (6, "", "es"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_doc_chunks_reconstructs_text(spark):
+    out = doc_chunks(_docs(spark), chunk_tokens=3).orderBy("doc_id", "chunk_idx")
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text, _ in DOCS:
+        parts = by_doc[doc_id]
+        # chunk indexes are dense from 0
+        assert [p.chunk_idx for p in parts] == list(range(len(parts)))
+        # concatenating chunks reproduces the document exactly
+        assert " ".join(p.chunk_text for p in parts) == text
+        # every chunk is full except possibly the last
+        for p in parts[:-1]:
+            assert p.n_chunk_tokens == 3
+        n_tok = len(text.split(" "))
+        assert len(parts) == max(math.ceil(n_tok / 3), 1)
+
+
+def test_pack_concat_invariants(spark):
+    out = pack_concat(_docs(spark), budget=8).orderBy("lang", "doc_id").collect()
+    for lang in ("en", "es"):
+        run = [r for r in out if r.lang == lang]
+        pre = 0
+        for r in run:
+            assert r.bin_id == pre // 8
+            assert r.bin_offset == pre % 8
+            pre += r.n_tokens
+
+
+def _greedy_reference(rows, budget):
+    """Pure-Python next-fit packing, the executable spec."""
+    expected = {}
+    cur_bin, fill = 0, 0
+    for doc_id, n in rows:
+        if fill > 0 and fill + n > budget:
+            cur_bin, fill = cur_bin + 1, 0
+        fill += n
+        expected[doc_id] = (cur_bin, fill)
+    return expected
+
+
+def test_pack_greedy_matches_reference(spark):
+    out = pack_greedy(_docs(spark), budget=8).collect()
+    for lang in ("en", "es"):
+        seq = sorted(
+            [(d, len(t.split(" "))) for d, t, lg in DOCS if lg == lang],
+        )
+        expected = _greedy_reference(seq, 8)
+        got = {r.doc_id: (r.bin_id, r.bin_fill) for r in out if r.lang == lang}
+        assert got == expected
+
+
+def test_pack_greedy_oversized_doc_gets_own_bin(spark):
+    out = {
+        r.doc_id: r.bin_id
+        for r in pack_greedy(_docs(spark), budget=3).collect()
+        if r.lang == "en"
+    }
+    # doc 3 (21 tokens > budget 3) must still land alone in its own bin
+    assert out[1] != out[3] and out[2] != out[3]
+
+
+def test_pack_greedy_matches_reference_at_sf(spark):
+    """Full-table cross-check at sf0.001 — the applyInPandas path against
+    the Python spec over every language stream."""
+    from blockchain_postgres_sync_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    out = pack_greedy(docs, budget=64).collect()
+    src = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    ).collect()
+    langs = {r.lang for r in src}
+    for lang in langs:
+        seq = sorted((r.doc_id, r.n) for r in src if r.lang == lang)
+        expected = _greedy_reference(seq, 64)
+        got = {r.doc_id: (r.bin_id, r.bin_fill) for r in out if r.lang == lang}
+        assert got == expected
+
+
+def test_quality_percentile_gate_keeps_top_half(spark):
+    docs = _docs(spark).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    kept = quality_percentile_gate(
+        docs, keep_frac=0.5, stream_col="lang", score_col="n_tokens"
+    ).collect()
+    kept_en = sorted(r.doc_id for r in kept if r.lang == "en")
+    # en scores: doc3=21, doc1=5, doc2=2 -> percent_rank 0, .5, 1 -> keep 3,1
+    assert kept_en == [1, 3]
+    kept_es = sorted(r.doc_id for r in kept if r.lang == "es")
+    # es scores: doc4=3, doc5=1, doc6=1 -> ranks 0, .5, 1 (tie broken by id)
+    assert kept_es == [4, 5]
+
+
+def test_char_entropy_matches_python(spark):
+    out = {
+        r.doc_id: r.e
+        for r in _docs(spark)
+        .select("doc_id", char_entropy_x1000(F.col("text")).alias("e"))
+        .collect()
+    }
+    for doc_id, text, _ in DOCS:
+        if not text:
+            assert out[doc_id] == 0
+            continue
+        n = len(text)
+        counts = [text.count(c) for c in sorted(set(text))]
+        h = (math.log(n) - sum(c * math.log(c) for c in counts) / n) / math.log(2)
+        assert out[doc_id] == math.floor(h * 1000)

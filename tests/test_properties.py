@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from blockchain_postgres_sync_spark.constants import MAX_UID
 from blockchain_postgres_sync_spark.operators.candles import (
-    full_cascade, minute_candles,
+    full_cascade, full_cascade_fixedpoint, minute_candles,
 )
 from blockchain_postgres_sync_spark.operators.scd import chain_superseded_by
 from blockchain_postgres_sync_spark.operators.uids import assign_uids
@@ -115,6 +115,26 @@ def test_candles_fixedpoint_parity(spark, trades):
     )
     a = minute_candles(df)
     b = minute_candles(df, fixedpoint_frac=2)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+@given(_trades())
+@_slow
+def test_cascade_fixedpoint_parity(spark, trades):
+    """full_cascade_fixedpoint must be BIT-IDENTICAL (schema and values,
+    all 13 levels) to the exact-decimal cascade whenever its declared
+    bounds hold — prices here carry exactly 2 fractional digits."""
+    df = spark.createDataFrame(
+        trades,
+        ["uid", "time_stamp", "amount_asset_id", "price_asset_id",
+         "sender", "height", "amount", "price"],
+    ).withColumn("time_stamp", F.col("time_stamp").cast("timestamp")).withColumn(
+        "price", F.col("price").cast("decimal(18,2)")
+    )
+    a = full_cascade(minute_candles(df), persist_levels=False)
+    b = full_cascade_fixedpoint(df, f=2)
     assert a.schema == b.schema
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
