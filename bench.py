@@ -65,6 +65,11 @@ HEADLINE = [
     "text_repetition",
     "pii_scrub",
     "corpus_cardinality",
+    "doc_chunks",
+    "pack_concat",
+    "pack_greedy",
+    "quality_gate_pct",
+    "char_entropy",
 ]
 
 

@@ -357,6 +357,130 @@ def full_cascade_fixedpoint(
     return out
 
 
+def full_cascade_fixedpoint_onepass(
+    trades: DataFrame, f: int = 2, since_ts: Column | str | None = None
+) -> DataFrame:
+    """The 13-level cascade with the 12 rollups collapsed into ONE
+    ``applyInPandas`` stage.
+
+    The Catalyst cascade's cost at bench scale is its *critical path*: 12
+    sequential rollup stages (each trivially small after the minute agg) pay
+    a scheduling round-trip each.  But after the minute aggregation every
+    rollup only ever combines rows of the SAME (pair, matcher) key — so one
+    shuffle on that key lets a single pandas task walk the whole cascade DAG
+    for its pair: groupby-per-level on int64 numpy columns, with the wap
+    floor-recurrence (`sum(wap*vol) // sum(vol)` level by level — the part
+    that forbids a flat minutes->level agg) running sequentially in-process.
+    Plan: minute hash-agg (1 shuffle) -> exchange on pair -> one pandas
+    stage -> decimal projection.  Two shuffles total, stage depth 3.
+
+    Bit-identical to ``full_cascade_fixedpoint`` under the same bounds
+    (int64 ``//`` on non-negative values IS the decimal floor;
+    test_cascade_onepass_parity).  Scale posture: parallelism = pair-key
+    cardinality (mainnet: thousands), and a pair's minute candles must fit
+    one task (~minutes-since-genesis rows, <10M — bounded, unlike trades).
+    Use the per-level Catalyst cascade when pair cardinality is tiny or a
+    single pair dominates the corpus.
+    """
+    import pandas as pd
+
+    if since_ts is not None:
+        trades = trades.filter(F.col("time_stamp") >= since_ts)
+    minute_raw = _minute_fixedpoint_raw(trades, f, False)
+    key = ["amount_asset_id", "price_asset_id", "matcher_address"]
+
+    def trunc_pd(ts: pd.Series, ivl: str) -> pd.Series:
+        kind, arg = INTERVALS[ivl]
+        if kind == "secs":
+            return ts.dt.floor(f"{int(arg)}s")
+        if arg == "day":
+            return ts.dt.normalize()
+        if arg == "week":
+            d = ts.dt.normalize()
+            return d - pd.to_timedelta(d.dt.dayofweek, unit="D")
+        # month
+        return ts.dt.to_period("M").dt.to_timestamp()
+
+    agg_cols = [
+        "_low", "_high", "_vol", "_qv", "max_height", "txs_count",
+        "_open", "_close", "_wap",
+    ]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time_start", kind="mergesort")
+        levels: dict[str, pd.DataFrame] = {"1m": pdf}
+        outs = [pdf.assign(interval="1m")]
+        for src, dst in CANDLE_CASCADE:
+            s = levels[src]
+            ds = trunc_pd(s["time_start"], dst)
+            g = s.groupby(ds, sort=True)
+            vol_sum = g["_vol"].sum()
+            # hierarchical wap, fully vectorized: per-row wap*vol products
+            # grouped on the same key (indexes align); int64 // on
+            # non-negative values IS the floor
+            wap_num = (s["_wap"] * s["_vol"]).groupby(ds, sort=True).sum()
+            lvl = pd.DataFrame(
+                {
+                    "_low": g["_low"].min(),
+                    "_high": g["_high"].max(),
+                    "_vol": vol_sum,
+                    "_qv": g["_qv"].sum(),
+                    "max_height": g["max_height"].max(),
+                    "txs_count": g["txs_count"].sum(),
+                    # open/close keyed on source time_start order (rows are
+                    # sorted, groupby preserves within-group order)
+                    "_open": g["_open"].first(),
+                    "_close": g["_close"].last(),
+                    "_wap": wap_num // vol_sum,
+                }
+            )
+            lvl.index.name = "time_start"
+            lvl = lvl.reset_index()
+            for k in key:
+                lvl[k] = pdf[k].iloc[0]
+            levels[dst] = lvl
+            outs.append(lvl.assign(interval=dst))
+        out = pd.concat(outs, ignore_index=True)
+        return out[["time_start", *key, *agg_cols, "interval"]]
+
+    # max_height keeps the input's height dtype (max() preserves it in the
+    # Catalyst path, so the one-pass schema must match)
+    height_t = dict(minute_raw.dtypes)["max_height"]
+    schema = (
+        "time_start timestamp, amount_asset_id string, price_asset_id string, "
+        f"matcher_address string, _low long, _high long, _vol long, _qv long, "
+        f"max_height {height_t}, txs_count long, _open long, _close long, "
+        "_wap long, interval string"
+    )
+    raw = minute_raw.groupBy(*key).applyInPandas(kernel, schema)
+    return _finalize_onepass(raw, f)
+
+
+def _finalize_onepass(raw: DataFrame, f: int) -> DataFrame:
+    """Decimal projection for the one-pass cascade output (interval is a
+    data column, not a literal) — same exact rescale as
+    ``_finalize_fixedpoint``."""
+    unscale = pow10_factor(F.lit(-f))
+
+    def price_dec(c: str) -> Column:
+        return (F.col(c).cast("decimal(20,0)") * unscale).cast(PRICE_DEC)
+
+    return raw.select(
+        "time_start", "amount_asset_id", "price_asset_id",
+        price_dec("_low").alias("low"),
+        price_dec("_high").alias("high"),
+        F.col("_vol").cast("decimal(38,0)").alias("volume"),
+        (F.col("_qv").cast("decimal(20,0)") * unscale)
+        .cast("decimal(38,9)")
+        .alias("quote_volume"),
+        "max_height", "txs_count",
+        F.col("_wap").alias("weighted_average_price"),
+        price_dec("_open").alias("open"),
+        price_dec("_close").alias("close"),
+        "interval", "matcher_address",
+    )
+
+
 def rollup_interval(src_candles: DataFrame, src: str, dst: str) -> DataFrame:
     """A3: re-aggregate candles of interval ``src`` into ``dst``
     (pg.rs:740-815).  open/close keyed on source ``time_start``."""

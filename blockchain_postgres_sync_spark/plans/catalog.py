@@ -36,8 +36,7 @@ from ..operators import (
     temporal,
 )
 from ..operators.candles import (
-    full_cascade,
-    full_cascade_fixedpoint,
+    full_cascade_fixedpoint_onepass,
     minute_candles,
     scale_prices,
 )
@@ -235,13 +234,16 @@ def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles here, so the session's small AQE advisory partition size is
     what keeps the 13 stages multi-threaded (session.py).
 
-    Long fixed-point end-to-end (full_cascade_fixedpoint): every one of the
-    13 levels aggregates LONG buffers — the decimal projection happens once
-    per level at the very end, so no BigDecimal sum ever runs; bit-identical
-    to the decimal cascade under the documented bounds
-    (test_cascade_fixedpoint_parity)."""
+    Long fixed-point end-to-end and ONE pandas stage for all 12 rollups
+    (full_cascade_fixedpoint_onepass): the minute agg is the only corpus
+    shuffle; one exchange on the pair key then lets a single Arrow task walk
+    the cascade DAG for its pair — collapsing the 12-stage critical path the
+    per-level Catalyst form pays (~3x at sf0.1; see candles.py for when the
+    per-level form is the right shape).  Bit-identical to the decimal
+    cascade under the documented bounds (test_cascade_fixedpoint_parity,
+    test_cascade_onepass_parity)."""
     return _candles_final(
-        full_cascade_fixedpoint(_trades(spark, sf_dir), f=2),
+        full_cascade_fixedpoint_onepass(_trades(spark, sf_dir), f=2),
         True,
     )
 

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from blockchain_postgres_sync_spark.constants import MAX_UID
 from blockchain_postgres_sync_spark.operators.candles import (
-    full_cascade, full_cascade_fixedpoint, minute_candles,
+    full_cascade, full_cascade_fixedpoint, full_cascade_fixedpoint_onepass,
+    minute_candles,
 )
 from blockchain_postgres_sync_spark.operators.scd import chain_superseded_by
 from blockchain_postgres_sync_spark.operators.uids import assign_uids
@@ -136,6 +137,28 @@ def test_cascade_fixedpoint_parity(spark, trades):
     a = full_cascade(minute_candles(df), persist_levels=False)
     b = full_cascade_fixedpoint(df, f=2)
     assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+@given(_trades())
+@_slow
+def test_cascade_onepass_parity(spark, trades):
+    """The single-pandas-stage cascade must produce the SAME rows and
+    column dtypes as the per-level fixed-point cascade (nullability may
+    differ: applyInPandas output is nullable)."""
+    df = spark.createDataFrame(
+        trades,
+        ["uid", "time_stamp", "amount_asset_id", "price_asset_id",
+         "sender", "height", "amount", "price"],
+    ).withColumn("time_stamp", F.col("time_stamp").cast("timestamp")).withColumn(
+        "price", F.col("price").cast("decimal(18,2)")
+    )
+    a = full_cascade_fixedpoint(df, f=2)
+    b = full_cascade_fixedpoint_onepass(df, f=2)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
 
