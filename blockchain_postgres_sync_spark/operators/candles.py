@@ -357,6 +357,22 @@ def full_cascade_fixedpoint(
     return out
 
 
+def _trunc_pandas(ts, ivl: str):
+    """Pandas mirror of :func:`trunc_ts` (epoch-floor for fixed widths,
+    calendar floor for 1d/1w/1M; week = Monday, matching date_trunc)."""
+    import pandas as pd
+
+    kind, arg = INTERVALS[ivl]
+    if kind == "secs":
+        return ts.dt.floor(f"{int(arg)}s")
+    if arg == "day":
+        return ts.dt.normalize()
+    if arg == "week":
+        d = ts.dt.normalize()
+        return d - pd.to_timedelta(d.dt.dayofweek, unit="D")
+    return ts.dt.to_period("M").dt.to_timestamp()
+
+
 def full_cascade_fixedpoint_onepass(
     trades: DataFrame, f: int = 2, since_ts: Column | str | None = None
 ) -> DataFrame:
@@ -388,18 +404,7 @@ def full_cascade_fixedpoint_onepass(
         trades = trades.filter(F.col("time_stamp") >= since_ts)
     minute_raw = _minute_fixedpoint_raw(trades, f, False)
     key = ["amount_asset_id", "price_asset_id", "matcher_address"]
-
-    def trunc_pd(ts: pd.Series, ivl: str) -> pd.Series:
-        kind, arg = INTERVALS[ivl]
-        if kind == "secs":
-            return ts.dt.floor(f"{int(arg)}s")
-        if arg == "day":
-            return ts.dt.normalize()
-        if arg == "week":
-            d = ts.dt.normalize()
-            return d - pd.to_timedelta(d.dt.dayofweek, unit="D")
-        # month
-        return ts.dt.to_period("M").dt.to_timestamp()
+    trunc_pd = _trunc_pandas
 
     agg_cols = [
         "_low", "_high", "_vol", "_qv", "max_height", "txs_count",
@@ -454,6 +459,121 @@ def full_cascade_fixedpoint_onepass(
     )
     raw = minute_raw.groupBy(*key).applyInPandas(kernel, schema)
     return _finalize_onepass(raw, f)
+
+
+def cascade_tail_exact_onepass(
+    minute_merged: DataFrame, starts: dict[str, object]
+) -> DataFrame:
+    """All 12 incremental rollups (A4) in ONE ``applyInPandas`` stage with
+    UNBOUNDED exact arithmetic — python ints, no overflow contract.
+
+    ``minute_merged`` is the merged minute level (stored history below the
+    watermark + recomputed tail) already restricted to
+    ``time_start >= starts['1M']`` (the widest interval's truncated
+    watermark — every destination window that must be re-emitted starts at
+    or after it, so its source minutes are all present).  Output: for each
+    non-minute interval, the recomputed rows with
+    ``time_start >= starts[interval]`` — exactly the per-level
+    ``new_content`` the chained rollup produces, but in one job instead of
+    12 checkpoint jobs.  The A4 window is small by construction (bounded by
+    one month of minutes per pair), so exact object-dtype arithmetic in
+    pandas costs nothing next to the 12 scheduler round-trips it replaces;
+    the decimal-path results are reproduced digit-for-digit (python int
+    floor-div == floor_div_exact on the non-negative domain, Decimal sums
+    are exact).
+
+    Reference: pg.rs:740-815 (per-interval rollup chain), pg.rs:660-678
+    (recompute watermark).
+    """
+    from decimal import Decimal
+
+    import pandas as pd
+
+    key = ["amount_asset_id", "price_asset_id", "matcher_address"]
+    height_t = dict(minute_merged.dtypes)["max_height"]
+    # integerize quote_volume at ITS declared scale (exact — no trust in a
+    # hardcoded 9 if the stored table ever widens)
+    qv_scale = minute_merged.schema["quote_volume"].dataType.scale
+    starts_pd = {ivl: pd.Timestamp(t) for ivl, t in starts.items()}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time_start", kind="mergesort")
+        # exact integer forms (object dtype => python ints, unbounded)
+        work = pd.DataFrame(
+            {
+                "time_start": pdf["time_start"],
+                "_vol": pdf["volume"].map(int).astype(object),
+                "_qv": pdf["quote_volume"]
+                .map(lambda d: int(Decimal(d).scaleb(qv_scale)))
+                .astype(object),
+                "_wap": pdf["weighted_average_price"].map(int).astype(object),
+                "low": pdf["low"],
+                "high": pdf["high"],
+                "open": pdf["open"],
+                "close": pdf["close"],
+                "max_height": pdf["max_height"].map(int).astype(object),
+                "txs_count": pdf["txs_count"].map(int).astype(object),
+            }
+        )
+        levels = {"1m": work}
+        outs = []
+        for src, dst in CANDLE_CASCADE:
+            s = levels[src]
+            ds = _trunc_pandas(s["time_start"], dst)
+            g = s.groupby(ds, sort=True)
+            vol_sum = g["_vol"].sum()
+            wap_num = (s["_wap"] * s["_vol"]).groupby(ds, sort=True).sum()
+            lvl = pd.DataFrame(
+                {
+                    "_vol": vol_sum,
+                    "_qv": g["_qv"].sum(),
+                    "_wap": wap_num // vol_sum,  # python int // == floor
+                    "low": g["low"].min(),
+                    "high": g["high"].max(),
+                    "open": g["open"].first(),
+                    "close": g["close"].last(),
+                    "max_height": g["max_height"].max(),
+                    "txs_count": g["txs_count"].sum(),
+                }
+            )
+            lvl.index.name = "time_start"
+            lvl = lvl.reset_index()
+            levels[dst] = lvl
+            emit = lvl[lvl["time_start"] >= starts_pd[dst]]
+            if len(emit):
+                outs.append(emit.assign(interval=dst))
+        if not outs:
+            return pd.DataFrame(
+                columns=[
+                    "time_start", *key, "low", "high", "volume", "quote_volume",
+                    "max_height", "txs_count", "weighted_average_price",
+                    "open", "close", "interval",
+                ]
+            )
+        out = pd.concat(outs, ignore_index=True)
+        for k in key:
+            out[k] = pdf[k].iloc[0]
+        out["volume"] = out["_vol"].map(Decimal)
+        out["quote_volume"] = out["_qv"].map(
+            lambda i: Decimal(i).scaleb(-qv_scale)
+        )
+        out["weighted_average_price"] = out["_wap"].map(int)
+        return out[
+            [
+                "time_start", *key, "low", "high", "volume", "quote_volume",
+                "max_height", "txs_count", "weighted_average_price",
+                "open", "close", "interval",
+            ]
+        ]
+
+    schema = (
+        "time_start timestamp, amount_asset_id string, price_asset_id string, "
+        f"matcher_address string, low {PRICE_DEC}, high {PRICE_DEC}, "
+        f"volume decimal(38,0), quote_volume decimal(38,9), "
+        f"max_height {height_t}, txs_count long, weighted_average_price long, "
+        f"open {PRICE_DEC}, close {PRICE_DEC}, interval string"
+    )
+    return minute_merged.groupBy(*key).applyInPandas(kernel, schema)
 
 
 def _finalize_onepass(raw: DataFrame, f: int) -> DataFrame:

@@ -32,7 +32,7 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..constants import CANDLE_CASCADE, UID_HEIGHT_MULTIPLIER
+from ..constants import CANDLE_CASCADE, INTERVALS, UID_HEIGHT_MULTIPLIER
 from ..ingest import (
     RAW_UPDATE,
     classify_txs,
@@ -44,7 +44,12 @@ from ..ingest import (
     extract_ticker_updates,
     extract_waves_data,
 )
-from ..operators.candles import minute_candles, rollup_interval, scale_prices, trunc_ts
+from ..operators.candles import (
+    cascade_tail_exact_onepass,
+    minute_candles,
+    scale_prices,
+    trunc_ts,
+)
 from ..operators.scd import chain_superseded_by
 from ..plans.views import decimals_view
 from .store import TableStore
@@ -161,15 +166,32 @@ def normalize_squash(
 
 
 def _interval_starts(spark: SparkSession, since_ts: _dt.datetime) -> dict[str, _dt.datetime]:
-    """Truncate the watermark to every interval's start in one tiny job
-    (per-interval start, pg.rs:776-803)."""
-    lit_ts = F.lit(since_ts).cast("timestamp")
-    row = spark.range(1).select(
-        *[trunc_ts(lit_ts, ivl).alias(f"i_{i}") for i, ivl in enumerate(
-            ["1m"] + [dst for _, dst in CANDLE_CASCADE])]
-    ).collect()[0]
+    """Truncate the watermark to every interval's start (per-interval start,
+    pg.rs:776-803) — pure driver-side datetime math, no Spark job.
+
+    Mirrors ``trunc_ts`` exactly: every fixed-width interval (60 s .. 12 h)
+    divides a day evenly, so the epoch floor equals flooring the
+    seconds-of-day — timezone-free; calendar floors are midnight / Monday /
+    first-of-month (== date_trunc under the UTC-pinned session).  Pinned
+    against the Spark expressions by
+    tests/test_pipeline.py::test_interval_starts_match_trunc_ts."""
     names = ["1m"] + [dst for _, dst in CANDLE_CASCADE]
-    return {ivl: row[f"i_{i}"] for i, ivl in enumerate(names)}
+    t = since_ts.replace(microsecond=0)
+    midnight = t.replace(hour=0, minute=0, second=0)
+    out: dict[str, _dt.datetime] = {}
+    for ivl in names:
+        kind, arg = INTERVALS[ivl]
+        if kind == "secs":
+            secs = int(arg)
+            sod = (t - midnight).seconds
+            out[ivl] = midnight + _dt.timedelta(seconds=sod - sod % secs)
+        elif arg == "day":
+            out[ivl] = midnight
+        elif arg == "week":
+            out[ivl] = midnight - _dt.timedelta(days=midnight.weekday())
+        else:  # month
+            out[ivl] = midnight.replace(day=1)
+    return out
 
 
 def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
@@ -213,52 +235,48 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
     intervals = ["1m"] + [dst for _, dst in CANDLE_CASCADE]
     replace_month = {ivl: starts[ivl].strftime("%Y-%m") for ivl in intervals}
 
-    new_content: dict[str, DataFrame] = {}
-    cur_level: dict[str, DataFrame] = {}
+    # Recomputed minute tail, materialized eagerly (localCheckpoint): it
+    # feeds BOTH the one-pass rollup kernel and the final content union —
+    # lazy caching leaves the single write job racing its own branches.
+    # The tail is tiny (the A4 window), so the checkpoint is cheap; it is
+    # not executor-loss-resilient, but the store commit is transactional so
+    # a lost batch simply replays.
+    new_minute = minute_candles(
+        trades, since_ts=F.lit(starts["1m"]).cast("timestamp")
+    ).localCheckpoint(eager=True)
+    stored_1m = stored_level("1m")
+    if stored_1m is None:
+        merged_1m = new_minute
+    else:
+        merged_1m = stored_1m.filter(
+            F.col("time_start") < F.lit(starts["1m"]).cast("timestamp")
+        ).unionByName(new_minute)
 
-    def _merge(ivl: str, new_part: DataFrame) -> None:
-        """new_part = recomputed rows with time_start >= starts[ivl].
-        Materialized eagerly (localCheckpoint): each level feeds BOTH the
-        next rollup and the final content union — lazy caching leaves the
-        single write job racing its own branches (each recomputes the
-        shared prefix before the cache fills), measured ~1.5x slower
-        end-to-end.  Levels are tiny (the recompute window), so the
-        checkpoint is cheap; it is not executor-loss-resilient, but the
-        store commit is transactional so a lost batch simply replays."""
-        new_content[ivl] = new_part.localCheckpoint(eager=True)
-        stored = stored_level(ivl)
-        start_lit = F.lit(starts[ivl]).cast("timestamp")
-        if stored is None:
-            cur_level[ivl] = new_content[ivl]
-        else:
-            cur_level[ivl] = stored.filter(
-                F.col("time_start") < start_lit
-            ).unionByName(new_content[ivl])
+    # All 12 rollups in ONE applyInPandas stage (exact python-int math, no
+    # bounds): kernel input = merged minute level from the widest interval's
+    # truncated watermark on — every destination window being re-emitted
+    # starts at/after starts['1M'], so its source minutes are all present.
+    # Replaces the former per-level rollup chain (12 eager checkpoint jobs
+    # per batch — the measured bottleneck of the whole streaming path).
+    month_lit = F.lit(starts["1M"]).cast("timestamp")
+    tail_levels = cascade_tail_exact_onepass(
+        merged_1m.filter(F.col("time_start") >= month_lit).drop("interval"),
+        starts,
+    )
 
-    _merge("1m", minute_candles(trades, since_ts=F.lit(starts["1m"]).cast("timestamp")))
-    for src, dst in CANDLE_CASCADE:
-        d_start = F.lit(starts[dst]).cast("timestamp")
-        _merge(dst, rollup_interval(
-            cur_level[src].filter(F.col("time_start") >= d_start), src, dst
-        ))
-
-    # written content = per interval: new rows plus the boundary-month tail
-    # (stored rows in a replaced month but before that interval's watermark)
-    pieces = []
-    for ivl in intervals:
-        start_lit = F.lit(starts[ivl]).cast("timestamp")
-        piece = new_content[ivl]
-        stored = stored_level(ivl)
-        if stored is not None:
-            boundary_tail = stored.filter(
-                (F.date_format("time_start", "yyyy-MM") >= replace_month[ivl])
-                & (F.col("time_start") < start_lit)
+    # written content = recomputed rows (minute + kernel levels) plus each
+    # interval's boundary-month tail (stored rows in a replaced month but
+    # before that interval's watermark) — one stored-table scan for all 13
+    content = new_minute.unionByName(tail_levels)
+    if stored_all is not None:
+        cond = F.lit(False)
+        for ivl in intervals:
+            cond = cond | (
+                (F.col("interval") == ivl)
+                & (F.date_format("time_start", "yyyy-MM") >= replace_month[ivl])
+                & (F.col("time_start") < F.lit(starts[ivl]).cast("timestamp"))
             )
-            piece = boundary_tail.unionByName(piece)
-        pieces.append(piece)
-    content = pieces[0]
-    for p in pieces[1:]:
-        content = content.unionByName(p)
+        content = content.unionByName(stored_all.drop("p_ib").filter(cond))
     content = content.withColumn(
         "p_ib",
         F.concat_ws("|", F.col("interval"), F.date_format("time_start", "yyyy-MM")),

@@ -339,3 +339,29 @@ def test_liveness_probe_endpoints(spark, stores):
             fresh.stop()
     finally:
         probe.stop()
+
+
+def test_interval_starts_match_trunc_ts(spark):
+    """The driver-side watermark truncation must agree with the Spark
+    trunc_ts expressions for every interval (including week/month calendar
+    floors and mid-day fixed widths)."""
+    import datetime as dt
+
+    from blockchain_postgres_sync_spark.constants import ALL_INTERVALS
+    from blockchain_postgres_sync_spark.operators.candles import trunc_ts
+    from blockchain_postgres_sync_spark.streaming.pipeline import _interval_starts
+
+    samples = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 2, 29, 13, 37, 59),
+        dt.datetime(2024, 12, 31, 23, 59, 59),
+        dt.datetime(2023, 7, 16, 11, 30, 1),  # a Sunday
+    ]
+    for ts in samples:
+        got = _interval_starts(spark, ts)
+        lit = F.lit(ts).cast("timestamp")
+        row = spark.range(1).select(
+            *[trunc_ts(lit, ivl).alias(f"i_{i}") for i, ivl in enumerate(ALL_INTERVALS)]
+        ).collect()[0]
+        for i, ivl in enumerate(ALL_INTERVALS):
+            assert got[ivl] == row[f"i_{i}"], (ts, ivl)
