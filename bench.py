@@ -70,6 +70,8 @@ HEADLINE = [
     "pack_greedy",
     "quality_gate_pct",
     "char_entropy",
+    "token_vocab",
+    "token_encode",
 ]
 
 

@@ -201,3 +201,31 @@ def quality_percentile_gate(
         .filter(F.col("_pr") <= keep_frac)
         .drop("_pr")
     )
+
+
+def quality_approx_gate(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    stream_col: str = "lang",
+    score_col: str = "n_tokens",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB form of :func:`quality_percentile_gate`: per-stream
+    ``approx_percentile`` threshold + broadcast filter — NO sort anywhere.
+
+    One partial aggregation computes each stream's (1 - keep_frac)
+    quantile (mergeable KLL-style sketch, map-side combined), the tiny
+    threshold table broadcasts, and the corpus streams through a filter.
+    The boundary is ragged by the sketch's rank error (~1/accuracy); use
+    the exact window form when the kept set must be reproducible
+    bit-for-bit across engines."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    thresholds = df.groupBy(stream_col).agg(
+        F.percentile_approx(score_col, 1.0 - keep_frac, accuracy).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), stream_col)
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -32,8 +32,8 @@ from ..sources.tables import load_table
 from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
-    contamination, dedup, multimodal, packing, sampling, similarity, stats,
-    temporal,
+    contamination, dedup, encoding, multimodal, packing, sampling, similarity,
+    stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -223,25 +223,18 @@ def q_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: full 13-interval hierarchical rollup (pg.rs:740-815).
 
-    Plain per-level hash aggregation, no persist: AQE's exchange reuse
-    already dedups the shared lineage across the 13 union branches, so the
-    whole cascade is ONE job with 13 reused exchanges — measured faster
-    (~3s quiet-box / ~7s under harness load at sf0.1, min-of-N) than both
-    the persist-per-level form (13 sequential cache-fill jobs, ~7s) and the
-    pair-repartitioned narrow form (~20s: parallelism bounded by distinct
-    pairs), and it is the shape that scales: per-level hash on the full
-    grouping key + AQE skew handling.  The level intermediates are ~1-2 MB
-    shuffles here, so the session's small AQE advisory partition size is
-    what keeps the 13 stages multi-threaded (session.py).
-
     Long fixed-point end-to-end and ONE pandas stage for all 12 rollups
     (full_cascade_fixedpoint_onepass): the minute agg is the only corpus
     shuffle; one exchange on the pair key then lets a single Arrow task walk
-    the cascade DAG for its pair — collapsing the 12-stage critical path the
-    per-level Catalyst form pays (~3x at sf0.1; see candles.py for when the
-    per-level form is the right shape).  Bit-identical to the decimal
+    the cascade DAG for its pair — collapsing the 12-stage critical path to
+    a 2-exchange plan (~1.3s quiet-box at sf0.1, vs ~4.5s for the per-level
+    Catalyst form with AQE exchange reuse, ~7s for persist-per-level, ~20s
+    for the pair-repartitioned narrow form).  Bit-identical to the decimal
     cascade under the documented bounds (test_cascade_fixedpoint_parity,
-    test_cascade_onepass_parity)."""
+    test_cascade_onepass_parity).  Use the per-level Catalyst cascade
+    (operators.candles.full_cascade / full_cascade_fixedpoint) when pair
+    cardinality is tiny or a single pair dominates — the one-pass form's
+    parallelism is bounded by distinct pairs."""
     return _candles_final(
         full_cascade_fixedpoint_onepass(_trades(spark, sf_dir), f=2),
         True,
@@ -1077,6 +1070,21 @@ def q_quality_gate_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "n_tokens")
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: per-token counts (map-side combined) + dense ids
+    by (count desc, token) rank (operators.encoding.build_vocab)."""
+    docs = _t(spark, sf_dir, "documents")
+    return encoding.build_vocab(docs, min_count=2)
+
+
+def q_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-ids encode against the min_count=2 vocabulary; tail
+    tokens encode as the OOV id (-1) (operators.encoding.encode_docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = encoding.build_vocab(docs, min_count=2)
+    return encoding.encode_docs(docs, vocab)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy quality score (gibberish/boilerplate
     detector) — fully in-row, no explode, no shuffle
@@ -1499,6 +1507,8 @@ CATALOG: dict[str, QueryFn] = {
     "pack_greedy": q_pack_greedy,
     "quality_gate_pct": q_quality_gate_pct,
     "char_entropy": q_char_entropy,
+    "token_vocab": q_token_vocab,
+    "token_encode": q_token_encode,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -2091,5 +2101,34 @@ ORACLES: dict[str, str] = {
                          / length(text)) / ln(2)) * 1000) AS BIGINT)
                ELSE 0 END AS entropy_x1000
         FROM documents WHERE text IS NOT NULL
+    """,
+    "token_vocab": """
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM toks GROUP BY token HAVING count(*) >= 2)
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1
+                   AS BIGINT) AS token_id,
+               count
+        FROM c
+    """,
+    "token_encode": """
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT token, count(*) AS cnt
+              FROM toks GROUP BY token HAVING count(*) >= 2),
+        v AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+                         AS BIGINT) AS token_id
+              FROM c),
+        e AS (SELECT doc_id, u.i AS pos, t[u.i] AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE text IS NOT NULL) d,
+                   UNNEST(range(1, len(t) + 1)) AS u(i))
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
+        FROM e LEFT JOIN v ON e.tok = v.token
+        GROUP BY e.doc_id
     """,
 }

@@ -1,0 +1,80 @@
+"""Token dictionary encoding and approx-percentile gate tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.operators.encoding import (
+    build_vocab,
+    encode_docs,
+)
+from blockchain_postgres_sync_spark.operators.packing import (
+    quality_approx_gate,
+    quality_percentile_gate,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat", "en"),
+    (2, "the dog sat", "en"),
+    (3, "a rare token", "en"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_build_vocab_rank_order(spark):
+    v = {
+        r["token"]: (r["token_id"], r["count"])
+        for r in build_vocab(_docs(spark)).collect()
+    }
+    # 'the' appears 3x -> id 0; 'sat' 2x -> id 1; singletons ranked by token asc
+    assert v["the"] == (0, 3)
+    assert v["sat"] == (1, 2)
+    singles = sorted(t for t, (i, c) in v.items() if c == 1)
+    ids = [v[t][0] for t in singles]
+    assert ids == sorted(ids)  # alphabetical among equal counts
+
+
+def test_encode_roundtrip_and_oov(spark):
+    docs = _docs(spark)
+    vocab = build_vocab(docs, min_count=2)  # only 'the' and 'sat' survive
+    v = {r.token: r.token_id for r in vocab.collect()}
+    enc = {r.doc_id: (r.n_tokens, r.token_ids) for r in encode_docs(docs, vocab).collect()}
+    assert enc[2][0] == 3
+    assert enc[2][1] == [v["the"], -1, v["sat"]]
+    # doc order preserved: first and fifth token of doc 1 are 'the'
+    assert enc[1][1][0] == v["the"] and enc[1][1][4] == v["the"]
+    # every doc encoded, every position present
+    for doc_id, text, _ in DOCS:
+        assert enc[doc_id][0] == len(text.split(" ")) == len(enc[doc_id][1])
+
+
+def test_encode_repartition_invariant(spark):
+    docs = _docs(spark)
+    vocab = build_vocab(docs)
+    a = {r.doc_id: r.token_ids for r in encode_docs(docs, vocab).collect()}
+    b = {
+        r.doc_id: r.token_ids
+        for r in encode_docs(docs.repartition(7), vocab).collect()
+    }
+    assert a == b
+
+
+def test_approx_gate_tracks_exact_gate(spark):
+    """The sketch-threshold gate must keep ~the same fraction as the exact
+    percent_rank gate on a real table (boundary raggedness only)."""
+    from blockchain_postgres_sync_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+    )
+    exact = quality_percentile_gate(docs, keep_frac=0.5).count()
+    approx = quality_approx_gate(docs, keep_frac=0.5).count()
+    total = docs.count()
+    assert abs(approx - exact) / total < 0.05
