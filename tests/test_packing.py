@@ -145,3 +145,45 @@ def test_char_entropy_matches_python(spark):
         counts = [text.count(c) for c in sorted(set(text))]
         h = (math.log(n) - sum(c * math.log(c) for c in counts) / n) / math.log(2)
         assert out[doc_id] == math.floor(h * 1000)
+
+
+def test_cascade_onepass_calendar_boundaries(spark):
+    """Pin the pandas cascade's calendar floors (day/ISO-week/month) against
+    the Catalyst cascade across month, year, and week-over-year boundaries —
+    the hypothesis trade strategy never leaves January, so this is the only
+    cross-boundary coverage."""
+    from pyspark.sql import functions as F
+
+    from blockchain_postgres_sync_spark.operators.candles import (
+        full_cascade_fixedpoint,
+        full_cascade_fixedpoint_onepass,
+    )
+
+    rows = []
+    stamps = [
+        "2023-12-31 23:59:30",  # Sunday, last minute of year
+        "2024-01-01 00:00:30",  # Monday, new year/week/month
+        "2024-01-31 23:30:00",
+        "2024-02-01 00:15:00",  # month boundary
+        "2024-02-29 12:00:00",  # leap day
+        "2024-03-03 09:00:00",  # Sunday (week of Feb 26)
+        "2024-03-04 09:00:00",  # Monday (new ISO week)
+    ]
+    for i, ts in enumerate(stamps):
+        rows.append((i, ts, "A", "USD", "M0", 1, 10 + i, 1.5 + i))
+    df = spark.createDataFrame(
+        rows,
+        ["uid", "time_stamp", "amount_asset_id", "price_asset_id",
+         "sender", "height", "amount", "price"],
+    ).withColumn("time_stamp", F.col("time_stamp").cast("timestamp")).withColumn(
+        "price", F.col("price").cast("decimal(18,2)")
+    )
+    a = full_cascade_fixedpoint(df, f=2)
+    b = full_cascade_fixedpoint_onepass(df, f=2)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # sanity: the two ISO weeks around 2024-01-01 anchor to Dec 25 / Jan 1
+    weeks = sorted(
+        str(r.time_start) for r in b.filter(F.col("interval") == "1w").collect()
+    )
+    assert weeks[0].startswith("2023-12-25")

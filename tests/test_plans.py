@@ -58,11 +58,15 @@ def test_name_search_prunes_columns(spark):
 
 
 def test_candles_cascade_single_scan_no_cartesian(spark):
-    """A3: the 13-branch union must contain no cartesian/nested-loop join
-    and no row-at-a-time Python eval — pure JVM aggregation chains."""
+    """A3: no cartesian/nested-loop join, no row-at-a-time Python eval (the
+    rollup kernel is Arrow-batched FlatMapGroupsInPandas), and the one-pass
+    shape: exactly two hash exchanges (minute agg + pair regroup) instead of
+    one per cascade level."""
     plan = _plan(spark, "candles_cascade")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
 
 
 def test_no_rowwise_python_in_text_ops(spark):
