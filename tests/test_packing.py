@@ -187,3 +187,55 @@ def test_cascade_onepass_calendar_boundaries(spark):
         str(r.time_start) for r in b.filter(F.col("interval") == "1w").collect()
     )
     assert weeks[0].startswith("2023-12-25")
+
+
+def test_packing_property_invariants(spark):
+    """Property check over random corpora/budgets: greedy bins never
+    overflow (except single oversized docs), bin ids are dense and
+    monotone in doc order, and concat-and-split offsets advance exactly
+    by token count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(1, 25))
+        docs = []
+        for i in range(n):
+            n_tok = draw(st.integers(1, 12))
+            docs.append((i, " ".join(f"t{draw(st.integers(0, 5))}" for _ in range(n_tok)),
+                         draw(st.sampled_from(["en", "es"]))))
+        budget = draw(st.integers(1, 20))
+        return docs, budget
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpora())
+    def check(case):
+        docs, budget = case
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        greedy = sorted(
+            pack_greedy(df, budget=budget).collect(),
+            key=lambda r: (r.lang, r.doc_id),
+        )
+        by_lang: dict[str, list] = {}
+        for r in greedy:
+            by_lang.setdefault(r.lang, []).append(r)
+        for rows in by_lang.values():
+            prev_bin = 0
+            for r in rows:
+                # overflow only allowed when the bin holds that one doc
+                assert r.bin_fill <= budget or r.bin_fill == r.n_tokens
+                assert r.bin_id in (prev_bin, prev_bin + 1)
+                prev_bin = r.bin_id
+        concat = sorted(
+            pack_concat(df, budget=budget).collect(),
+            key=lambda r: (r.lang, r.doc_id),
+        )
+        for lang in {r.lang for r in concat}:
+            pre = 0
+            for r in [x for x in concat if x.lang == lang]:
+                assert r.bin_id == pre // budget and r.bin_offset == pre % budget
+                pre += r.n_tokens
+
+    check()
