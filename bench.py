@@ -144,10 +144,16 @@ def stream_throughput(spark, sf_dir: str) -> dict:
             f.write("\n".join(lines))
         files.append(path)
     n_events = len(rows)
-    t0 = time.time()
-    run_stream(spark, events_dir, os.path.join(work, "store"),
-               max_files_per_trigger=1)
-    elapsed = time.time() - t0
+    # min-of-N like the catalog queries: the streaming path is store-I/O
+    # heavy and the harness box's background I/O bursts inflate single
+    # shots; each run uses a fresh store directory (cold store, warm JVM)
+    runs = int(os.environ.get("STREAM_RUNS", "2"))
+    elapsed = float("inf")
+    for i in range(runs):
+        store_dir = os.path.join(work, f"store_{i}")
+        t0 = time.time()
+        run_stream(spark, events_dir, store_dir, max_files_per_trigger=1)
+        elapsed = min(elapsed, time.time() - t0)
     shutil.rmtree(work, ignore_errors=True)
     return {
         "events": n_events,

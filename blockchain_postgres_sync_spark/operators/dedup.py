@@ -173,10 +173,15 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
     )
     grouped = sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("ids"))
-    sizes = (
-        grouped.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc sizes IN-ROW at the source: |distinct shingles| needs no
+    # explode and no aggregation — a second map-only scan of the corpus is
+    # strictly cheaper than re-aggregating the exploded posting rows
+    # (corpus-row-count output either way, but zero shuffle dependency here)
+    sizes = df.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(token_shingles(F.col(text_col), shingle_size))
+        ).cast("long").alias("n_sh"),
     )
     expandable = grouped.filter(F.size("ids") >= 2)
     if max_postings is not None:
