@@ -40,8 +40,12 @@ def doc_chunks(
     chunk_tokens: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stride: int | None = None,
 ) -> DataFrame:
-    """Split each document into consecutive ``chunk_tokens``-token windows.
+    """Split each document into ``chunk_tokens``-token windows whose starts
+    advance by ``stride`` tokens (default = chunk_tokens: consecutive,
+    non-overlapping; stride < chunk_tokens gives the overlapping sliding
+    windows used for long-context training and retrieval chunking).
 
     Output: (id, chunk_idx, n_chunk_tokens, chunk_text) — one row per
     window, tail window possibly short, empty/short docs yield exactly one
@@ -51,9 +55,15 @@ def doc_chunks(
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    step = chunk_tokens if stride is None else stride
+    if not 1 <= step <= chunk_tokens:
+        raise ValueError(f"stride must be in [1, chunk_tokens], got {step}")
     toks = tokens(F.col(text_col))
+    # windows start at 0, step, 2*step, ... while start < n_tokens — the
+    # last window begins before the end, so every token lands in >= 1 window
     n_chunks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("long"), F.lit(1).cast("long")
+        F.ceil((F.size(toks) - chunk_tokens) / F.lit(float(step))).cast("long") + 1,
+        F.lit(1).cast("long"),
     )
     e = df.select(
         F.col(id_col),
@@ -61,7 +71,7 @@ def doc_chunks(
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
     )
     piece = F.slice(
-        F.col("_toks"), (F.col("chunk_idx") * chunk_tokens + 1).cast("int"), chunk_tokens
+        F.col("_toks"), (F.col("chunk_idx") * step + 1).cast("int"), chunk_tokens
     )
     return e.select(
         id_col,

@@ -239,3 +239,31 @@ def test_packing_property_invariants(spark):
                 pre += r.n_tokens
 
     check()
+
+
+def test_doc_chunks_overlapping_stride(spark):
+    """stride < chunk_tokens -> sliding windows: every consecutive pair of
+    chunks overlaps by chunk_tokens - stride tokens, and the default
+    (stride = chunk_tokens) output is unchanged by the stride machinery."""
+    out = (
+        doc_chunks(_docs(spark), chunk_tokens=4, stride=2)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    d3 = [r.chunk_text.split(" ") for r in out if r.doc_id == 3]
+    toks = DOCS[2][1].split(" ")
+    for i, chunk in enumerate(d3):
+        assert chunk == toks[i * 2 : i * 2 + 4]
+    # overlap: last 2 tokens of chunk i == first 2 of chunk i+1
+    for a, b in zip(d3, d3[1:]):
+        assert a[2:] == b[:2]
+    # every token covered
+    assert d3[-1][-1] == toks[-1]
+    # default stride reproduces the non-overlapping layout
+    plain = doc_chunks(_docs(spark), chunk_tokens=4).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    strided = doc_chunks(_docs(spark), chunk_tokens=4, stride=4).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in strided]
