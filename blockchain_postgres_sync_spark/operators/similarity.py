@@ -156,6 +156,65 @@ def ivf_fit(
     )
 
 
+def _assign_cells_numpy(
+    corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Corpus→cell assignment as an Arrow-batched numpy kernel.
+
+    The Catalyst in-row argmax evaluates C interpreted HOF cosine folds per
+    corpus row — the dominant cost of ivf_topk.  This kernel runs the SAME
+    float64 operation sequence vectorized ACROSS rows but sequentially
+    ACROSS dimensions (``acc_k+1 = acc_k + A[:,k,None]*C[None,:,k]``), so
+    cell scores — and therefore assignments and the oracle hash — are
+    bit-identical to the fold (identical argument established for
+    ``dedup.embedding_neardup_pairs_blocked``); ``np.argmax`` keeps the
+    first max, matching the fold's strict-greater / lowest-cid tie-break.
+    The codebook is a classic broadcast dimension (C·d floats; same
+    materialization ``ivf_fit`` already performs).  Map-only: no exchange
+    between the scan and the assignment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cids = np.array([int(r["cid"]) for r in crows], dtype=np.int32)
+    cmat = np.array([r["_cent"] for r in crows], dtype=np.float32).astype(np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat))
+
+    def kernel(batches):
+        cids_b, c64 = bc.value
+        d = c64.shape[1]
+        nc_acc = np.zeros(len(cids_b))
+        for k in range(d):
+            nc_acc += c64[:, k] * c64[:, k]
+        nc = np.sqrt(nc_acc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a64 = np.asarray(list(pdf[vec_col]), dtype=np.float32).astype(np.float64)
+            acc = np.zeros((len(a64), len(cids_b)))
+            tmp = np.empty_like(acc)
+            na_acc = np.zeros(len(a64))
+            for k in range(d):
+                np.multiply(a64[:, k][:, None], c64[:, k][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
+                na_acc += a64[:, k] * a64[:, k]
+            cos = acc / (np.sqrt(na_acc)[:, None] * nc[None, :])
+            best = cids_b[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "_cvec": pdf[vec_col],
+                    "cid": best.astype(np.int32),
+                }
+            )
+
+    vec_t = dict(corpus.dtypes)[vec_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, f"neighbor_id long, _cvec {vec_t}, cid int"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,12 +234,13 @@ def ivf_topk(
     a deterministic stand-in for a trained codebook so results are exactly
     reproducible (and oracle-checkable); pass ``centroids=ivf_fit(corpus)``
     for the trained k-means|| codebook — identical plan shape, cells just
-    get better balance.  Cell assignment is IN-ROW: the codebook collapses
-    to a single array row (broadcast), and each corpus vector picks its
-    cell with an ``aggregate`` argmax over that array — scan -> project,
-    NO exchange between the scan and the assignment (the round-2 form
-    shuffled corpus x C rows through a per-vector window).  Ties break to
-    the lowest cid, matching a (cos desc, cid asc) rank.  Each corpus
+    get better balance.  Cell assignment is MAP-ONLY: the codebook
+    broadcasts (C*d floats) and each Arrow batch scores its rows against
+    all centroids in one vectorized numpy pass (``_assign_cells_numpy``,
+    bit-identical to the Catalyst fold; the round-2 form shuffled
+    corpus x C rows through a per-vector window, and the interpreted
+    in-row HOF argmax it replaced paid C fold evaluations per row).  Ties
+    break to the lowest cid, matching a (cos desc, cid asc) rank.  Each corpus
     vector lands in exactly one cell, so probed cells never produce
     duplicate candidates.  At 100 TB the assigned cells are written
     bucketed by cid, making the probe join a pruned, co-located read.
@@ -206,18 +266,7 @@ def ivf_topk(
             ),
         )
 
-    best_cell = F.aggregate(
-        cell_scores(F.col(vec_col)),
-        F.struct(
-            F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("int").alias("cid")
-        ),
-        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
-    )["cid"]
-    assigned = corpus.crossJoin(F.broadcast(cent_arr)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        best_cell.alias("cid"),
-    )
+    assigned = _assign_cells_numpy(corpus, cent, id_col, vec_col)
     # probe cells in-row as well: sort scores by (cos desc, cid asc) via the
     # (-cos, cid) ascending struct sort, take the first n_probe, explode
     probe_cells = F.slice(
