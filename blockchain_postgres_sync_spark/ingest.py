@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, BooleanType, DecimalType, IntegerType, LongType,
-    ShortType, StringType, StructField, StructType, TimestampType,
+    ShortType, StringType, StructField, StructType,
 )
 
 from .constants import UID_HEIGHT_MULTIPLIER

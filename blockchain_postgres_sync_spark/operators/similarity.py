@@ -19,7 +19,7 @@ import struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, dot
 
 
 def brute_force_topk(

@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 
 from ..constants import CANDLE_CASCADE, INTERVALS, UID_HEIGHT_MULTIPLIER
 from ..ingest import (
-    RAW_UPDATE,
     classify_txs,
     extract_asset_origins,
     extract_asset_updates,
