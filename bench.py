@@ -69,6 +69,7 @@ HEADLINE = [
     "pack_concat",
     "pack_greedy",
     "quality_gate_pct",
+    "doc_chunks_strided",
     "char_entropy",
     "token_vocab",
     "token_encode",

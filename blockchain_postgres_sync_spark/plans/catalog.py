@@ -1042,6 +1042,13 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.doc_chunks(docs, chunk_tokens=16)
 
 
+def q_doc_chunks_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: 16-token windows every 8 tokens
+    (long-context / retrieval layout) — still a map-only explode."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return packing.doc_chunks(docs, chunk_tokens=16, stride=8)
+
+
 def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing (GPT-style): per-language token
     stream cut every 64 tokens; one running-sum window per language."""
@@ -1503,6 +1510,7 @@ CATALOG: dict[str, QueryFn] = {
     "ngram_topk": q_ngram_topk,
     "session_attribution": q_session_attribution,
     "doc_chunks": q_doc_chunks,
+    "doc_chunks_strided": q_doc_chunks_strided,
     "pack_concat": q_pack_concat,
     "pack_greedy": q_pack_greedy,
     "quality_gate_pct": q_quality_gate_pct,
@@ -2060,6 +2068,18 @@ ORACLES: dict[str, str] = {
              UNNEST(generate_series(
                  0, CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT) - 1))
              AS u(i)
+    """,
+    "doc_chunks_strided": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(t[i*8+1 : i*8+16]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(t[i*8+1 : i*8+16], ' ') AS chunk_text
+        FROM toks,
+             UNNEST(generate_series(
+                 0, CAST(greatest(ceil((len(t) - 16) / 8.0) + 1, 1)
+                     AS BIGINT) - 1)) AS u(i)
     """,
     "pack_concat": """
         WITH s AS (SELECT doc_id, lang,

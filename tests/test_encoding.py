@@ -78,3 +78,40 @@ def test_approx_gate_tracks_exact_gate(spark):
     approx = quality_approx_gate(docs, keep_frac=0.5).count()
     total = docs.count()
     assert abs(approx - exact) / total < 0.05
+
+
+def test_approx_cardinality_tracks_exact(spark):
+    """SCALE.md's 100 TB posture claim for corpus_cardinality — swap exact
+    multi-distinct for approx_count_distinct (mergeable HLL partials), same
+    query shape — verified: the sketch stays within its documented rsd of
+    the exact counts on the real table."""
+    from blockchain_postgres_sync_spark.functions import text as T
+    from blockchain_postgres_sync_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "lang", F.md5("text").alias("digest"), "doc_id",
+        F.explode(T.tokens(F.col("text"))).alias("tok"),
+    )
+    exact = {
+        r.lang: r
+        for r in toks.groupBy("lang").agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        ).collect()
+    }
+    approx = {
+        r.lang: r
+        for r in toks.groupBy("lang").agg(
+            F.approx_count_distinct("doc_id", rsd=0.02).alias("n_docs"),
+            F.approx_count_distinct("tok", rsd=0.02).alias("n_distinct_tokens"),
+        ).collect()
+    }
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert abs(a.n_docs - e.n_docs) <= max(0.06 * e.n_docs, 2)
+        assert abs(a.n_distinct_tokens - e.n_distinct_tokens) <= max(
+            0.06 * e.n_distinct_tokens, 2
+        )
