@@ -50,6 +50,8 @@ HEADLINE = [
     "media_image_features",
     "media_audio_features",
     "media_frame_sample",
+    "media_image_real",
+    "media_audio_real",
     "json_field_agg",
     "asset_name_search",
     "asof_quotes",
@@ -73,6 +75,7 @@ HEADLINE = [
     "char_entropy",
     "token_vocab",
     "token_encode",
+    "ngram_topk",
 ]
 
 

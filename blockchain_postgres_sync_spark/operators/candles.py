@@ -469,9 +469,16 @@ def cascade_tail_exact_onepass(
 
     ``minute_merged`` is the merged minute level (stored history below the
     watermark + recomputed tail) already restricted to
-    ``time_start >= starts['1M']`` (the widest interval's truncated
-    watermark — every destination window that must be re-emitted starts at
-    or after it, so its source minutes are all present).  Output: for each
+    ``time_start >= min(starts.values())``.  The minimum — NOT
+    ``starts['1M']`` — matters: the week floor (Monday) can precede the
+    month floor when the watermark falls in the first days of a month that
+    does not start on a Monday (watermark Wed 2026-04-01 → starts['1w'] =
+    2026-03-30 < starts['1M'] = 2026-04-01), and the re-emitted 1w window
+    needs those pre-month minutes.  Every destination window emitted
+    (``time_start >= starts[dst]``) then has all of its source minutes
+    present; levels whose parent aggregates could be partial below the
+    floor (1w, 1M) are terminal in ``CANDLE_CASCADE`` and their partial
+    windows are never emitted.  Output: for each
     non-minute interval, the recomputed rows with
     ``time_start >= starts[interval]`` — exactly the per-level
     ``new_content`` the chained rollup produces, but in one job instead of

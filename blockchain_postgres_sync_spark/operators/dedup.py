@@ -152,7 +152,9 @@ def ngram_jaccard_pairs(
     then pairs expand IN-ROW (two explodes over the same list) — no
     shuffle self-join, and the overwhelmingly common singleton shingles
     (|postings| = 1, which can never witness a pair) are dropped before
-    expansion.  Per-doc sizes reuse the same persisted postings aggregate.
+    expansion.  Per-doc sizes come from an independent MAP-ONLY second scan
+    of the source (``F.size`` in-row — no explode, no shuffle dependency on
+    the postings aggregate).
     At 100 TB a viral shingle makes |postings|^2 in-row pairs — pass
     ``max_postings`` to drop such stop-shingles before expansion (standard
     stop-shingle removal: a shingle shared by that many documents carries
@@ -161,13 +163,10 @@ def ngram_jaccard_pairs(
     every shingle, so capped scores only ever filter pairs out, never
     admit false positives.
     """
-    # postings aggregate fans into two consumers (pair expansion + per-doc
-    # sizes); both branches share the identical groupBy lineage, so AQE's
-    # exchange reuse executes the tokenize+shingle+shuffle ONCE and each
-    # branch only re-runs its final agg — measured faster than persist
-    # (which re-shuffles out of the cache) and carries no cache memory.
-    # |grouped| ≤ |distinct shingles| rows — at 100 TB materialize instead
-    # to a table bucketed on the shingle key.
+    # postings aggregate feeds ONLY the pair expansion; per-doc sizes are a
+    # separate map-only scan of the source (below).  |grouped| ≤ |distinct
+    # shingles| rows — at 100 TB materialize instead to a table bucketed on
+    # the shingle key.
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
@@ -443,6 +442,7 @@ def embedding_neardup_pairs_blocked(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """``embedding_neardup_pairs`` with a numpy block kernel — same pairs,
     bit-identical scores, ~10x the nested-loop throughput.
@@ -463,13 +463,26 @@ def embedding_neardup_pairs_blocked(
 
     Scale: the broadcast side must fit in executor memory (n*d floats); the
     left side streams in Arrow batches, so work distributes as n/partitions
-    blocks.  Beyond broadcastable n, pre-bucket with ``similarity.lsh_bucket``
-    and run this kernel per bucket.
+    blocks.  Adaptive, mirroring ``duplicate_clusters``: above
+    ``broadcast_threshold`` rows the corpus is NOT collected — the call
+    delegates to :func:`embedding_neardup_pairs_grid` (same pairs,
+    bit-identical scores, no driver materialization) with ``n_blocks``
+    sized so each grid cell stays under the threshold.  The count that
+    decides the strategy is one cheap scan next to the O(n^2) scoring.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     side = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    n_rows = side.count()
+    if n_rows > broadcast_threshold:
+        n_blocks = max(8, math.ceil(2 * n_rows / broadcast_threshold))
+        return embedding_neardup_pairs_grid(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            n_blocks=n_blocks,
+        )
     rows = side.collect()
     ids_all = np.array([r._id for r in rows], dtype=np.int64)
     mat = np.array([r._v for r in rows], dtype=np.float32)

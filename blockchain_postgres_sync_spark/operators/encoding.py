@@ -7,11 +7,14 @@ a dense integer id.  Two operators, both deterministic and engine-exact:
   (count desc, token asc) rank.  The heavy part (per-token counts) is a
   map-side-combined aggregation over the exploded corpus — one shuffle
   whose reduce side is VOCABULARY-sized, not corpus-sized.  The id
-  assignment ranks only the vocabulary; it uses a single-partition window
-  because dense ranks are inherently a total order (same trade as
-  ngram_topk's final rank) — a vocabulary is bounded (≤ a few million
-  rows) regardless of corpus size, so this never becomes the scale
-  bottleneck.
+  assignment is a distributed TWO-PHASE rank (no single-partition window):
+  range-partition the vocabulary by the rank order, number rows locally
+  inside each sorted partition (map-only cumcount), then add broadcast
+  per-partition offsets.  Global id = offset[pid] + local index, exact
+  because range partitioning gives a strict cross-partition order on the
+  unique (count desc, token asc) key.  A URL/code-heavy 100 TB corpus can
+  push the vocabulary past memory-of-one-task; this form never
+  concentrates it.
 - :func:`encode_docs` — (doc_id, n_tokens, token_ids array) with ids in
   document order.  posexplode → broadcast-join the vocab → re-assemble with
   ``array_sort(collect_list(struct(pos, id)))``.  One shuffle on doc_id;
@@ -24,32 +27,103 @@ search-token surface (up.sql:703-705) to the trainer-facing encode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+
+#: holds the previous build_vocab call's persisted rank frame until the next
+#: call (the returned DataFrame reads from it lazily, so it cannot be
+#: unpersisted before the caller consumes it)
+_VOCAB_CACHE: list[DataFrame] = []
 
 
 def build_vocab(
     docs: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """(token, token_id, count), ids dense from 0 by (count desc, token asc).
 
     The (count, token) ordering is total, so ids are reproducible on any
-    engine; ``min_count`` drops the long tail before ranking."""
+    engine; ``min_count`` drops the long tail before ranking.
+
+    Id assignment is a distributed two-phase rank, all in ONE lazy plan
+    (no driver jobs at build time):
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on
+       (count desc, token asc) — partition *i*'s rows all sort-precede
+       partition *i+1*'s (tokens are unique, so no boundary-tie ambiguity),
+       and each partition is internally sorted.
+    2. a map-only ``mapInPandas`` cumcount stamps the local index — no
+       window, no second exchange.
+    3. per-partition offsets come from a triangular self-join over the
+       per-partition row counts (``rank_partitions`` rows — trivially
+       broadcast); ``token_id = offset[pid] + local index``.
+
+    Both ``counts`` and the numbered frame are ``persist``-ed (lazy —
+    build_vocab launches no jobs).  ``numbered``'s cache is correctness:
+    range boundaries come from SAMPLING, so the offsets branch and the
+    output branch must read ONE materialization, never recompute the
+    exchange with potentially re-drawn boundaries.  ``counts``'s cache is
+    cost: the range partitioner's sampling pass and the shuffle pass read
+    the aggregation once instead of running it twice.  Caches are
+    vocabulary-bounded and released on the next build_vocab call (same
+    pattern as ``dedup.duplicate_clusters``).
+    """
+    while _VOCAB_CACHE:
+        _VOCAB_CACHE.pop().unpersist()
     counts = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
-        .agg(F.count("*").alias("count"))
+        .agg(F.count("*").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
+        .persist()
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    return counts.withColumn(
-        "token_id", (F.row_number().over(w) - 1).cast("long")
-    ).select("token", "token_id", F.col("count").cast("long").alias("count"))
+    _VOCAB_CACHE.append(counts)
+    spark = docs.sparkSession
+    nparts = rank_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    order = [F.col("count").desc(), F.col("token").asc()]
+    ranked = (
+        counts.repartitionByRange(nparts, *order)
+        .sortWithinPartitions(*order)
+        .select(F.spark_partition_id().alias("_pid"), "token", "count")
+    )
+
+    def local_index(batches):
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lix"] = range(seen, seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    numbered = ranked.mapInPandas(
+        local_index, "_pid int, token string, count long, _lix long"
+    ).persist()
+    _VOCAB_CACHE.append(numbered)
+
+    sizes = numbered.groupBy("_pid").agg(F.count("*").alias("_n"))
+    below = sizes.select(
+        F.col("_pid").alias("_bpid"), F.col("_n").alias("_bn")
+    )
+    offsets = (
+        sizes.join(below, F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).cast("long").alias("_off"))
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "_pid")
+        .select(
+            "token",
+            (F.col("_off") + F.col("_lix")).alias("token_id"),
+            "count",
+        )
+    )
 
 
 def encode_docs(

@@ -148,6 +148,46 @@ def decode_png_stdlib(data: bytes) -> tuple[int, int, float]:
     return width, height, total / max(count, 1)
 
 
+def encode_png_stdlib(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit grayscale, filter 0): the fixture
+    side of the real-codec seam — bytes it emits round-trip through
+    :func:`decode_png_stdlib` (and any standards-compliant decoder)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_stdlib(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Minimal stdlib WAV encoder (16-bit PCM mono) — fixture side of the
+    :func:`decode_wav_stdlib` seam."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def decode_wav_stdlib(data: bytes) -> tuple[int, float]:
     """Stdlib WAV decoder via the ``wave`` module: returns (duration_ms,
     rms in [0, 1]) for 16-bit PCM — the real-codec seam for

@@ -176,13 +176,27 @@ def _assign_cells_numpy(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import ArrayType, FloatType
+
+    # Intermediate dtype must follow the COLUMN's element type: an
+    # array<float> column passes through float32 (matching Arrow's batch
+    # representation and the Catalyst fold's cast), but an array<double>
+    # column must go straight to float64 — routing it through float32 would
+    # silently truncate and could flip assignments near ties, breaking the
+    # documented bit-identity with the Catalyst cosine fold.
+    elem_t = corpus.schema[vec_col].dataType
+    narrow = isinstance(elem_t, ArrayType) and isinstance(
+        elem_t.elementType, FloatType
+    )
+    via = np.float32 if narrow else np.float64
+
     crows = sorted(cent.collect(), key=lambda r: r["cid"])
     cids = np.array([int(r["cid"]) for r in crows], dtype=np.int32)
-    cmat = np.array([r["_cent"] for r in crows], dtype=np.float32).astype(np.float64)
-    bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat))
+    cmat = np.array([r["_cent"] for r in crows], dtype=via).astype(np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat, narrow))
 
     def kernel(batches):
-        cids_b, c64 = bc.value
+        cids_b, c64, narrow_b = bc.value
         d = c64.shape[1]
         nc_acc = np.zeros(len(cids_b))
         for k in range(d):
@@ -191,7 +205,9 @@ def _assign_cells_numpy(
         for pdf in batches:
             if not len(pdf):
                 continue
-            a64 = np.asarray(list(pdf[vec_col]), dtype=np.float32).astype(np.float64)
+            a64 = np.asarray(
+                list(pdf[vec_col]), dtype=np.float32 if narrow_b else np.float64
+            ).astype(np.float64)
             acc = np.zeros((len(a64), len(cids_b)))
             tmp = np.empty_like(acc)
             na_acc = np.zeros(len(a64))

@@ -865,6 +865,74 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_index", "frame_ts_ms")
 
 
+#: REAL-codec media path (round-3 verdict item 3): payloads are genuine PNG
+#: and WAV bytes synthesized deterministically per doc_id, and the features
+#: come out of the stdlib DECODERS (zlib inflate + scanline unfilter / wave
+#: PCM parse) — not the FNV stub.  Metadata columns are NULL on purpose:
+#: width/height/duration can only come from actually decoding the payload.
+def _media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import (
+            encode_png_stdlib, encode_wav_stdlib,
+        )
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "payload": [], "mime": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = did % 13 + 4, did % 11 + 4
+                    px = bytes((did + i) % 256 for i in range(w * h))
+                    out["payload"].append(encode_png_stdlib(w, h, px))
+                    out["kind"].append("image")
+                    out["mime"].append("image/png")
+                else:
+                    n = did % 400 + 100
+                    s = (did * 7 + np.arange(n, dtype=np.int64)) % 2001 - 1000
+                    out["payload"].append(encode_wav_stdlib(s, rate=8000))
+                    out["kind"].append("audio")
+                    out["mime"].append("audio/wav")
+                out["media_id"].append(did)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_ms"].append(None)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+
+
+def q_media_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_features over REAL PNG payloads with the stdlib decoder in the
+    codec seam: width/height/mean come from IHDR + inflated scanlines.  The
+    oracle recomputes the same features analytically from the pixel rule
+    (pixel[i] = (doc_id + i) % 256), so a green row certifies the decode."""
+    out = multimodal.image_features(
+        _media_real(spark, sf_dir), codec=multimodal.decode_png_stdlib
+    )
+    return out.select("media_id", "width", "height", "mean_intensity")
+
+
+def q_media_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio_features over REAL 16-bit PCM WAV payloads with the stdlib
+    decoder: duration from the frame count, rms from the decoded samples.
+    Sample rule s_k = (doc_id*7 + k) % 2001 - 1000 keeps every float64
+    partial sum exactly representable (|s| <= 1000, n <= 500 => sum of
+    s^2/2^30 terms carries < 2^53 numerator), so spark/duckdb rms agree
+    bit-for-bit regardless of summation order."""
+    out = multimodal.audio_features(
+        _media_real(spark, sf_dir), codec=multimodal.decode_wav_stdlib
+    )
+    return out.select("media_id", "duration_ms", "rms")
+
+
 def q_rollback_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3+A6: rollback to a boundary block + SCD chain reopen
     (mod.rs:794-858).  The reopen repair (lowest deleted uid per key regains
@@ -1415,6 +1483,30 @@ _MEDIA_FRAMES_SQL = """
           FROM documents WHERE doc_id % 3 = 2)
 """
 
+_MEDIA_IMAGE_REAL_SQL = """
+    WITH g AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+               FROM documents WHERE doc_id % 2 = 0)
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                    i -> (doc_id + i) % 256)) AS DOUBLE) / (w*h) AS FLOAT)
+               AS mean_intensity
+    FROM g
+"""
+
+_MEDIA_AUDIO_REAL_SQL = """
+    WITH g AS (SELECT doc_id, doc_id % 400 + 100 AS n
+               FROM documents WHERE doc_id % 2 = 1)
+    SELECT doc_id AS media_id,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sqrt(list_sum(list_transform(generate_series(0, n - 1),
+                    k -> pow(CAST((doc_id*7 + k) % 2001 - 1000 AS DOUBLE)
+                             / 32768.0, 2))) / n)
+               AS FLOAT) AS rms
+    FROM g
+"""
+
 _ROLLBACK_SCD_SQL = f"""
     WITH survivors AS (
         SELECT CAST(user_id AS BIGINT) AS asset_id,
@@ -1498,6 +1590,8 @@ CATALOG: dict[str, QueryFn] = {
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_image_real": q_media_image_real,
+    "media_audio_real": q_media_audio_real,
     "rollback_scd": q_rollback_scd,
     "squash_blocks": q_squash_blocks,
     "squash_repoint": q_squash_repoint,
@@ -1907,6 +2001,8 @@ ORACLES: dict[str, str] = {
     "media_image_features": _MEDIA_IMAGE_SQL,
     "media_audio_features": _MEDIA_AUDIO_SQL,
     "media_frame_sample": _MEDIA_FRAMES_SQL,
+    "media_image_real": _MEDIA_IMAGE_REAL_SQL,
+    "media_audio_real": _MEDIA_AUDIO_REAL_SQL,
     "asof_quotes": """
         WITH t AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_id % 5 = 0),

@@ -20,9 +20,10 @@ Reproduces the reference consumer's lifecycle (SURVEY.md §3.1) Spark-first:
 Scale notes: blocks are a tiny dimension (1 row/block) so the squash window
 and rollback lookups are cheap; tx/candle merges rewrite only rows above the
 watermark — with height-bucket partitioning the rewritten partition set is
-the speculative tail, O(1) per batch.  SCD rechaining recomputes all keys
-here; the affected-keys-only variant (union unchanged chains) is a
-straightforward refinement once update logs grow past memory.
+the speculative tail, O(1) per batch.  SCD rechaining (appends AND
+rollback) touches only keys whose logs changed — unchanged chains pass
+through via a broadcast anti-join — so its cost follows batch size /
+reorg depth, not dimension size.
 """
 
 from __future__ import annotations
@@ -252,14 +253,19 @@ def recompute_candles(store: TableStore, since_ts: _dt.datetime) -> None:
         ).unionByName(new_minute)
 
     # All 12 rollups in ONE applyInPandas stage (exact python-int math, no
-    # bounds): kernel input = merged minute level from the widest interval's
-    # truncated watermark on — every destination window being re-emitted
-    # starts at/after starts['1M'], so its source minutes are all present.
+    # bounds): kernel input = merged minute level from min(starts) on.  The
+    # widest truncation is USUALLY the month floor, but the week floor
+    # (Monday) can precede it — e.g. watermark Wed 2026-04-01 gives
+    # starts['1w'] = 2026-03-30 < starts['1M'] = 2026-04-01 — and the
+    # re-emitted 1w candle needs those pre-month minutes.  Feeding extra
+    # minutes is safe: per-level emission inside the kernel filters to
+    # time_start >= starts[dst], and the two levels whose parents could go
+    # partial below min(starts) (1w, 1M) are terminal in CANDLE_CASCADE.
     # Replaces the former per-level rollup chain (12 eager checkpoint jobs
     # per batch — the measured bottleneck of the whole streaming path).
-    month_lit = F.lit(starts["1M"]).cast("timestamp")
+    cascade_floor = F.lit(min(starts.values())).cast("timestamp")
     tail_levels = cascade_tail_exact_onepass(
-        merged_1m.filter(F.col("time_start") >= month_lit).drop("interval"),
+        merged_1m.filter(F.col("time_start") >= cascade_floor).drop("interval"),
         starts,
     )
 
@@ -571,7 +577,27 @@ def rollback_to_uid(store: TableStore, boundary: int) -> _dt.datetime | None:
             continue
         survivors = log.filter(F.col("block_uid") <= boundary)
         store.stage(log_name, survivors)
-        store.stage(chained, chain_superseded_by(survivors, key="asset_id", uid="uid"))
+        # affected-keys-only rechain, mirroring the appends path (_scd):
+        # chains are per-key independent, and a key none of whose rows are
+        # deleted keeps an identical per-key log — its stored chain rows
+        # pass through untouched.  Only keys with rows ABOVE the boundary
+        # (the reference's DELETE .. RETURNING feed, pg.rs:225-256) rechain,
+        # so rollback cost follows reorg depth, not dimension size.
+        stored_chain = store.read_or_none(chained)
+        if stored_chain is None:
+            store.stage(
+                chained, chain_superseded_by(survivors, key="asset_id", uid="uid")
+            )
+            continue
+        affected = (
+            log.filter(F.col("block_uid") > boundary).select("asset_id").distinct()
+        )
+        unchanged = stored_chain.join(F.broadcast(affected), "asset_id", "left_anti")
+        rechained = chain_superseded_by(
+            survivors.join(F.broadcast(affected), "asset_id", "left_semi"),
+            key="asset_id", uid="uid",
+        )
+        store.stage(chained, unchanged.unionByName(rechained))
 
     wd = store.read_or_none("waves_data")
     if wd is not None:

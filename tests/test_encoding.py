@@ -115,3 +115,34 @@ def test_approx_cardinality_tracks_exact(spark):
         assert abs(a.n_distinct_tokens - e.n_distinct_tokens) <= max(
             0.06 * e.n_distinct_tokens, 2
         )
+
+
+def test_build_vocab_two_phase_distributed(spark):
+    """Round-3 verdict item 2: the id rank must not serialize the vocabulary
+    into one partition.  Pins (a) exact parity with a driver-side
+    (count desc, token asc) dense rank on a multi-partition vocabulary, and
+    (b) the absence of any Window node in the executed plan."""
+    # 500 distinct tokens with many count ties (count = i // 7) to stress
+    # the tie-break ordering across range-partition boundaries
+    rows = [(i, " ".join(f"tok{j:03d}" for j in range(i % 37, 500, 37)))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    vocab = build_vocab(docs, rank_partitions=4)
+    got = [(r["token"], r["token_id"], r["count"]) for r in vocab.collect()]
+    by_rank = sorted(got, key=lambda t: (-t[2], t[0]))
+    assert [t[1] for t in by_rank] == list(range(len(got)))  # dense, exact
+    assert len(got) == len({t[0] for t in got})
+    # no Window anywhere in the final plan (two-phase rank is window-free)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the ranked/numbered stage really is spread over >1 partition
+    counts = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token").count()
+    )
+    n_used = (
+        counts.repartitionByRange(4, F.col("count").desc(), F.col("token"))
+        .select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_used > 1

@@ -207,3 +207,27 @@ def test_contamination_direct(spark):
     # doc 2: shingles = 5, shared = 1 ("alpha beta gamma") -> 20
     assert out[2].containment_x100 == 20
     assert 3 not in out
+
+
+def test_embedding_neardup_blocked_delegates_above_threshold(spark):
+    """Round-3 verdict item 4: the broadcast kernel must never collect a
+    corpus larger than its threshold — above it the call delegates to the
+    distributed grid kernel, producing the same pairs and scores."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = {
+        (r.id_a, r.id_b): r.cos_x1000
+        for r in dedup.embedding_neardup_pairs_blocked(
+            emb, threshold=0.4
+        ).collect()
+    }
+    # force delegation: threshold below the table size
+    n = emb.count()
+    delegated = dedup.embedding_neardup_pairs_blocked(
+        emb, threshold=0.4, broadcast_threshold=n - 1
+    )
+    got = {(r.id_a, r.id_b): r.cos_x1000 for r in delegated.collect()}
+    assert got == small and len(got) > 0
+    # the delegated plan is the grid kernel's (per-cell applyInPandas), not
+    # the broadcast mapInPandas kernel
+    plan = delegated._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
