@@ -70,6 +70,7 @@ HEADLINE = [
     "doc_chunks",
     "pack_concat",
     "pack_greedy",
+    "pack_greedy_sharded",
     "quality_gate_pct",
     "doc_chunks_strided",
     "char_entropy",

@@ -17,9 +17,10 @@ Two standard layouts, both implemented shuffle-minimally:
   (documents never split).  Inherently sequential per stream, so it runs
   as an ``applyInPandas`` scan per stream group — the loop is O(|stream|)
   driver-free and each stream packs independently in parallel.  At 100 TB
-  streams are the parallel unit; a single giant stream should be pre-split
-  (e.g. by hash_sample shards) since packing inside a shard is still valid
-  packing.
+  streams are the parallel unit; :func:`pack_greedy_sharded` is the
+  skew-hardened form — :func:`shard_streams` auto-splits any stream over a
+  row budget into hash shards (packing a shard is still valid packing) and
+  shard-local bin ids get cumulative offsets so per-stream ids stay dense.
 
 All token counts are whitespace-token counts (``functions.text.token_count``)
 — integer-exact and engine-independent, so bin assignment is reproducible
@@ -175,6 +176,130 @@ def pack_greedy(
         "bin_id long, bin_fill long"
     )
     return slim.groupBy(stream_col).applyInPandas(pack, out_schema)
+
+
+def shard_streams(
+    df: DataFrame,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    max_stream_rows: int = 1_000_000,
+) -> DataFrame:
+    """Automatic skew-sharding for per-stream operators: add a ``_shard``
+    column that splits any stream whose row count exceeds
+    ``max_stream_rows`` into ``ceil(n / max_stream_rows)`` hash shards
+    (streams under the budget keep one shard).
+
+    The shard of a row is ``pmod(hash(id), n_shards)`` — deterministic,
+    uniform, and independent of row order, so a shard is a fixed subset of
+    its stream and any per-stream computation that is valid on a stream is
+    valid on a shard (packing a shard is still valid packing).  The
+    per-stream counts are a one-aggregate dimension (|streams| rows) that
+    broadcasts; the corpus itself takes no extra shuffle here — the
+    downstream groupBy((stream, _shard)) shuffles exactly once, same as the
+    unsharded form, but with parallelism = total shard count instead of
+    stream count and per-task memory bounded by ``max_stream_rows``.
+    """
+    if max_stream_rows < 1:
+        raise ValueError(f"max_stream_rows must be >= 1, got {max_stream_rows}")
+    counts = df.groupBy(stream_col).agg(F.count("*").alias("_n"))
+    n_shards = F.ceil(F.col("_n") / F.lit(float(max_stream_rows))).cast("int")
+    shards = counts.select(stream_col, n_shards.alias("_n_shards"))
+    return df.join(F.broadcast(shards), stream_col).withColumn(
+        "_shard", F.pmod(F.hash(F.col(id_col)), F.col("_n_shards")).cast("int")
+    ).drop("_n_shards")
+
+
+def pack_greedy_sharded(
+    df: DataFrame,
+    budget: int = 512,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_stream_rows: int = 1_000_000,
+) -> DataFrame:
+    """:func:`pack_greedy` with automatic skew sharding (the module
+    docstring's "shard giant streams upstream" advice as code).
+
+    Each (stream, shard) packs independently with the same next-fit kernel;
+    shard-local bin ids are then offset by the cumulative bin counts of the
+    stream's lower-numbered shards, so ``bin_id`` stays dense and unique
+    PER STREAM (0..total_bins-1) exactly like the unsharded output.  The
+    offset table is one row per shard — a broadcast dimension — and the
+    offset window runs over shards, not rows, so nothing here serializes.
+
+    The no-overflow invariant (a bin's fill exceeds ``budget`` only when a
+    single oversized document owns the bin) holds per shard and is
+    preserved by the disjoint offsets.  Bin ASSIGNMENT differs from the
+    unsharded form (shards interleave documents), which is fine for the
+    training-data use: bins are a partition of the corpus either way.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    import pandas as pd
+
+    n_tok = token_count(F.col(text_col)).cast("long")
+    slim = shard_streams(
+        df.select(F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens")),
+        stream_col=stream_col, id_col=id_col, max_stream_rows=max_stream_rows,
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        counts = pdf["n_tokens"].to_numpy()
+        bin_ids = [0] * len(counts)
+        fills = [0] * len(counts)
+        cur_bin, cur_fill = 0, 0
+        for i, c in enumerate(counts):
+            c = int(c)
+            if cur_fill > 0 and cur_fill + c > budget:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += c
+            bin_ids[i] = cur_bin
+            fills[i] = cur_fill
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, {stream_col} string, _shard int, n_tokens long, "
+        "bin_id long, bin_fill long"
+    )
+    packed = slim.groupBy(stream_col, "_shard").applyInPandas(pack, out_schema)
+    packed = packed.persist()
+    _SHARD_CACHE.append(packed)
+    while len(_SHARD_CACHE) > 1:
+        _SHARD_CACHE.pop(0).unpersist()
+
+    # per-shard bin counts -> cumulative offsets over lower shards of the
+    # same stream (shard-count-sized dimension; window over shards is
+    # partitioned by stream and tiny)
+    bins_per_shard = packed.groupBy(stream_col, "_shard").agg(
+        (F.max("bin_id") + 1).alias("_nbins")
+    )
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bins_per_shard.withColumn(
+        "_off", F.coalesce(F.sum("_nbins").over(w), F.lit(0).cast("long"))
+    ).select(stream_col, "_shard", "_off")
+    return (
+        packed.join(F.broadcast(offsets), [stream_col, "_shard"])
+        .select(
+            id_col,
+            stream_col,
+            "n_tokens",
+            (F.col("bin_id") + F.col("_off")).alias("bin_id"),
+            "bin_fill",
+        )
+    )
+
+
+#: previous pack_greedy_sharded call's persisted packed frame (released on
+#: the next call; the returned frame reads from it lazily)
+_SHARD_CACHE: list[DataFrame] = []
 
 
 def quality_percentile_gate(

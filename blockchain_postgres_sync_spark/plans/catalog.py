@@ -1134,6 +1134,18 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_greedy(docs, budget=64)
 
 
+def q_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened next-fit packing: streams above the row budget split
+    into hash shards that pack independently, shard bin ids offset to stay
+    dense per stream (operators/packing.py::pack_greedy_sharded).  The
+    small budget forces real multi-shard execution on the test corpus;
+    invariants pinned by tests/test_packing.py::
+    test_pack_greedy_sharded_skewed_stream_invariants (rows-only driver
+    check, same as pack_greedy — sequential recurrence)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return packing.pack_greedy_sharded(docs, budget=64, max_stream_rows=64)
+
+
 def q_quality_gate_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-gated curation: each language keeps its top half by token
     count (deterministic percent_rank cut, one window per stream)."""
@@ -1607,6 +1619,7 @@ CATALOG: dict[str, QueryFn] = {
     "doc_chunks_strided": q_doc_chunks_strided,
     "pack_concat": q_pack_concat,
     "pack_greedy": q_pack_greedy,
+    "pack_greedy_sharded": q_pack_greedy_sharded,
     "quality_gate_pct": q_quality_gate_pct,
     "char_entropy": q_char_entropy,
     "token_vocab": q_token_vocab,
@@ -1616,7 +1629,9 @@ CATALOG: dict[str, QueryFn] = {
 #: queries with no SQL-expressible oracle (the driver records a rows-only
 #: check for these; each must carry a pytest pinning its semantics instead —
 #: see the query docstring for the test reference).
-ROWS_ONLY_QUERIES: frozenset[str] = frozenset({"pack_greedy"})
+ROWS_ONLY_QUERIES: frozenset[str] = frozenset(
+    {"pack_greedy", "pack_greedy_sharded"}
+)
 
 ORACLES: dict[str, str] = {
     "candles_1m": f"WITH trades AS ({_TRADES_SQL}), c AS ({_C1M_SQL}) "

@@ -43,6 +43,47 @@ def parse_update_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("u.*")
 
 
+#: the column shape Spark's kafka source emits (what decode_kafka_frames
+#: consumes) — pinned here so tests can mock the source without a broker
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def decode_kafka_frames(raw: DataFrame) -> DataFrame:
+    """Kafka-shaped frames (binary ``value`` holding one UTF-8 JSON update
+    per record) → RAW_UPDATE rows, through the SAME decoder as the socket
+    path.  Works identically on the real ``format("kafka")`` stream and on
+    any batch frame with :data:`KAFKA_SOURCE_SCHEMA` (how the parity test
+    runs without a broker)."""
+    return parse_update_lines(
+        raw.select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def kafka_updates(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Durable-log subscription: ``format("kafka")`` + the shared frame
+    decoder.  This is the production S1 shape (replayable, partition-offset
+    checkpointing); requires the spark-sql-kafka connector jar on the
+    cluster — not shipped in this sandbox, hence the decode seam is the
+    tested surface (tests/test_streaming_dedup.py::test_kafka_frame_decode
+    _matches_socket_path)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_kafka_frames(raw)
+
+
 def file_updates(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
