@@ -132,18 +132,27 @@ def encode_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     oov_id: int = -1,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, token_ids) — each document as its token-id sequence.
 
     The struct sort key is (pos, id): pos is unique per document, so the
     re-assembly order is total and the output arrays are deterministic
-    under any partitioning."""
+    under any partitioning.
+
+    ``broadcast_vocab=True`` (default) pins the map-side hash join — right
+    for any vocabulary that fits an executor (up to a few tens of millions
+    of tokens).  Pass ``False`` for a URL/code-scale vocabulary past
+    broadcast size: the join becomes a shuffle join on ``token`` and both
+    sides scale out; the rest of the plan is unchanged."""
     exploded = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     )
-    joined = exploded.join(F.broadcast(vocab.select("token", "token_id")),
-                           "token", "left")
+    vocab_side = vocab.select("token", "token_id")
+    if broadcast_vocab:
+        vocab_side = F.broadcast(vocab_side)
+    joined = exploded.join(vocab_side, "token", "left")
     assembled = joined.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.transform(

@@ -80,3 +80,74 @@ def test_every_query_retrieves_itself(spark):
         }
         self_hits = sum(1 for q, n in top1.items() if q == n)
         assert self_hits == len(top1)
+
+
+def test_assign_cells_respects_double_element_type(spark):
+    """Round-3 advice: _assign_cells_numpy must NOT route an array<double>
+    column through float32 — truncation can flip assignments near ties.
+    The fixture binary-searches centroid-pair bisectors for vectors where
+    the float32-coerced argmax provably differs from the float64 one, then
+    pins the kernel to the float64 result."""
+    import numpy as np
+
+    from blockchain_postgres_sync_spark.operators.similarity import (
+        _assign_cells_numpy,
+    )
+
+    def ref_scores(vecs, cents, via32):
+        c = cents.astype(np.float32).astype(np.float64) if via32 else cents
+        a = vecs.astype(np.float32).astype(np.float64) if via32 else vecs
+        d = c.shape[1]
+        nc = np.zeros(len(c))
+        for k in range(d):
+            nc += c[:, k] * c[:, k]
+        nc = np.sqrt(nc)
+        acc = np.zeros((len(a), len(c)))
+        na = np.zeros(len(a))
+        tmp = np.empty_like(acc)
+        for k in range(d):
+            np.multiply(a[:, k][:, None], c[:, k][None, :], out=tmp)
+            np.add(acc, tmp, out=acc)
+            na += a[:, k] * a[:, k]
+        return acc / (np.sqrt(na)[:, None] * nc[None, :])
+
+    rng = np.random.RandomState(0)
+    cents = rng.randn(8, 4)
+    flips = []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            def margin(w):
+                v = (w * cents[i] + (1 - w) * cents[j])[None, :]
+                s = ref_scores(v, cents, False)
+                return s[0, i] - s[0, j]
+            lo, hi = 0.0, 1.0
+            if margin(lo) * margin(hi) > 0:
+                continue
+            for _ in range(80):
+                mid = (lo + hi) / 2
+                if margin(lo) * margin(mid) <= 0:
+                    hi = mid
+                else:
+                    lo = mid
+            v = ((lo + hi) / 2 * cents[i] + (1 - (lo + hi) / 2) * cents[j])[None, :]
+            if ref_scores(v, cents, False).argmax() != ref_scores(v, cents, True).argmax():
+                flips.append(v[0])
+    assert flips, "fixture construction must yield float32-discriminating vectors"
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(flips)],
+        "vec_id long, embedding array<double>",
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, _cent array<double>",
+    )
+    got = {
+        r["neighbor_id"]: r["cid"]
+        for r in _assign_cells_numpy(corpus, cent_df, "vec_id", "embedding").collect()
+    }
+    want64 = ref_scores(np.array(flips), cents, False).argmax(axis=1)
+    want32 = ref_scores(np.array(flips), cents, True).argmax(axis=1)
+    for i in range(len(flips)):
+        assert got[i] == want64[i], f"vector {i} truncated through float32"
+        assert want64[i] != want32[i]

@@ -146,3 +146,16 @@ def test_build_vocab_two_phase_distributed(spark):
         .select(F.spark_partition_id().alias("p")).distinct().count()
     )
     assert n_used > 1
+
+
+def test_encode_shuffle_join_matches_broadcast(spark):
+    """broadcast_vocab=False (the past-broadcast-size vocabulary path) must
+    produce identical encodings through the shuffle join."""
+    docs = _docs(spark)
+    vocab = build_vocab(docs)
+    a = {r.doc_id: r.token_ids for r in encode_docs(docs, vocab).collect()}
+    b = {
+        r.doc_id: r.token_ids
+        for r in encode_docs(docs, vocab, broadcast_vocab=False).collect()
+    }
+    assert a == b
