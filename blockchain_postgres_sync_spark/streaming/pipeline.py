@@ -327,24 +327,36 @@ def apply_appends(
     # heights; everything below is sealed forever (a settled block_uid never
     # changes again), so its partitions hardlink forward untouched.
     stored_blocks = store.read_or_none("blocks_microblocks")
-    floor_candidates = [new_blocks.select("height")]
-    prev_key = None
-    if stored_blocks is not None:
-        prev_key = (
-            stored_blocks.filter(F.col("time_stamp").isNotNull())
-            .agg(F.max("uid"))
-            .collect()[0][0]
+    new_min_agg = new_blocks.agg(F.min("height").alias("_newmin"))
+    if stored_blocks is None:
+        prev_key = None
+        row = new_min_agg.collect()[0]
+        h_floor_row = row["_newmin"]
+    else:
+        # prev key uid + stored-tail min height + new min height in ONE
+        # driver round trip (blocks is a tiny dimension; the 1-row agg
+        # cross-joins cost nothing next to a second scheduled job)
+        pk = stored_blocks.filter(F.col("time_stamp").isNotNull()).agg(
+            F.max("uid").alias("_pk")
         )
-        if prev_key is not None:
-            floor_candidates.append(
-                stored_blocks.filter(F.col("uid") > prev_key).select("height")
+        row = (
+            stored_blocks.crossJoin(pk)
+            .agg(
+                F.max("_pk").alias("_pk"),
+                F.min(
+                    F.when(
+                        F.col("uid")
+                        > F.coalesce(F.col("_pk"), F.lit(-(1 << 62)).cast("long")),
+                        F.col("height"),
+                    )
+                ).alias("_tailmin"),
             )
-        else:
-            floor_candidates.append(stored_blocks.select("height"))
-    floor_df = floor_candidates[0]
-    for fc in floor_candidates[1:]:
-        floor_df = floor_df.unionByName(fc)
-    h_floor_row = floor_df.agg(F.min("height")).collect()[0][0]
+            .crossJoin(new_min_agg)
+            .collect()[0]
+        )
+        prev_key = row["_pk"]
+        floors = [h for h in (row["_tailmin"], row["_newmin"]) if h is not None]
+        h_floor_row = min(floors) if floors else None
     h_floor = int(h_floor_row) if h_floor_row is not None else 0
     rb = _hb_value(h_floor)
 
@@ -388,16 +400,37 @@ def apply_appends(
     typed_new = classify_txs(new_raw, prior_ids=store.read_or_none("tx_ids"))
     children_new = extract_children(new_raw)
 
-    # present tx types in ONE job (not one isEmpty probe per table): a table
+    # batch metadata in ONE job (present tx types + SCD-input flags +
+    # candle watermark — previously three separate collects per batch, a
+    # measured ~15% of streaming wall time in driver round-trips): a table
     # with no stored version and no rows of its type this batch needs no
     # staging — the common case for most of the 18 typed tables in any one
     # batch (the reference likewise only INSERTs types that occurred).
     # Tables that already exist must still restage: squash can re-point
-    # their tail block_uids.
-    present_types = {
-        int(r["tx_type"])
-        for r in new_raw.select("tx_type").distinct().collect()
-    }
+    # their tail block_uids.  The watermark min is over new_raw's type-7
+    # rows — identical to min over typed_new[7], whose projection keeps
+    # time_stamp untouched.
+    meta_row = (
+        seg_updates.agg(
+            F.max(
+                F.size(F.coalesce(F.col("asset_updates"), F.array())) > 0
+            ).alias("has_au"),
+            F.max(
+                F.size(F.coalesce(F.col("data_entries"), F.array())) > 0
+            ).alias("has_de"),
+            F.max(F.col("waves_quantity").isNotNull()).alias("has_wd"),
+        )
+        .crossJoin(
+            new_raw.agg(
+                F.collect_set("tx_type").alias("_types"),
+                F.min(
+                    F.when(F.col("tx_type") == 7, F.col("time_stamp"))
+                ).alias("_wm"),
+            )
+        )
+        .collect()[0]
+    )
+    present_types = {int(t) for t in meta_row["_types"]}
 
     def _untouched(name: str, tx_type: int) -> bool:
         return not store.exists(name) and tx_type not in present_types
@@ -443,13 +476,9 @@ def apply_appends(
     # only keys with updates in THIS batch rechain (W1 + the UNNEST close
     # join J6, pg.rs:225-256); untouched keys' chain rows pass through — at
     # scale the rechain cost follows batch size, not dimension size.
-    # batch-content flags in ONE job: which slowly-changing inputs does this
-    # segment actually carry?  (drives the skip-if-unchanged staging below)
-    flags = seg_updates.agg(
-        F.max(F.size(F.coalesce(F.col("asset_updates"), F.array())) > 0).alias("has_au"),
-        F.max(F.size(F.coalesce(F.col("data_entries"), F.array())) > 0).alias("has_de"),
-        F.max(F.col("waves_quantity").isNotNull()).alias("has_wd"),
-    ).collect()[0]
+    # batch-content flags (which slowly-changing inputs does this segment
+    # actually carry?) ride the consolidated metadata job above
+    flags = meta_row
 
     def _scd(log_name: str, chained_name: str, new_rows: DataFrame, has_new: bool) -> None:
         if store.exists(log_name) and not has_new:
@@ -501,13 +530,10 @@ def apply_appends(
     ):
         store.stage("asset_origins", extract_asset_origins(au_log, txs3))
 
-    watermark_row = (
-        typed_new[7].agg(F.min("time_stamp").alias("m")).collect()[0]
-    )
     new_raw.unpersist()
-    if watermark_row["m"] is None:
+    if meta_row["_wm"] is None:
         return None
-    return watermark_row["m"].replace(second=0, microsecond=0)
+    return meta_row["_wm"].replace(second=0, microsecond=0)
 
 
 # ------------------------------------------------------------ rollback (T3)
