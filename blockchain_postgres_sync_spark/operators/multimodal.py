@@ -101,10 +101,11 @@ def _fnv_batch(payloads: pd.Series, salt: int) -> np.ndarray:
 
 def decode_png_stdlib(data: bytes) -> tuple[int, int, float]:
     """Minimal stdlib PNG decoder: parses IHDR, inflates IDAT, undoes the
-    None/Sub/Up scanline filters — enough for real (small) 8-bit RGB/gray
-    images.  Returns (width, height, mean_intensity).  This is the proof
-    that the ``codec`` seam in :func:`image_features` accepts a REAL
-    decoder: same signature a PIL-backed codec would have.
+    full scanline filter set (None/Sub/Up/Average/Paeth — what real
+    encoders such as PIL actually emit) for 8-bit RGB/gray images.
+    Returns (width, height, mean_intensity).  This is the proof that the
+    ``codec`` seam in :func:`image_features` accepts a REAL decoder: same
+    signature a PIL-backed codec would have.
     """
     import struct
     import zlib
@@ -135,11 +136,29 @@ def decode_png_stdlib(data: bytes) -> tuple[int, int, float]:
         row_start = y * (stride + 1)
         filt = raw[row_start]
         line = np.frombuffer(raw[row_start + 1 : row_start + 1 + stride], np.uint8).copy()
-        if filt == 1:  # Sub
+        if filt == 1:  # Sub: left predictor
             for i in range(channels, stride):
                 line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
-        elif filt == 2:  # Up
+        elif filt == 2:  # Up: above predictor
             line = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
+        elif filt == 3:  # Average: floor((left + above) / 2)
+            for i in range(stride):
+                left = int(line[i - channels]) if i >= channels else 0
+                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif filt == 4:  # Paeth predictor (spec's exact tie-break order)
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[i] = (int(line[i]) + pred) & 0xFF
         elif filt != 0:
             raise ValueError(f"unsupported PNG filter {filt}")
         total += int(line.sum())

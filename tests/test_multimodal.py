@@ -134,3 +134,61 @@ def test_real_codec_seam_png_wav(spark):
     assert len(aud) == 1
     assert aud[0]["duration_ms"] == 100  # 800 frames @ 8 kHz
     assert abs(aud[0]["rms"] - 1000 / 32768) < 1e-4
+
+
+def test_png_decoder_average_and_paeth_filters():
+    """Real encoders (PIL/libpng) emit Average/Paeth-filtered scanlines;
+    the stdlib decoder must undo the full filter set.  Builds a PNG whose
+    rows cycle filters 0..4 (filtering applied forward per spec), then
+    checks the decoded mean against the known pixel values."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from blockchain_postgres_sync_spark.operators.multimodal import (
+        decode_png_stdlib,
+    )
+
+    w, h, ch = 7, 10, 3  # RGB
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        filt = y % 5
+        line = img[y].astype(np.int32)
+        out = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[filt]
+            out[i] = (int(line[i]) - pred) % 256
+        raw.append(filt)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+
+    dw, dh, mean = decode_png_stdlib(png)
+    assert (dw, dh) == (w, h)
+    assert abs(mean - img.mean()) < 1e-9

@@ -42,8 +42,18 @@ def main():
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder.master("local[8]")
-             .appName("driver-sim").getOrCreate())
+    builder = (SparkSession.builder.master("local[8]")
+               .appName("driver-sim"))
+    # non-UTC probe (verify-skill recipe): DRIVER_SIM_TZ=Asia/Tokyo runs the
+    # whole sim under a hostile driver timezone — the queries() wrapper's
+    # UTC re-pin is what must keep timestamp queries green
+    tz = os.environ.get("DRIVER_SIM_TZ")
+    if tz:
+        builder = (builder
+                   .config("spark.driver.extraJavaOptions",
+                           f"-Duser.timezone={tz}")
+                   .config("spark.sql.session.timeZone", tz))
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
