@@ -259,3 +259,80 @@ def test_twap_matches_naive(spark, stream):
             ds += t1 - t0
         want = math.floor(ws / ds) if ds > 0 else None
         assert got[k] == (want, ds, len(evs) - 1)
+
+
+@st.composite
+def _trades_and_watermark(draw):
+    """Trades + watermark spanning a month boundary (2026-03-20..04-10)
+    so week-floor < month-floor cases (the round-3 advice bug) generate
+    naturally."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    uids = draw(st.permutations(list(range(n))))
+    rows = []
+    for i in range(n):
+        month, day = draw(st.sampled_from(
+            [(3, d) for d in range(20, 32)] + [(4, d) for d in range(1, 11)]
+        ))
+        rows.append((
+            uids[i],
+            f"2026-{month:02d}-{day:02d} "
+            f"{draw(st.integers(0, 23)):02d}:{draw(st.integers(0, 59)):02d}:30",
+            draw(st.sampled_from(["A", "B"])),
+            "USD",
+            "M0",
+            draw(st.integers(1, 5)),
+            draw(st.integers(1, 100)),
+            float(draw(st.integers(1, 10_000))) / 100.0,
+        ))
+    import datetime as dt
+
+    wmonth, wday = draw(st.sampled_from(
+        [(3, d) for d in range(25, 32)] + [(4, d) for d in range(1, 8)]
+    ))
+    wm = dt.datetime(2026, wmonth, wday, draw(st.integers(0, 23)),
+                     draw(st.integers(0, 59)))
+    return rows, wm
+
+
+@given(_trades_and_watermark())
+@_slow
+def test_cascade_tail_matches_full_recompute(spark, data):
+    """The incremental kernel fed from min(starts) must re-emit EXACTLY the
+    rows a from-scratch cascade produces at/after each interval's start —
+    for arbitrary watermarks, including weeks straddling the month floor
+    (the round-3 advice bug, generalized from the single pipeline fixture)."""
+    from blockchain_postgres_sync_spark.operators.candles import (
+        cascade_tail_exact_onepass,
+    )
+    from blockchain_postgres_sync_spark.streaming.pipeline import (
+        _interval_starts,
+    )
+
+    trades, wm = data
+    df = spark.createDataFrame(
+        trades,
+        ["uid", "time_stamp", "amount_asset_id", "price_asset_id",
+         "sender", "height", "amount", "price"],
+    ).withColumn("time_stamp", F.col("time_stamp").cast("timestamp")).withColumn(
+        "price", F.col("price").cast("decimal(18,2)")
+    )
+    minute_all = minute_candles(df)
+    starts = _interval_starts(spark, wm)
+    floor = min(starts.values())
+    tail = cascade_tail_exact_onepass(
+        minute_all.filter(F.col("time_start") >= F.lit(floor).cast("timestamp")),
+        starts,
+    )
+    full = full_cascade(minute_all)
+    cond = F.lit(False)
+    for ivl, start in starts.items():
+        if ivl == "1m":
+            continue
+        cond = cond | (
+            (F.col("interval") == ivl)
+            & (F.col("time_start") >= F.lit(start).cast("timestamp"))
+        )
+    expected = full.filter(cond)
+    got = tail.select(*expected.columns)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
