@@ -72,6 +72,7 @@ def ngram_topk(
     group_col: str = "lang",
     n: int = 2,
     k: int = 15,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Top-``k`` most frequent token n-grams per ``group_col`` — the corpus
     vocabulary/frequency pass of an LM data pipeline.  Deterministic: ranks
@@ -86,10 +87,11 @@ def ngram_topk(
 
     Scale (100 TB): the heavy stage is linear in corpus tokens with map-side
     combine; the window stage is linear in VOCABULARY size per group (far
-    smaller, but for an open-vocab web corpus still billions) — if one group
-    dominates, pre-prune with a count floor (``HAVING count >= c``) before
-    the window: any gram in the true top-k of a trillion-token group passes
-    any sane floor, and the filter is free (rides the agg).
+    smaller, but for an open-vocab web corpus still billions) — pass
+    ``min_count`` to pre-prune with a count floor before the window: any
+    gram in the true top-k of a trillion-token group passes any sane floor
+    (choose it below the expected k-th count), and the filter is free (it
+    rides the aggregation, no extra pass).
     """
     # explicit NULL-text contract (not fixture-dependent): rows with NULL
     # text contribute no grams — stated here and mirrored in the oracle's
@@ -101,6 +103,8 @@ def ngram_topk(
     counts = grams.groupBy(group_col, "gram").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+    if min_count is not None:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
     w = Window.partitionBy(group_col).orderBy(
         F.col("n_occurrences").desc(), F.col("gram").asc()
     )

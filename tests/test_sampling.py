@@ -111,3 +111,30 @@ def test_ivf_fit_trained_codebook_path(spark):
         "query_id", "rank", "neighbor_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ngram_topk_count_floor_preserves_topk(spark):
+    """The min_count pre-prune (the documented 100 TB vocabulary remedy)
+    must not change the top-k as long as the floor sits at/below the k-th
+    count — and must drop tail grams from consideration when above it."""
+    from blockchain_postgres_sync_spark.operators import stats
+
+    rows = (
+        [(i, "en", "a b " * 10) for i in range(5)]          # 'a b' x50
+        + [(10 + i, "en", "c d " * 3) for i in range(4)]    # 'c d' x12
+        + [(20 + i, "en", f"rare{i} tail") for i in range(6)]  # singletons
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    base = [
+        (r["gram"], r["n_occurrences"], r["rank"])
+        for r in stats.ngram_topk(df, n=2, k=2).orderBy("rank").collect()
+    ]
+    floored = [
+        (r["gram"], r["n_occurrences"], r["rank"])
+        for r in stats.ngram_topk(df, n=2, k=2, min_count=2)
+        .orderBy("rank").collect()
+    ]
+    assert floored == base and len(base) == 2
+    # floor above the k-th count: the pruned tail can no longer fill k slots
+    high = stats.ngram_topk(df, n=2, k=5, min_count=10).collect()
+    assert all(r["n_occurrences"] >= 10 for r in high)
