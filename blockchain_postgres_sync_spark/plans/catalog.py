@@ -845,12 +845,14 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas image decode/feature stage (stub codec, real plumbing)."""
+    """mapInPandas image decode/feature stage (stub codec, real plumbing;
+    the REAL-decode variant is q_media_image_real)."""
     return multimodal.image_features(_media(spark, sf_dir))
 
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas audio decode/feature stage (stub codec, real plumbing);
+    """mapInPandas audio decode/feature stage (stub codec, real plumbing;
+    the REAL-decode variant is q_media_audio_real);
     mfcc coefficients flattened to scalar columns for the hash compare."""
     out = multimodal.audio_features(_media(spark, sf_dir), n_mfcc=4)
     return out.select(
