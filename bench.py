@@ -77,6 +77,8 @@ HEADLINE = [
     "token_vocab",
     "token_encode",
     "ngram_topk",
+    "salient_terms",
+    "length_histogram",
 ]
 
 

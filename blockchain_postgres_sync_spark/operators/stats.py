@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_shingles
+from ..functions.text import token_count, token_shingles, tokens
 
 
 def order_statistics(
@@ -64,6 +64,91 @@ def order_statistics(
             )
         )
     return d.groupBy(group_col).agg(*aggs)
+
+
+def salient_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 5,
+) -> DataFrame:
+    """Per-document salient terms: the ``top`` tokens by df-normalized term
+    frequency — the exact-arithmetic cousin of tf-idf (score =
+    tf * 1e6 // df, an integer: no logarithm, so the ranking is
+    bit-reproducible on any engine; ln-idf and tf/df agree that rarer
+    terms with equal tf rank higher, which is the salience signal a
+    curation pipeline uses to tag or cluster documents).
+
+    Plan shape: one explode → (doc, token) hash-agg (map-side combined on
+    the exploded stream) → token-keyed df agg over the compressed
+    (doc, token) pairs → join score → per-document top-``top`` window.
+    The per-doc window partitions on the id — document-sized groups, never
+    a serialization point.  The df side is vocabulary-sized; Spark/AQE
+    broadcasts it when small and shuffle-joins past broadcast size (no
+    hint pinned, deliberately).
+
+    Determinism: ties break (score desc, token asc); df counts DOCUMENTS
+    (each (doc, token) pair once), not occurrences.
+    """
+    pairs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = pairs.join(dfreq, "term").withColumn(
+        "score_x1m", F.expr("(tf * 1000000) div df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_x1m").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            id_col, "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score_x1m").cast("long").alias("score_x1m"),
+            "rank",
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-length distribution in power-of-two buckets per group — the
+    standard "what context lengths does this corpus need" planning summary.
+
+    Bucket = floor(log2(n_tokens)), computed INTEGER-exactly as
+    ``length(bin(n)) - 1`` (binary digit count; both Spark and DuckDB ship
+    ``bin``), never through float log2 — float log2 at exact powers of two
+    is implementation-defined in the last ulp and can mis-bucket.  Output
+    per (group, bucket): doc count, token sum, min/max length.  One
+    aggregation, map-side combined — scan-bound at any scale.
+    """
+    n = token_count(F.col(text_col)).cast("long")
+    src = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col), n.alias("_n")
+    ).filter(F.col("_n") > 0)
+    bucket = (F.length(F.bin(F.col("_n"))) - 1).cast("int")
+    return (
+        src.withColumn("len_bucket", bucket)
+        .groupBy(group_col, "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+    )
 
 
 def ngram_topk(

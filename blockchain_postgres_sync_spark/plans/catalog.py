@@ -1136,6 +1136,18 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_greedy(docs, budget=64)
 
 
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 df-normalized terms (exact-integer tf-idf cousin;
+    operators/stats.py::salient_terms)."""
+    return stats.salient_terms(_t(spark, sf_dir, "documents"), top=5)
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in integer-exact power-of-two buckets per
+    language (operators/stats.py::length_histogram)."""
+    return stats.length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-hardened next-fit packing: streams above the row budget split
     into hash shards that pack independently, shard bin ids offset to stay
@@ -1622,6 +1634,8 @@ CATALOG: dict[str, QueryFn] = {
     "pack_concat": q_pack_concat,
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
+    "salient_terms": q_salient_terms,
+    "length_histogram": q_length_histogram,
     "quality_gate_pct": q_quality_gate_pct,
     "char_entropy": q_char_entropy,
     "token_vocab": q_token_vocab,
@@ -2234,6 +2248,39 @@ ORACLES: dict[str, str] = {
                          / length(text)) / ln(2)) * 1000) AS BIGINT)
                ELSE 0 END AS entropy_x1000
         FROM documents WHERE text IS NOT NULL
+    """,
+    "salient_terms": """
+        WITH pairs AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM pairs GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id, term, tf, df,
+               CAST((tf * 1000000) // df AS BIGINT) AS score_x1m,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY (tf * 1000000) // df DESC, term ASC
+               ) AS INT) AS rank
+        FROM tf JOIN dfq USING (term)
+        QUALIFY rank <= 5
+    """,
+    "length_histogram": """
+        WITH src AS (
+          SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT lang,
+               CAST(length(bin(n)) - 1 AS INT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(min(n) AS BIGINT) AS min_tokens,
+               CAST(max(n) AS BIGINT) AS max_tokens
+        FROM src WHERE n > 0
+        GROUP BY lang, len_bucket
     """,
     "token_vocab": """
         WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token

@@ -138,3 +138,29 @@ def test_ngram_topk_count_floor_preserves_topk(spark):
     # floor above the k-th count: the pruned tail can no longer fill k slots
     high = stats.ngram_topk(df, n=2, k=5, min_count=10).collect()
     assert all(r["n_occurrences"] >= 10 for r in high)
+
+
+def test_salient_terms_semantics(spark):
+    """Pins the salience contract: df counts documents (not occurrences),
+    score = tf*1e6 // df, ranks break ties (score desc, term asc), rarer
+    terms beat common ones at equal tf."""
+    from blockchain_postgres_sync_spark.operators import stats
+
+    rows = [
+        (1, "common rare common unique"),
+        (2, "common filler filler"),
+        (3, "common rare"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score_x1m"])
+        for r in stats.salient_terms(df, top=2).collect()
+    }
+    # doc 1: 'unique' df=1 tf=1 -> 1e6; 'common' tf=2 df=3 -> 666666;
+    # 'rare' tf=1 df=2 -> 500000: top-2 = unique, common
+    assert out[(1, 1)] == ("unique", 1, 1, 1_000_000)
+    assert out[(1, 2)] == ("common", 2, 3, 666_666)
+    # doc 2: 'filler' tf=2 df=1 -> 2e6 beats 'common' tf=1 df=3
+    assert out[(2, 1)][0] == "filler" and out[(2, 1)][3] == 2_000_000
+    # doc 3: equal score tie ('common' tf1/df3=333333 vs 'rare' tf1/df2=500000)
+    assert out[(3, 1)][0] == "rare"
