@@ -79,6 +79,7 @@ HEADLINE = [
     "ngram_topk",
     "salient_terms",
     "length_histogram",
+    "dataset_split",
 ]
 
 

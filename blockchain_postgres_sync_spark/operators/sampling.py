@@ -80,6 +80,40 @@ def stratified_quota(
     )
 
 
+def dataset_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the last step before a
+    corpus ships to a trainer.  Split = pure function of the row KEY
+    (hash-threshold bands over h31(key)): reproducible across runs,
+    engines, and repartitioning; adding rows later never reassigns
+    existing ones (the property random splits lose).  Map-only — no
+    shuffle, no RNG; the added ``split`` column pushes down like any
+    projection.
+
+    Bands: h < val_frac*2^31 → val; next test_frac band → test; rest →
+    train.  Fractions are approximate at corpus scale exactly like
+    :func:`hash_sample` (binomial deviation only).
+    """
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            f"need val_frac, test_frac >= 0 with sum < 1, got "
+            f"{val_frac}, {test_frac}"
+        )
+    h = _hash31(F.col(key_col))
+    t_val = int(val_frac * HASH_SPACE)
+    t_test = t_val + int(test_frac * HASH_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(h < t_val, F.lit("val"))
+        .when(h < t_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def curate(
     df: DataFrame,
     text_col: str = "text",

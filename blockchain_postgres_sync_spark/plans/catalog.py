@@ -1136,6 +1136,15 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_greedy(docs, budget=64)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash-threshold bands over
+    md5(doc_id); operators/sampling.py::dataset_split) — map-only, stable
+    under re-runs and row additions."""
+    return sampling.dataset_split(
+        _t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+    ).select("doc_id", "lang", "source", "split")
+
+
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 df-normalized terms (exact-integer tf-idf cousin;
     operators/stats.py::salient_terms)."""
@@ -1636,6 +1645,7 @@ CATALOG: dict[str, QueryFn] = {
     "pack_greedy_sharded": q_pack_greedy_sharded,
     "salient_terms": q_salient_terms,
     "length_histogram": q_length_histogram,
+    "dataset_split": q_dataset_split,
     "quality_gate_pct": q_quality_gate_pct,
     "char_entropy": q_char_entropy,
     "token_vocab": q_token_vocab,
@@ -2248,6 +2258,18 @@ ORACLES: dict[str, str] = {
                          / length(text)) / ln(2)) * 1000) AS BIGINT)
                ELSE 0 END AS entropy_x1000
         FROM documents WHERE text IS NOT NULL
+    """,
+    "dataset_split": f"""
+        WITH h AS (
+            SELECT doc_id, lang, source,
+                   {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+                       % 2147483647 AS h31
+            FROM documents)
+        SELECT doc_id, lang, source,
+               CASE WHEN h31 < 214748364 THEN 'val'
+                    WHEN h31 < 429496728 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM h
     """,
     "salient_terms": """
         WITH pairs AS (

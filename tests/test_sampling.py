@@ -164,3 +164,33 @@ def test_salient_terms_semantics(spark):
     assert out[(2, 1)][0] == "filler" and out[(2, 1)][3] == 2_000_000
     # doc 3: equal score tie ('common' tf1/df3=333333 vs 'rare' tf1/df2=500000)
     assert out[(3, 1)][0] == "rare"
+
+
+def test_dataset_split_deterministic_and_stable(spark):
+    """Split assignment is a pure function of the key: identical across
+    repartitioning, and adding rows never reassigns existing ones."""
+    from blockchain_postgres_sync_spark.operators.sampling import dataset_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+    # growth stability: the first 250 keys keep their assignment
+    small = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(docs.filter("doc_id < 250")).collect()
+    }
+    assert small == {k: v for k, v in a.items() if k < 250}
+    # all three bands hit at this size, fractions in the right ballpark
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dataset_split(docs, val_frac=0.6, test_frac=0.5)
