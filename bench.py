@@ -80,6 +80,15 @@ HEADLINE = [
     "salient_terms",
     "length_histogram",
     "dataset_split",
+    "split_decontamination",
+    "event_rollup",
+    "top_docs_per_source",
+    "sliding_window_rate",
+    "embedding_quantize",
+    "unigram_logprob",
+    "order_priority_exists",
+    "centroid_assign",
+    "label_confusion",
 ]
 
 

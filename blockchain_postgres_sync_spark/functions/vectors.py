@@ -34,3 +34,27 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric max-abs int8 quantization of a float embedding — the
+    standard compression step before an embedding index ships (4x smaller
+    vectors, distance math in integers).
+
+    q_i = floor(x_i * 127 / max|x| + 0.5) in [-127, 127].  The floor(+0.5)
+    form (round-half-up) is chosen over ``F.round`` because it is pure IEEE
+    double arithmetic — bit-identical in any engine that widens float32 the
+    same way — whereas round() tie semantics differ across engines.  The
+    all-zero vector quantizes to all zeros (guarded divisor).  Map-only,
+    pure Catalyst: no shuffle, no UDF.
+    """
+    scale = F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    return F.transform(
+        a,
+        lambda x: F.floor(x.cast("double") * 127.0 / safe + 0.5).cast("int"),
+    )

@@ -122,3 +122,71 @@ def shingle_novelty(
             F.col("n_shared").cast("double") * 100.0 / F.col("n_shingles").cast("double")
         ).cast("long").alias("shared_x100"),
     )
+
+
+def split_decontamination(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    min_overlap_x100: int = 0,
+) -> DataFrame:
+    """Cross-split leakage: for every TRAIN document (under the same
+    hash-band split as :func:`..sampling.dataset_split`), how many of its
+    distinct shingles also occur in any val/test document.  Training on
+    these documents leaks the holdout — the per-split counterpart of
+    :func:`benchmark_contamination`, where the "benchmark" is the corpus's
+    own holdout and is NOT small enough to broadcast.
+
+    Returns (key_col, n_shingles, n_holdout_shared, overlap_x100) for train
+    documents sharing at least one shingle with the holdout (and at least
+    ``min_overlap_x100``); fully-novel train docs are clean and absent.
+
+    Plan shape (100 TB posture): the holdout side collapses to a DISTINCT
+    shingle SET before the join, so each train (doc, shingle) row matches
+    at most one set row — a plain shuffle hash join on ``shingle`` with NO
+    fan-out, immune to stop-shingle skew (the skewed key exists once on the
+    build side).  One wide exchange each side, one per-doc agg; the split
+    predicate itself is map-only hash math, so both sides prune before
+    shuffling anything.
+    """
+    from . import sampling
+
+    split = sampling.dataset_split(
+        df.filter(F.col(text_col).isNotNull()),
+        key_col=key_col, val_frac=val_frac, test_frac=test_frac,
+    )
+    train_sh = _doc_shingles(
+        split.filter(F.col("split") == "train"), key_col, text_col, shingle_size
+    )
+    holdout_set = (
+        _doc_shingles(
+            split.filter(F.col("split") != "train"),
+            key_col, text_col, shingle_size,
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        train_sh.join(holdout_set, "shingle", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long")).alias(
+                "n_holdout_shared"
+            ),
+        )
+    )
+    return per_doc.filter(F.col("n_holdout_shared") > 0).select(
+        key_col,
+        "n_shingles",
+        "n_holdout_shared",
+        F.floor(
+            F.col("n_holdout_shared").cast("double")
+            * 100.0
+            / F.col("n_shingles").cast("double")
+        ).cast("long").alias("overlap_x100"),
+    ).filter(F.col("overlap_x100") >= min_overlap_x100)

@@ -317,3 +317,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification — assign every vector to the closest
+    label centroid by cosine (the k-NN/centroid labeling step of an
+    embedding-clustering pipeline; with centroids from
+    plans.catalog.q_label_centroids it doubles as a clustering-quality
+    probe: a vector whose nearest centroid is NOT its own label is a
+    boundary/outlier point).
+
+    ``centroids`` is the (label, pos, centroid_q) long-form frame from the
+    label-centroid aggregation (quantized-exact component means).
+
+    Zero-shuffle scoring: the k centroids pivot to arrays, collapse to ONE
+    row (array of (label, vector, norm) structs sorted by label), broadcast
+    via crossJoin, and the per-vector argmax runs IN-ROW as a fold over the
+    centroid array — nested HOFs, no k-times row expansion, no groupBy.
+    The corpus streams map-side at any scale; the only non-map work is the
+    tiny centroid pivot.  Fold order is fixed (labels ascending, strict >
+    replacement), so ties deterministically keep the smallest label and
+    every float op replays the oracle's left-to-right sequence.
+
+    Returns (id_col, label_col, assigned_label, score_x1m).
+    """
+    carr = (
+        centroids.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("centroid_q")))
+            ).alias("_pc")
+        )
+        .select(
+            F.col(label_col).alias("_l"),
+            F.transform(
+                F.col("_pc"), lambda s: s["centroid_q"].cast("double")
+            ).alias("_c"),
+        )
+        .withColumn(
+            "_cn",
+            F.sqrt(F.aggregate("_c", F.lit(0.0), lambda a, v: a + v * v)),
+        )
+    )
+    cents = carr.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_l"), F.col("_c"), F.col("_cn")))
+        ).alias("_cents")
+    )
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    xnorm = F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v))
+    joined = emb.crossJoin(F.broadcast(cents)).withColumn("_xn", xnorm)
+
+    def step(acc, cst):
+        dot_xc = F.aggregate(
+            F.zip_with(F.col(vec_col), cst["_c"], lambda p, q: p.cast("double") * q),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        s = dot_xc / (F.col("_xn") * cst["_cn"])
+        return F.when(
+            s > acc["s"],
+            F.struct(cst["_l"].alias("l"), s.alias("s")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(
+            F.lit(-1).cast("int").alias("l"), F.lit(-2.0).alias("s")
+        ),
+        step,
+    )
+    return joined.select(
+        id_col,
+        label_col,
+        best["l"].alias("assigned_label"),
+        F.floor(best["s"] * 1000000.0).cast("long").alias("score_x1m"),
+    )

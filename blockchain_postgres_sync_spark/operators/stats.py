@@ -198,3 +198,79 @@ def ngram_topk(
         .filter(F.col("rank") <= k)
         .select(group_col, "gram", "n_occurrences", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Unigram language-model score per document — the classic
+    perplexity-style quality filter (docs whose tokens are improbable under
+    the corpus's own unigram model are gibberish/noise candidates).
+
+    Per-token surprisal is quantized to an INTEGER immediately:
+    ``cost_x1000 = floor(1000 * ln(N / cnt(token)))`` where N is the corpus
+    token total.  The ONLY float op per token is one ln of a double ratio
+    (the char_entropy precedent: IEEE-deterministic at this granularity);
+    everything after — the per-document sum and the floor-divided mean —
+    is exact integer arithmetic, so document scores are associative,
+    partitioning-independent, and engine-comparable.
+
+    Returns (id_col, n_tokens, cost_x1000 total, avg_cost_x1000).
+
+    Plan shape: ONE corpus pass builds the model — ``rollup(term)`` emits
+    per-term counts AND the grand-total row from a single map-side-combined
+    aggregation, and the vocab-sized result is ``localCheckpoint``-ed so
+    the two consumers (term rows, total row) read it once.  The checkpoint
+    is load-bearing: expressed as two lazy branches, Catalyst pushes the
+    opposite IS NULL / IS NOT NULL filters BELOW the exchange, the
+    branches stop canonicalizing equal, exchange reuse never fires, and
+    the corpus is scanned and aggregated twice (measured: 3 scans → 2).
+    The corpus total therefore rides a broadcast 1-row crossJoin — never a
+    driver collect.  Scoring then joins the model into the (doc, token)
+    stream (broadcast by default — a unigram vocab is ~millions of rows;
+    ``broadcast_model=False`` for URL/code-token vocabularies past
+    broadcast size) and folds per document with map-side combine.  Two
+    corpus scans, one vocab exchange, one doc exchange at any scale; the
+    checkpoint is vocab-sized and, like the candle tail's
+    (streaming/pipeline.py), not executor-loss-resilient — a lost batch
+    recomputes.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    agg = (
+        toks.select("term")
+        .rollup("term")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counts = agg.filter(F.col("term").isNotNull())
+    total = agg.filter(F.col("term").isNull()).select(
+        F.col("_cnt").cast("double").alias("_n")
+    )
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(
+            F.log(F.col("_n") / F.col("_cnt").cast("double")) * 1000.0
+        ).cast("long").alias("_cost"),
+    )
+    model = F.broadcast(model) if broadcast_model else model
+    return (
+        toks.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_cost").alias("cost_x1000"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "cost_x1000",
+            F.expr("cost_x1000 div n_tokens").cast("long").alias(
+                "avg_cost_x1000"
+            ),
+        )
+    )

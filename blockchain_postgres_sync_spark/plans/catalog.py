@@ -1205,6 +1205,149 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage: train docs sharing shingles with the val/test
+    holdout of the SAME hash-band split as `dataset_split`
+    (operators/contamination.py::split_decontamination).  The holdout side
+    collapses to a distinct shingle set before the join — no fan-out, no
+    broadcast assumption (a 100 TB holdout is itself huge)."""
+    return contamination.split_decontamination(
+        _t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+    )
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in one pass: ROLLUP(event_type, day) with a
+    grouping_id disambiguating the levels (§2.7 set-op family widened to
+    grouping sets — Expand feeds ONE hash-agg, vs 3 scans + UNION).
+    Money-style sums in exact decimal, cast to double only at the edge."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "gid",
+        "n_events",
+        F.col("_sv").cast("double").alias("sum_value"),
+    )
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (row_number window PARTITIONED by source — the
+    bounded-output ranking pattern; contrast with `top_orders`' global
+    top-k).  Partitioned window => parallel by group, no single-partition
+    sort; ties broken by doc_id for determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "doc_id", "n_chars", "rnk")
+    )
+
+
+def q_sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min width, 5 min slide) — the hopping
+    aggregation Structured Streaming runs under a watermark, in batch form.
+    F.window's slide expansion is a map-side explode (each event lands in
+    exactly width/slide = 2 windows) followed by one hash-agg."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+    )
+    return out.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("_sv").cast("double").alias("sum_value"),
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of every embedding
+    (functions/vectors.py::quantize_int8) — map-only, pure Catalyst, zero
+    shuffle; the full quantized vector is emitted so the oracle certifies
+    every element, not a summary."""
+    from ..functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = V.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        q.alias("q_vec"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v).cast("long")
+        ).alias("q_l1"),
+        F.aggregate(
+            q,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + (v.cast("long") * v.cast("long")),
+        ).alias("q_l2sq"),
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score per document (integer-quantized surprisal;
+    operators/stats.py::unigram_logprob) — the perplexity-style noise
+    filter.  Two wide exchanges at any scale: vocab counts + per-doc fold;
+    the model side broadcasts."""
+    return stats.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery decorrelated to a LEFT SEMI join (§2.2 widened):
+    orders counted per priority when at least one returned lineitem
+    (l_returnflag = 'R') exists — the TPC-H Q4 pattern.  The semi join
+    short-circuits per probe row (no fan-out on multi-match keys) and the
+    filter pushes to the lineitem scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            li.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the exact quantized label
+    centroids (operators/similarity.py::centroid_assign) — zero-shuffle
+    scoring: centroids collapse to one broadcast row and the per-vector
+    argmax folds IN-ROW over the centroid array (no k-times expansion)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_assign(emb, q_label_centroids(spark, sf_dir))
+
+
+def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of true label vs nearest-centroid assignment — the
+    clustering-quality summary on top of centroid_assign (one tiny
+    hash-agg over the map-only scoring stream)."""
+    return (
+        q_centroid_assign(spark, sf_dir)
+        .groupBy("label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _DOC_STATS_SQL = """
@@ -1648,6 +1791,15 @@ CATALOG: dict[str, QueryFn] = {
     "dataset_split": q_dataset_split,
     "quality_gate_pct": q_quality_gate_pct,
     "char_entropy": q_char_entropy,
+    "split_decontamination": q_split_decontamination,
+    "event_rollup": q_event_rollup,
+    "top_docs_per_source": q_top_docs_per_source,
+    "sliding_window_rate": q_sliding_window_rate,
+    "embedding_quantize": q_embedding_quantize,
+    "unigram_logprob": q_unigram_logprob,
+    "order_priority_exists": q_order_priority_exists,
+    "centroid_assign": q_centroid_assign,
+    "label_confusion": q_label_confusion,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
 }
@@ -1658,6 +1810,49 @@ CATALOG: dict[str, QueryFn] = {
 ROWS_ONLY_QUERIES: frozenset[str] = frozenset(
     {"pack_greedy", "pack_greedy_sharded"}
 )
+
+#: Shared CTE chain for the nearest-centroid oracle: exact quantized label
+#: centroids (mirrors the label_centroids oracle) -> per-label double arrays
+#: + norms -> per-(vector, label) cosine replaying the Spark fold's
+#: left-to-right float sequence -> deterministic argmax (score DESC, label
+#: ASC == the fold's ascending-label strict-> replacement).
+_CENTROID_ASSIGN_SQL = """
+        WITH cent AS (
+            SELECT label, i,
+                   CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                       * 1048576.0) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cq
+            FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+            GROUP BY label, i),
+        carr AS (
+            SELECT label, list(CAST(cq AS DOUBLE) ORDER BY i) AS c
+            FROM cent GROUP BY label),
+        cn AS (
+            SELECT label, c,
+                   sqrt(list_reduce(list_transform(c, v -> v * v),
+                        (a, b) -> a + b)) AS n
+            FROM carr),
+        scored AS (
+            SELECT e.vec_id, e.label AS tl, cn.label AS cand,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * cn.c[i]),
+                       (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(
+                          generate_series(1, len(e.embedding)),
+                          i -> CAST(e.embedding[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE)),
+                          (a, b) -> a + b))
+                      * cn.n) AS s
+            FROM embeddings e, cn),
+        assigned AS (
+            SELECT vec_id, CAST(tl AS INT) AS label,
+                   CAST(cand AS INT) AS assigned_label,
+                   CAST(floor(s * 1000000.0) AS BIGINT) AS score_x1m
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY s DESC, cand ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1)
+"""
 
 ORACLES: dict[str, str] = {
     "candles_1m": f"WITH trades AS ({_TRADES_SQL}), c AS ({_C1M_SQL}) "
@@ -2332,5 +2527,120 @@ ORACLES: dict[str, str] = {
                list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
         FROM e LEFT JOIN v ON e.tok = v.token
         GROUP BY e.doc_id
+    """,
+    "split_decontamination": f"""
+        WITH banded AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+                            % 2147483647 < 214748364 THEN 'val'
+                        WHEN {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+                            % 2147483647 < 429496728 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT doc_id, split, string_split(text, ' ') AS t
+                 FROM banded),
+        pos AS (SELECT doc_id, split, t,
+                       unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id, split,
+                      array_to_string(t[i:i+2], ' ') AS shingle
+               FROM pos),
+        holdout AS (SELECT DISTINCT shingle FROM sh WHERE split != 'train')
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_holdout_shared,
+               CAST(floor(
+                   CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) * 100.0
+                   / CAST(count(*) AS DOUBLE)) AS BIGINT) AS overlap_x100
+        FROM sh s LEFT JOIN holdout h USING (shingle)
+        WHERE s.split = 'train'
+        GROUP BY s.doc_id
+        HAVING sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+    "event_rollup": """
+        SELECT event_type,
+               CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+               CAST(GROUPING(event_type, CAST(date_trunc('day', ts) AS DATE))
+                   AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+    "top_docs_per_source": """
+        SELECT source, doc_id, n_chars, rnk
+        FROM (SELECT source, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rnk
+              FROM documents)
+        WHERE rnk <= 10
+    """,
+    "sliding_window_rate": """
+        SELECT CAST(TIMESTAMP '1970-01-01' + INTERVAL (
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - u.k * 300
+               ) SECOND AS VARCHAR) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events, UNNEST([0, 1]) AS u(k)
+        GROUP BY 1, 2
+    """,
+    "embedding_quantize": """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN m = 0.0 THEN 1.0 ELSE m END AS scale
+            FROM (SELECT vec_id, embedding,
+                         list_aggregate(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+                  FROM embeddings)),
+        q AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                                 AS INTEGER)) AS q_vec
+            FROM s)
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dims,
+               q_vec,
+               CAST(list_sum(list_transform(q_vec,
+                   v -> abs(CAST(v AS BIGINT)))) AS BIGINT) AS q_l1,
+               CAST(list_sum(list_transform(q_vec,
+                   v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT)
+                   AS q_l2sq
+        FROM q
+    """,
+    "unigram_logprob": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents WHERE text IS NOT NULL),
+        model AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM model),
+        costed AS (SELECT term,
+                          CAST(floor(ln(tot.n / CAST(cnt AS DOUBLE)) * 1000.0)
+                              AS BIGINT) AS cost
+                   FROM model, tot)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c.cost) AS BIGINT) AS cost_x1000,
+               CAST(sum(c.cost) // count(*) AS BIGINT) AS avg_cost_x1000
+        FROM toks t JOIN costed c USING (term)
+        GROUP BY t.doc_id
+    """,
+    "order_priority_exists": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "centroid_assign": _CENTROID_ASSIGN_SQL + """
+        SELECT vec_id, label, assigned_label, score_x1m FROM assigned
+    """,
+    "label_confusion": _CENTROID_ASSIGN_SQL + """
+        SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM assigned GROUP BY label, assigned_label
     """,
 }

@@ -151,3 +151,64 @@ def test_assign_cells_respects_double_element_type(spark):
     for i in range(len(flips)):
         assert got[i] == want64[i], f"vector {i} truncated through float32"
         assert want64[i] != want32[i]
+
+
+def test_quantize_int8_known_values(spark):
+    """Max-abs symmetric quantization: exact values on a hand vector, the
+    round-half-up rule, and the all-zero guard."""
+    from blockchain_postgres_sync_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0]),
+            (3, [-2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r.q
+        for r in df.select(
+            "vec_id", quantize_int8(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    # scale 1.0: 127*1=127, 127*-0.5=-63.5 -> floor(-63.0)= -63, 127*.25=31.75 -> 32
+    assert rows[1] == [127, -63, 32, 0]
+    assert rows[2] == [0, 0]            # zero vector: guarded divisor
+    assert rows[3] == [-127, floor_half_up(1.0 * 127 / 2.0)] == [-127, 64]
+
+
+def floor_half_up(x: float) -> int:
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def test_centroid_assign_semantics(spark):
+    """A vector sitting on a centroid assigns to that label with score ~1;
+    an exact tie between two centroids keeps the smallest label (the
+    fold's strict-> replacement in ascending label order)."""
+    from blockchain_postgres_sync_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    # centroid long-form: label 0 -> (1,0), label 1 -> (0,1) (quantized)
+    cent = spark.createDataFrame(
+        [(0, 0, 100), (0, 1, 0), (1, 0, 0), (1, 1, 100)],
+        "label int, pos int, centroid_q long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),   # on centroid 0
+            (2, [0.0, 2.0], 1),   # on centroid 1
+            (3, [1.0, 1.0], 0),   # exact tie -> label 0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.vec_id: (r.assigned_label, r.score_x1m)
+        for r in centroid_assign(emb, cent).collect()
+    }
+    assert out[1] == (0, 1000000)
+    assert out[2] == (1, 1000000)
+    assert out[3][0] == 0 and 707106 <= out[3][1] <= 707107

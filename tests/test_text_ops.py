@@ -231,3 +231,54 @@ def test_embedding_neardup_blocked_delegates_above_threshold(spark):
     # the broadcast mapInPandas kernel
     plan = delegated._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_split_decontamination_counts_holdout_overlap(spark):
+    """Train docs sharing shingles with val/test docs (under the SAME
+    hash-band split as dataset_split) are flagged with exact counts;
+    fully-novel train docs are absent.  Expected values are recomputed in
+    pure python from the operator's own split assignment, so the test pins
+    the overlap arithmetic, not the hash bands (those are pinned by
+    test_sampling.py)."""
+    from blockchain_postgres_sync_spark.operators import contamination, sampling
+
+    texts = {
+        i: f"w{i} x{i} y{i} z{i} shared alpha beta gamma t{i}"
+        if i % 2 == 0
+        else f"a{i} b{i} c{i} d{i} e{i} f{i} g{i}"
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    split = {
+        r.doc_id: r.split
+        for r in sampling.dataset_split(df, val_frac=0.3, test_frac=0.3).collect()
+    }
+    assert {"train", "val", "test"} <= set(split.values())
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {t}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    holdout = set().union(
+        *(shingles(texts[i]) for i in texts if split[i] != "train")
+    )
+    expected = {}
+    for i in texts:
+        if split[i] != "train":
+            continue
+        sh = shingles(texts[i])
+        shared = len(sh & holdout)
+        if shared:
+            expected[i] = (len(sh), shared, shared * 100 // len(sh))
+
+    out = {
+        r.doc_id: (r.n_shingles, r.n_holdout_shared, r.overlap_x100)
+        for r in contamination.split_decontamination(
+            df, val_frac=0.3, test_frac=0.3
+        ).collect()
+    }
+    assert out == expected
