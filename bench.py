@@ -89,6 +89,7 @@ HEADLINE = [
     "order_priority_exists",
     "centroid_assign",
     "label_confusion",
+    "semantic_dedup",
 ]
 
 

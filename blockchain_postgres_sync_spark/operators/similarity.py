@@ -325,6 +325,7 @@ def centroid_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid classification — assign every vector to the closest
     label centroid by cosine (the k-NN/centroid labeling step of an
@@ -365,11 +366,16 @@ def centroid_assign(
             F.sqrt(F.aggregate("_c", F.lit(0.0), lambda a, v: a + v * v)),
         )
     )
+    # the ONE-row centroid frame is localCheckpoint-ed (lazy): collect_list
+    # is non-deterministic to the canonicalizer, so without the checkpoint a
+    # consumer that references this subplan twice (the semantic-dedup
+    # self-join) rebuilds the centroids — and their source scan — per
+    # branch; the checkpoint makes both branches read one computed row.
     cents = carr.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("_l"), F.col("_c"), F.col("_cn")))
         ).alias("_cents")
-    )
+    ).localCheckpoint(eager=False)
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     xnorm = F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v))
     joined = emb.crossJoin(F.broadcast(cents)).withColumn("_xn", xnorm)
@@ -393,9 +399,69 @@ def centroid_assign(
         ),
         step,
     )
-    return joined.select(
-        id_col,
-        label_col,
+    cols = [
+        F.col(id_col),
+        F.col(label_col),
         best["l"].alias("assigned_label"),
         F.floor(best["s"] * 1000000.0).cast("long").alias("score_x1m"),
+    ]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return joined.select(*cols)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: assign every vector to
+    its nearest label centroid (map-only, :func:`centroid_assign`), then
+    compare ONLY within a cluster — the cluster bucketing that turns the
+    O(N^2) all-pairs cosine scan into per-cluster work, the standard recipe
+    for semantic dedup of embedding corpora (cf. the grid kernel in
+    operators/dedup.py::embedding_neardup_pairs_grid, which buckets
+    geometrically instead; clustering adapts to the data's density).
+
+    Candidate semantics are cluster-local BY DESIGN: a near-dup pair split
+    across two clusters is not a candidate (exactly SemDeDup's trade), so
+    results depend deterministically on the centroid set.
+
+    Plan shape (100 TB): one shuffle on the cluster id for the self-join.
+    The centroid row is computed once (localCheckpoint inside
+    :func:`centroid_assign`), so each join branch is a map-only
+    scan+score pass — two corpus scans total (Spark does not dedupe
+    self-join scans without materialization; persisting the corpus-sized
+    assignment to trade the second scan for storage is the caller's
+    choice at extreme scale).  Within a cluster the pair expansion is
+    bounded by cluster size (k-means-balanced), never the corpus.  Cosine
+    replays the exact fold ordering of the ann oracle, so scores are
+    bit-identical cross-engine.
+
+    Returns (cluster, vec_id_a, vec_id_b, cos_x1m) with
+    cos_x1m >= floor(threshold * 1e6).
+    """
+    assigned = centroid_assign(
+        emb, centroids,
+        id_col=id_col, vec_col=vec_col, label_col=label_col, keep_vec=True,
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("assigned_label").alias("cluster"),
+        F.col(vec_col).alias("_v"),
     )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a._id").alias("vec_id_a"),
+        F.col("b._id").alias("vec_id_b"),
+        F.floor(cosine(F.col("a._v"), F.col("b._v")) * 1000000.0)
+        .cast("long").alias("cos_x1m"),
+    )
+    return pairs.filter(F.col("cos_x1m") >= int(threshold * 1000000))

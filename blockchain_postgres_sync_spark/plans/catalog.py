@@ -1328,6 +1328,17 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs at cosine >= 0.4: nearest-
+    centroid cluster bucketing (map-only assignment, exchange-reused on
+    both self-join branches), then cosine only WITHIN a cluster
+    (operators/similarity.py::semantic_dedup_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(
+        emb, q_label_centroids(spark, sf_dir), threshold=0.4
+    )
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification over the exact quantized label
     centroids (operators/similarity.py::centroid_assign) — zero-shuffle
@@ -1800,6 +1811,7 @@ CATALOG: dict[str, QueryFn] = {
     "order_priority_exists": q_order_priority_exists,
     "centroid_assign": q_centroid_assign,
     "label_confusion": q_label_confusion,
+    "semantic_dedup": q_semantic_dedup,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
 }
@@ -1833,7 +1845,7 @@ _CENTROID_ASSIGN_SQL = """
                         (a, b) -> a + b)) AS n
             FROM carr),
         scored AS (
-            SELECT e.vec_id, e.label AS tl, cn.label AS cand,
+            SELECT e.vec_id, e.label AS tl, e.embedding AS emb, cn.label AS cand,
                    list_reduce(list_transform(generate_series(1, len(e.embedding)),
                        i -> CAST(e.embedding[i] AS DOUBLE) * cn.c[i]),
                        (a, b) -> a + b)
@@ -1845,7 +1857,7 @@ _CENTROID_ASSIGN_SQL = """
                       * cn.n) AS s
             FROM embeddings e, cn),
         assigned AS (
-            SELECT vec_id, CAST(tl AS INT) AS label,
+            SELECT vec_id, CAST(tl AS INT) AS label, emb,
                    CAST(cand AS INT) AS assigned_label,
                    CAST(floor(s * 1000000.0) AS BIGINT) AS score_x1m
             FROM (SELECT *, row_number() OVER (
@@ -2642,5 +2654,32 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "semantic_dedup": _CENTROID_ASSIGN_SQL + """
+        , pairs AS (
+            SELECT a.assigned_label AS cluster,
+                   a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   CAST(floor(
+                       list_reduce(list_transform(
+                           generate_series(1, len(a.emb)),
+                           i -> CAST(a.emb[i] AS DOUBLE)
+                                * CAST(b.emb[i] AS DOUBLE)),
+                           (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(
+                              generate_series(1, len(a.emb)),
+                              i -> CAST(a.emb[i] AS DOUBLE)
+                                   * CAST(a.emb[i] AS DOUBLE)),
+                              (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(
+                              generate_series(1, len(b.emb)),
+                              i -> CAST(b.emb[i] AS DOUBLE)
+                                   * CAST(b.emb[i] AS DOUBLE)),
+                              (x, y) -> x + y)))
+                       * 1000000.0) AS BIGINT) AS cos_x1m
+            FROM assigned a JOIN assigned b
+              ON a.assigned_label = b.assigned_label
+             AND a.vec_id < b.vec_id)
+        SELECT cluster, vec_id_a, vec_id_b, cos_x1m
+        FROM pairs WHERE cos_x1m >= 400000
     """,
 }

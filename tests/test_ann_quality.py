@@ -212,3 +212,29 @@ def test_centroid_assign_semantics(spark):
     assert out[1] == (0, 1000000)
     assert out[2] == (1, 1000000)
     assert out[3][0] == 0 and 707106 <= out[3][1] <= 707107
+
+
+def test_semantic_dedup_cluster_local(spark):
+    """Pairs form only within an assigned cluster and scores are exact:
+    two near-identical vectors in one cluster pair up; an equally-similar
+    pair split across clusters is NOT a candidate (the SemDeDup trade)."""
+    from blockchain_postgres_sync_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, 0, 100), (0, 1, 0), (1, 0, 0), (1, 1, 100)],
+        "label int, pos int, centroid_q long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01], 0),   # cluster 0
+            (2, [1.0, 0.02], 0),   # cluster 0 — near-dup of 1
+            (3, [0.02, 1.0], 1),   # cluster 1
+            (4, [1.0, 0.9], 0),    # cluster 0 (45deg, closer to x-axis)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = semantic_dedup_pairs(emb, cent, threshold=0.99).collect()
+    assert [(r.vec_id_a, r.vec_id_b, r.cluster) for r in rows] == [(1, 2, 0)]
+    assert rows[0].cos_x1m >= 990000
