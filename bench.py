@@ -90,6 +90,7 @@ HEADLINE = [
     "centroid_assign",
     "label_confusion",
     "semantic_dedup",
+    "brand_revenue_salted",
 ]
 
 

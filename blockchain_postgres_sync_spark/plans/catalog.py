@@ -1339,6 +1339,47 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue through the skew-salted join rewrite
+    (operators/skew.py::salted_join): the probe side salts on a pure
+    function of l_linenumber-composited row identity, the part side
+    replicates 8x, and the result is ROW-IDENTICAL to the plain join (the
+    oracle runs the UNSALTED SQL — equality IS the correctness claim).
+    Exact decimal money math, double only at the edge."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice", "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumn(
+            "_rid",
+            F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"),
+        ),
+        part.withColumnRenamed("p_partkey", "l_partkey"),
+        on="l_partkey",
+        salt_from="_rid",
+        salts=8,
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("_rev"),
+        )
+        .select(
+            "p_brand", "n_items",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification over the exact quantized label
     centroids (operators/similarity.py::centroid_assign) — zero-shuffle
@@ -1812,6 +1853,7 @@ CATALOG: dict[str, QueryFn] = {
     "centroid_assign": q_centroid_assign,
     "label_confusion": q_label_confusion,
     "semantic_dedup": q_semantic_dedup,
+    "brand_revenue_salted": q_brand_revenue_salted,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
 }
@@ -2654,6 +2696,15 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "brand_revenue_salted": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "semantic_dedup": _CENTROID_ASSIGN_SQL + """
         , pairs AS (
