@@ -91,6 +91,7 @@ HEADLINE = [
     "label_confusion",
     "semantic_dedup",
     "brand_revenue_salted",
+    "tfidf_vectorize",
 ]
 
 

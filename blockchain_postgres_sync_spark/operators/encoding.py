@@ -170,3 +170,56 @@ def encode_docs(
         ).alias("token_ids"),
     )
     return assembled
+
+
+def tfidf_vectorize(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Sparse tf-idf document vectors — the text→vector bridge between the
+    token pipeline (vocab/encode) and the embedding operators.
+
+    Per document: ``token_ids`` ascending and the parallel ``weights_x1m``
+    where ``weight = tf * 1e6 // df`` — the integer-exact df-normalized
+    term frequency (same engine-reproducible scoring family as
+    ``stats.salient_terms``: no logarithm, so no cross-engine libm
+    dependence; rarer terms still up-weight).  ``df`` counts DOCUMENTS
+    containing the term.  Out-of-vocabulary tokens (below ``min_count``)
+    are dropped from the vector.
+
+    Plan shape (100 TB): one explode feeds the (doc, token) tf hash-agg
+    (map-side combined); df re-aggregates the COMPRESSED pair stream; the
+    (token_id, df) model is vocab-sized and joins broadcast by default
+    (``broadcast_model=False`` shuffle-joins past broadcast size); the
+    final per-doc array assembly groups on the id.  Array order is a total
+    (token_id) sort in-row — partitioning-independent.
+    """
+    if vocab is None:
+        vocab = build_vocab(docs, text_col=text_col, min_count=min_count)
+    pairs = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    model = vocab.select("token", "token_id").join(dfreq, "token")
+    model = F.broadcast(model) if broadcast_model else model
+    scored = pairs.join(model, "token").select(
+        F.col(id_col),
+        F.col("token_id"),
+        F.expr("(_tf * 1000000) div _df").cast("long").alias("_w"),
+    )
+    assembled = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("token_id", "_w"))).alias("_tw")
+    )
+    return assembled.select(
+        id_col,
+        F.transform(F.col("_tw"), lambda s: s["token_id"]).alias("token_ids"),
+        F.transform(F.col("_tw"), lambda s: s["_w"]).alias("weights_x1m"),
+        F.size(F.col("_tw")).cast("int").alias("n_terms"),
+    )

@@ -159,3 +159,29 @@ def test_encode_shuffle_join_matches_broadcast(spark):
         for r in encode_docs(docs, vocab, broadcast_vocab=False).collect()
     }
     assert a == b
+
+
+def test_tfidf_vectorize_exact(spark):
+    """Weights recomputed in pure python over a hand corpus: tf*1e6//df,
+    ids from the (count desc, token) vocab rank, arrays ordered by id,
+    sub-min_count tokens dropped."""
+    from blockchain_postgres_sync_spark.operators.encoding import (
+        build_vocab,
+        tfidf_vectorize,
+    )
+
+    docs = [(1, "a a b c"), (2, "a b b"), (3, "c rare")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (list(r.token_ids), list(r.weights_x1m), r.n_terms)
+        for r in tfidf_vectorize(df, min_count=2).collect()
+    }
+    vocab = {
+        r.token: r.token_id for r in build_vocab(df, min_count=2).collect()
+    }
+    # corpus counts: a=3, b=3, c=2, rare=1(dropped) -> ids a=0, b=1, c=2
+    assert vocab == {"a": 0, "b": 1, "c": 2}
+    # df: a in docs {1,2}=2, b in {1,2}=2, c in {1,3}=2
+    assert out[1] == ([0, 1, 2], [2 * 10**6 // 2, 10**6 // 2, 10**6 // 2], 3)
+    assert out[2] == ([0, 1], [10**6 // 2, 2 * 10**6 // 2], 2)
+    assert out[3] == ([2], [10**6 // 2], 1)  # 'rare' dropped (min_count)
