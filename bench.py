@@ -92,6 +92,8 @@ HEADLINE = [
     "semantic_dedup",
     "brand_revenue_salted",
     "tfidf_vectorize",
+    "snapshot_diff",
+    "integrity_audit",
 ]
 
 

@@ -1348,6 +1348,62 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / backfill-validation diff (operators/scd.py::table_diff): the
+    per-key current dimension state at uid <= 5000 vs the full log —
+    added / removed / changed keys only, each side reduced to (key, hash)
+    before one full-outer join (the minimal-width diff)."""
+    from ..operators.scd import table_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("asset_id"),
+        F.col("event_id").alias("uid"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    before = current_snapshot(
+        ev.filter(F.col("uid") <= 5000), key="asset_id", uid="uid"
+    )
+    after = current_snapshot(ev, key="asset_id", uid="uid")
+    return table_diff(before, after, key="asset_id").select(
+        F.col("asset_id").cast("long"), "status"
+    )
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts per foreign-key
+    relationship via LEFT ANTI joins, unioned into one report (the batch
+    data-quality gate a pipeline runs before publishing a snapshot).
+    Anti joins broadcast the key-only dimension side where Spark sizes it
+    small; each relationship is one join, no row ever widens."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    customer = _t(spark, sf_dir, "customer")
+
+    def orphans(child, ckey, parent, pkey, label):
+        return (
+            child.select(F.col(ckey).alias(pkey))
+            .join(parent.select(pkey), pkey, "left_anti")
+            .agg(
+                F.lit(label).alias("relationship"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            orphans(li, "l_partkey", part, "p_partkey", "lineitem->part")
+        )
+        .unionByName(
+            orphans(
+                orders, "o_custkey", customer, "c_custkey", "orders->customer"
+            )
+        )
+    )
+
+
 def q_tfidf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse tf-idf document vectors over the distributed two-phase vocab
     (operators/encoding.py::tfidf_vectorize) — integer-exact weights, no
@@ -1871,6 +1927,8 @@ CATALOG: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "brand_revenue_salted": q_brand_revenue_salted,
     "tfidf_vectorize": q_tfidf_vectorize,
+    "snapshot_diff": q_snapshot_diff,
+    "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
 }
@@ -2713,6 +2771,41 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "snapshot_diff": """
+        WITH src AS (SELECT user_id AS asset_id, event_id AS uid,
+                            event_type, value
+                     FROM events),
+        bs AS (SELECT asset_id, event_type, value FROM
+               (SELECT *, row_number() OVER (PARTITION BY asset_id
+                    ORDER BY uid DESC) AS rn FROM src WHERE uid <= 5000)
+               WHERE rn = 1),
+        asn AS (SELECT asset_id, event_type, value FROM
+                (SELECT *, row_number() OVER (PARTITION BY asset_id
+                     ORDER BY uid DESC) AS rn FROM src)
+                WHERE rn = 1)
+        SELECT CAST(COALESCE(b.asset_id, a.asset_id) AS BIGINT) AS asset_id,
+               CASE WHEN b.asset_id IS NULL THEN 'added'
+                    WHEN a.asset_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM bs b FULL OUTER JOIN asn a USING (asset_id)
+        WHERE b.asset_id IS NULL OR a.asset_id IS NULL
+           OR b.event_type != a.event_type OR b.value != a.value
+           OR (b.event_type IS NULL) != (a.event_type IS NULL)
+           OR (b.value IS NULL) != (a.value IS NULL)
+    """,
+    "integrity_audit": """
+        SELECT 'lineitem->orders' AS relationship,
+               CAST(count(*) AS BIGINT) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'lineitem->part',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
     """,
     "tfidf_vectorize": """
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -81,3 +81,26 @@ def test_assets_view_semantics(spark, frames):
     assert out["WAVES"]["issue_height"] == 0
     assert str(out["WAVES"]["issue_time_stamp"]) == "2016-04-11 21:00:00"
     assert out["WAVES"]["min_sponsored_asset_fee"] is None
+
+
+def test_table_diff_statuses(spark):
+    """added / removed / changed classified per key; unchanged keys absent;
+    NULL payloads compare via the sentinel (NULL != value, NULL == NULL)."""
+    from blockchain_postgres_sync_spark.operators.scd import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, None, 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    out = {r.k: r.status for r in table_diff(before, after, key="k").collect()}
+    assert out == {2: "changed", 4: "removed", 5: "added"}
+    # compare_cols restricts the payload: v-only diff sees key 2 unchanged
+    out_v = {
+        r.k: r.status
+        for r in table_diff(before, after, key="k", compare_cols=["v"]).collect()
+    }
+    assert out_v == {4: "removed", 5: "added"}
