@@ -94,6 +94,7 @@ HEADLINE = [
     "tfidf_vectorize",
     "snapshot_diff",
     "integrity_audit",
+    "quality_score",
 ]
 
 

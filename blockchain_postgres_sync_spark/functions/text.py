@@ -192,3 +192,62 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
     )
+
+
+def quality_score(text: Column) -> dict[str, Column]:
+    """Composite document-quality score — the model-free quality classifier
+    a curation pipeline runs before any learned filter: five integer
+    sub-scores (0..100 each) combined by fixed weights into
+    ``quality_x100`` and a ``tier`` label.  Exposing the components keeps
+    the score EXPLAINABLE (why did this doc land in 'low'?) — the property
+    learned quality filters lose.
+
+    Sub-scores (each 0..100, integer-exact):
+    - ``s_tokens``: in the Gopher-style length band [20, 5000] tokens;
+    - ``s_mtl``: mean token length in the natural-text band
+      [2.50, 12.00] chars;
+    - ``s_repetition``: distinct/total token ratio ×100 (low = boilerplate);
+    - ``s_entropy``: char-distribution entropy, 100 at >= 4.0 bits
+      (gibberish and repeated-char junk score near 0);
+    - ``s_stopword``: stopword-vote evidence (10 pts per hit, capped) —
+      natural language in a known language carries stopwords.
+
+    ``quality_x100 = (2*s_tokens + s_mtl + 2*s_repetition + 2*s_entropy
+    + s_stopword) div 8``; tiers: high >= 70, medium >= 40, else low.
+    Entirely in-row Catalyst — zero shuffle, scan-bound at any scale; the
+    one float op per sub-score is the shared ``_idiv``/entropy ln pattern
+    already hash-proven cross-engine.
+    """
+    r = quality_ratios(text)
+    n_tok, mtl, rep = r["n_tokens"], r["mean_token_len_x100"], r["repetition_x100"]
+    _, lang_hits = language_id(text)
+    s_tokens = F.when((n_tok >= 20) & (n_tok <= 5000), F.lit(100)).otherwise(0)
+    s_mtl = F.when((mtl >= 250) & (mtl <= 1200), F.lit(100)).otherwise(0)
+    s_repetition = F.least(rep, F.lit(100))
+    s_entropy = F.least(
+        F.floor(char_entropy_x1000(text).cast("double") / 40.0).cast("long"),
+        F.lit(100),
+    )
+    s_stopword = F.least(lang_hits * 10, F.lit(100))
+    total = (
+        s_tokens.cast("long") * 2
+        + s_mtl.cast("long")
+        + s_repetition.cast("long") * 2
+        + s_entropy * 2
+        + s_stopword.cast("long")
+    )
+    quality = F.floor(total.cast("double") / 8.0).cast("long")
+    tier = (
+        F.when(quality >= 70, F.lit("high"))
+        .when(quality >= 40, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return {
+        "s_tokens": s_tokens.cast("long"),
+        "s_mtl": s_mtl.cast("long"),
+        "s_repetition": s_repetition.cast("long"),
+        "s_entropy": s_entropy.cast("long"),
+        "s_stopword": s_stopword.cast("long"),
+        "quality_x100": quality,
+        "tier": tier,
+    }

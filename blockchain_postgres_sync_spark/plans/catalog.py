@@ -1348,6 +1348,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite model-free quality classifier (functions/text.py::
+    quality_score): five explainable integer sub-scores -> weighted
+    quality_x100 + tier.  Entirely in-row — zero shuffle, scan-bound."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    qs = T.quality_score(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in qs.items()])
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / backfill-validation diff (operators/scd.py::table_diff): the
     per-key current dimension state at uid <= 5000 vs the full log —
@@ -1928,6 +1937,7 @@ CATALOG: dict[str, QueryFn] = {
     "brand_revenue_salted": q_brand_revenue_salted,
     "tfidf_vectorize": q_tfidf_vectorize,
     "snapshot_diff": q_snapshot_diff,
+    "quality_score": q_quality_score,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2771,6 +2781,55 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "quality_score": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(floor(CAST(length(replace(text, ' ', '')) * 100 AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)
+                     AS mtl,
+                 CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) * 100
+                     AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                     AS BIGINT) AS rep,
+                 CASE WHEN length(text) > 0 THEN
+                   CAST(floor(((ln(length(text))
+                       - list_sum(list_transform(
+                             list_sort(list_distinct(string_split(text, ''))),
+                             c -> (length(text) - length(replace(text, c, '')))
+                                  * ln(length(text)
+                                       - length(replace(text, c, '')))))
+                         / length(text)) / ln(2)) * 1000) AS BIGINT)
+               ELSE 0 END AS ent_x1000,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))) AS h_de, len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS h_en, len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y', 'es', 'no'))) AS h_es, len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'les', 'et', 'est', 'ne'))) AS h_fr
+          FROM documents WHERE text IS NOT NULL),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 100 ELSE 0 END
+                     AS s_tokens,
+                 CASE WHEN mtl BETWEEN 250 AND 1200 THEN 100 ELSE 0 END AS s_mtl,
+                 least(rep, 100) AS s_repetition,
+                 least(CAST(floor(CAST(ent_x1000 AS DOUBLE) / 40.0) AS BIGINT),
+                       100) AS s_entropy,
+                 least(greatest(h_de, h_en, h_es, h_fr) * 10, 100) AS s_stopword
+          FROM base)
+        SELECT doc_id,
+               CAST(s_tokens AS BIGINT) AS s_tokens,
+               CAST(s_mtl AS BIGINT) AS s_mtl,
+               CAST(s_repetition AS BIGINT) AS s_repetition,
+               CAST(s_entropy AS BIGINT) AS s_entropy,
+               CAST(s_stopword AS BIGINT) AS s_stopword,
+               CAST(floor(CAST(2*s_tokens + s_mtl + 2*s_repetition
+                   + 2*s_entropy + s_stopword AS DOUBLE) / 8.0) AS BIGINT)
+                   AS quality_x100,
+               CASE WHEN floor(CAST(2*s_tokens + s_mtl + 2*s_repetition
+                        + 2*s_entropy + s_stopword AS DOUBLE) / 8.0) >= 70
+                        THEN 'high'
+                    WHEN floor(CAST(2*s_tokens + s_mtl + 2*s_repetition
+                        + 2*s_entropy + s_stopword AS DOUBLE) / 8.0) >= 40
+                        THEN 'medium'
+                    ELSE 'low' END AS tier
+        FROM scored
     """,
     "snapshot_diff": """
         WITH src AS (SELECT user_id AS asset_id, event_id AS uid,

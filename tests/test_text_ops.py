@@ -282,3 +282,27 @@ def test_split_decontamination_counts_holdout_overlap(spark):
         ).collect()
     }
     assert out == expected
+
+
+def test_quality_score_tiers_and_components(spark):
+    """A natural-language doc tiers high; repeated-char junk tiers low with
+    the entropy/repetition components explaining why."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs to the "
+        "river where it drinks water and rests in the shade of a tall tree "
+        "before walking home in the evening light"
+    )
+    junk = "z " * 30
+    df = spark.createDataFrame([(1, good), (2, junk.strip())], "doc_id long, text string")
+    qs = T.quality_score(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in qs.items()]).collect()
+    }
+    g, j = out[1], out[2]
+    assert g.tier == "high" and g.s_tokens == 100 and g.s_stopword == 100
+    assert j.tier == "low"
+    assert j.s_repetition <= 5           # 1 distinct / 30 tokens
+    assert j.s_mtl == 0                  # 1.0 chars/token: out of band
+    assert j.s_entropy <= 25             # near-zero char entropy
+    assert g.quality_x100 > j.quality_x100
