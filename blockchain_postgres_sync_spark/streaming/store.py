@@ -17,6 +17,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableStore:
@@ -133,6 +134,67 @@ class TableStore:
         if not linked:
             self._ensure_readable(name, next_v, new_df)
         self._staged[name] = next_v
+
+    def compact(
+        self,
+        name: str,
+        partition_col: str | None = None,
+        max_files: int = 4,
+        target_files: int = 1,
+    ) -> bool:
+        """Small-file compaction — the OPTIMIZE of a long-running store.
+        A partition written by a parallel stage carries one file per write
+        task, and ``stage_range_replace`` hardlinks untouched partitions
+        forward with their historical file counts intact — so over a long
+        run hot partitions fragment and per-file task setup starts to
+        dominate scans.  Rewrites each partition whose parquet-file count exceeds
+        ``max_files`` down to one file (each partition value hashes to
+        exactly one task of the repartition, so one file per directory);
+        already-compact partitions HARDLINK forward unchanged.  Content is
+        row-identical, the new version goes live atomically at
+        :meth:`commit` like any staged write.  Returns False when nothing
+        needed compaction (no new version staged).
+
+        Unpartitioned tables (small dimensions) rewrite to
+        ``target_files`` files when over ``max_files``.  At 100 TB run
+        this per hot partition on a schedule, exactly like any lakehouse
+        OPTIMIZE job; cost is O(fat partitions), never O(table).
+        """
+        prev_v = self._staged.get(name, self._manifest.get(name))
+        if prev_v is None:
+            raise KeyError(f"table {name} not in store")
+        prev_dir = self._dir(name, prev_v)
+
+        def n_parquet(d: str) -> int:
+            return sum(
+                1 for fn in os.listdir(d) if fn.endswith(".parquet")
+            ) if os.path.isdir(d) else 0
+
+        if partition_col is None:
+            if n_parquet(prev_dir) <= max_files:
+                return False
+            self.stage(name, self.read(name).coalesce(target_files))
+            return True
+
+        prefix = f"{partition_col}="
+        from urllib.parse import unquote
+
+        fat = {
+            unquote(e[len(prefix):])
+            for e in os.listdir(prev_dir)
+            if e.startswith(prefix)
+            and n_parquet(os.path.join(prev_dir, e)) > max_files
+        }
+        if not fat:
+            return False
+        df = self.read(name)
+        fat_rows = df.filter(
+            F.col(partition_col).cast("string").isin(*fat)
+        ).repartition(max(len(fat), 1), partition_col)
+        self.stage_range_replace(
+            name, fat_rows, partition_col, lambda v: v in fat
+        )
+        return True
 
     def commit(self) -> None:
         """Atomically promote all staged tables (the per-batch transaction).

@@ -466,3 +466,47 @@ def test_batch_crash_before_commit_is_atomic(spark, tmp_path):
     assert _table_sets(TableStore(spark, root), ALL_TABLES) == _table_sets(
         clean, ALL_TABLES
     )
+
+
+def test_store_compact_partitioned(spark, tmp_path):
+    """Compaction rewrites only fat partitions (one file each), hardlinks
+    compact ones (same inode), preserves content exactly, and is a no-op
+    when nothing is fat."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blockchain_postgres_sync_spark.streaming.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    base = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    # p=0 written compact (1 task -> 1 file); p=1 deliberately fragmented
+    # across 12 tasks -> ~12 small files, the state a long run of
+    # incremental writes leaves behind
+    frag = base.filter(F.col("p") == "0").coalesce(1).unionByName(
+        base.filter(F.col("p") == "1").repartition(12)
+    )
+    store.stage("t", frag, partition_by=["p"])
+    store.commit()
+
+    def files(part):
+        versions = store._manifest
+        d = os.path.join(store._dir("t", versions["t"]), f"p={part}")
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    inode_p0_before = {os.stat(f).st_ino for f in files("0")}
+    before_rows = sorted(tuple(r) for r in store.read("t").collect())
+
+    assert store.compact("t", partition_col="p", max_files=4) is True
+    store.commit()
+    assert len(files("1")) == 1
+    assert {os.stat(f).st_ino for f in files("0")} == inode_p0_before  # linked
+    assert sorted(tuple(r) for r in store.read("t").collect()) == before_rows
+    # second run: everything compact already -> no-op, no version bump
+    v = store._manifest["t"]
+    assert store.compact("t", partition_col="p", max_files=4) is False
+    assert store._manifest["t"] == v and not store._staged
