@@ -95,6 +95,7 @@ HEADLINE = [
     "snapshot_diff",
     "integrity_audit",
     "quality_score",
+    "normalize_text",
 ]
 
 

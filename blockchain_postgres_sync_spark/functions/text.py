@@ -251,3 +251,20 @@ def quality_score(text: Column) -> dict[str, Column]:
         "quality_x100": quality,
         "tier": tier,
     }
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization — the step every dedup/fingerprint
+    pipeline runs FIRST so cosmetic variants hash identically: strip
+    control characters, collapse whitespace runs to single spaces, trim,
+    lowercase.  Pure Catalyst (two regexp_replace + lower + trim), in-row,
+    zero shuffle.
+
+    Character classes are spelled explicitly ([ \\t\\n\\r] and the control
+    ranges) rather than via ``\\s``/``\\p{Cntrl}``: Java regex and RE2
+    (DuckDB) disagree on shorthand-class membership (e.g. \\x0b), and the
+    explicit classes are the cross-engine-stable subset.
+    """
+    cleaned = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    collapsed = F.regexp_replace(cleaned, "[ \\t\\n\\r]+", " ")
+    return F.lower(F.trim(collapsed))

@@ -1348,6 +1348,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (functions/text.py::normalize_text) + the
+    md5 a dedup pipeline would key on — in-row, zero shuffle; the length
+    delta shows what normalization removed."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = T.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_digest"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (F.length("text") - F.length(norm)).cast("long").alias("n_chars_removed"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite model-free quality classifier (functions/text.py::
     quality_score): five explainable integer sub-scores -> weighted
@@ -1938,6 +1952,7 @@ CATALOG: dict[str, QueryFn] = {
     "tfidf_vectorize": q_tfidf_vectorize,
     "snapshot_diff": q_snapshot_diff,
     "quality_score": q_quality_score,
+    "normalize_text": q_normalize_text,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2781,6 +2796,18 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "normalize_text": """
+        WITH n AS (
+          SELECT doc_id, text,
+                 lower(trim(regexp_replace(
+                     regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                     '[ \\t\\n\\r]+', ' ', 'g'))) AS norm
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, md5(norm) AS norm_digest,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               CAST(length(text) - length(norm) AS BIGINT) AS n_chars_removed
+        FROM n
     """,
     "quality_score": """
         WITH base AS (

@@ -306,3 +306,35 @@ def test_quality_score_tiers_and_components(spark):
     assert j.s_mtl == 0                  # 1.0 chars/token: out of band
     assert j.s_entropy <= 25             # near-zero char entropy
     assert g.quality_x100 > j.quality_x100
+
+
+def test_normalize_text_messy_inputs_match_duckdb(spark):
+    """Control chars strip, whitespace runs collapse, trim + lowercase —
+    verified against the DuckDB oracle expression on inputs the clean
+    testdata never exercises."""
+    import duckdb
+
+    messy = [
+        (1, "  Hello\t\tWORLD \x00\x1f!  "),
+        (2, "a\nb\r\nc"),
+        (3, "\x7fMiXeD   Case\x0b"),
+        (4, ""),
+        (5, "already clean"),
+    ]
+    df = spark.createDataFrame(messy, "doc_id long, text string")
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", T.normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", messy)
+    want = dict(con.execute(r"""
+        SELECT doc_id, lower(trim(regexp_replace(
+            regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+            '[ \t\n\r]+', ' ', 'g'))) FROM t""").fetchall())
+    assert got == want
+    assert got[1] == "hello world !"
+    assert got[3] == "mixed case"
