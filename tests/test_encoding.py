@@ -172,10 +172,17 @@ def test_tfidf_vectorize_exact(spark):
 
     docs = [(1, "a a b c"), (2, "a b b"), (3, "c rare")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = {
-        r.doc_id: (list(r.token_ids), list(r.weights_x1m), r.n_terms)
-        for r in tfidf_vectorize(df, min_count=2).collect()
-    }
+    outs = [
+        {
+            r.doc_id: (list(r.token_ids), list(r.weights_x1m), r.n_terms)
+            for r in tfidf_vectorize(
+                df, min_count=2, broadcast_model=bcast
+            ).collect()
+        }
+        for bcast in (True, False)
+    ]
+    assert outs[0] == outs[1]  # shuffle-join model path agrees
+    out = outs[0]
     vocab = {
         r.token: r.token_id for r in build_vocab(df, min_count=2).collect()
     }
