@@ -96,6 +96,7 @@ HEADLINE = [
     "integrity_audit",
     "quality_score",
     "normalize_text",
+    "curated_training_corpus",
 ]
 
 

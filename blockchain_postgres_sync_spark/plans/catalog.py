@@ -1348,6 +1348,36 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone pipeline — the full curation chain a training run consumes,
+    composed from the engine's own operators in ONE lazy plan: quality
+    gates (filter-only) -> exact-dup drop keyed on the NORMALIZED text
+    digest (keep lowest doc_id) -> semantic near-dup drop (cluster-bucketed
+    Arrow kernel losers anti-joined out) -> stable hash-band train split.
+    Everything integer/digest-exact, so the surviving doc set is
+    reproducible on any engine, any partitioning."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    kept = sampling.curate(docs, min_repetition_x100=20)
+    dig = kept.withColumn("_dig", F.md5(T.normalize_text(F.col("text"))))
+    reps = dig.groupBy("_dig").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = dig.join(reps, ["_dig", "doc_id"], "left_semi")
+    losers = (
+        similarity.semantic_dedup_pairs(
+            _t(spark, sf_dir, "embeddings"),
+            q_label_centroids(spark, sf_dir),
+            threshold=0.4,
+        )
+        .select(F.col("vec_id_b").alias("doc_id"))
+        .distinct()
+    )
+    no_sem = exact_kept.join(losers, "doc_id", "left_anti")
+    return (
+        sampling.dataset_split(no_sem, val_frac=0.1, test_frac=0.1)
+        .filter(F.col("split") == "train")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical normalization (functions/text.py::normalize_text) + the
     md5 a dedup pipeline would key on — in-row, zero shuffle; the length
@@ -1953,6 +1983,7 @@ CATALOG: dict[str, QueryFn] = {
     "snapshot_diff": q_snapshot_diff,
     "quality_score": q_quality_score,
     "normalize_text": q_normalize_text,
+    "curated_training_corpus": q_curated_training_corpus,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2796,6 +2827,53 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "curated_training_corpus": _CENTROID_ASSIGN_SQL + f"""
+        , pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(floor(
+                       list_reduce(list_transform(
+                           generate_series(1, len(a.emb)),
+                           i -> CAST(a.emb[i] AS DOUBLE)
+                                * CAST(b.emb[i] AS DOUBLE)),
+                           (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(
+                              generate_series(1, len(a.emb)),
+                              i -> CAST(a.emb[i] AS DOUBLE)
+                                   * CAST(a.emb[i] AS DOUBLE)),
+                              (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(
+                              generate_series(1, len(b.emb)),
+                              i -> CAST(b.emb[i] AS DOUBLE)
+                                   * CAST(b.emb[i] AS DOUBLE)),
+                              (x, y) -> x + y)))
+                       * 1000000.0) AS BIGINT) AS cos_x1m
+            FROM assigned a JOIN assigned b
+              ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id),
+        losers AS (SELECT DISTINCT vb FROM pairs WHERE cos_x1m >= 400000),
+        g AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(length(replace(text, ' ', '')) * 100
+                        AS DOUBLE) / len(string_split(text, ' '))) AS BIGINT)
+                       AS mtl,
+                   CAST(floor(CAST(len(list_distinct(string_split(text, ' ')))
+                        * 100 AS DOUBLE) / len(string_split(text, ' ')))
+                        AS BIGINT) AS rep
+            FROM documents WHERE text IS NOT NULL),
+        gated AS (
+            SELECT doc_id, lang, text, n_tokens FROM g
+            WHERE n_tokens BETWEEN 20 AND 5000
+              AND mtl BETWEEN 250 AND 1200 AND rep >= 20),
+        d AS (SELECT *, md5(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')))) AS dig FROM gated),
+        reps AS (SELECT dig, min(doc_id) AS md FROM d GROUP BY dig),
+        ek AS (SELECT d.doc_id, d.lang, d.n_tokens
+               FROM d JOIN reps ON d.dig = reps.dig AND d.doc_id = reps.md)
+        SELECT doc_id, lang, n_tokens
+        FROM ek
+        WHERE doc_id NOT IN (SELECT vb FROM losers)
+          AND {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+              % 2147483647 >= 429496728
     """,
     "normalize_text": """
         WITH n AS (
