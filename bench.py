@@ -97,6 +97,7 @@ HEADLINE = [
     "quality_score",
     "normalize_text",
     "curated_training_corpus",
+    "bigram_logprob",
 ]
 
 

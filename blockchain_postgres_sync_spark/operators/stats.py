@@ -274,3 +274,72 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Conditional bigram-LM score per document — the higher-order
+    companion to :func:`unigram_logprob`: per-bigram surprisal is
+    ``cost_x1000 = floor(1000 * ln(cnt(w1) / cnt(w1 w2)))`` (the exact
+    integer quantization of -ln p(w2|w1)), summed exactly per document.
+    Documents full of unseen-in-context transitions (shuffled text, word
+    salad) score high even when every individual token is common — the
+    signal unigram scoring cannot see.
+
+    Single-token documents have no bigram and are absent from the output
+    (they carry no transition evidence either way).
+
+    Plan shape (100 TB): bigrams come from the existing in-row shingle
+    machinery (no second tokenizer); the model build is one bigram-keyed
+    count shuffle plus one unigram-keyed count shuffle joined on the
+    context token ``w1`` — both model-sized, never corpus-sized, and the
+    w1 join is a plain hash join immune to fan-out (each bigram row meets
+    exactly one context row).  Scoring joins the (bigram -> cost) model
+    into the per-doc bigram stream (broadcast by default,
+    ``broadcast_model=False`` past broadcast size) and folds per doc.
+    """
+    bigrams = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(text_col), 2)).alias("bg"),
+    ).filter(F.instr(F.col("bg"), " ") > 0)  # docs of 1 token: no bigram
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("_cbg"))
+    uni_counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_cw1"))
+    )
+    model = (
+        bg_counts.withColumn(
+            "_w1", F.substring_index(F.col("bg"), " ", 1)
+        )
+        .join(uni_counts, "_w1")
+        .select(
+            "bg",
+            F.floor(
+                F.log(F.col("_cw1").cast("double") / F.col("_cbg").cast("double"))
+                * 1000.0
+            ).cast("long").alias("_cost"),
+        )
+    )
+    model = F.broadcast(model) if broadcast_model else model
+    return (
+        bigrams.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_cost").alias("cost_x1000"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "cost_x1000",
+            F.expr("cost_x1000 div n_bigrams").cast("long").alias(
+                "avg_cost_x1000"
+            ),
+        )
+    )

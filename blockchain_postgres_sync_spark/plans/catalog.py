@@ -1348,6 +1348,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM surprisal per document
+    (operators/stats.py::bigram_logprob) — catches shuffled/word-salad text
+    that unigram scoring cannot see."""
+    return stats.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_curated_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone pipeline — the full curation chain a training run consumes,
     composed from the engine's own operators in ONE lazy plan: quality
@@ -1984,6 +1991,7 @@ CATALOG: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "normalize_text": q_normalize_text,
     "curated_training_corpus": q_curated_training_corpus,
+    "bigram_logprob": q_bigram_logprob,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2827,6 +2835,30 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "bigram_logprob": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+               FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+               WHERE len(t) >= 2),
+        cbg AS (SELECT bg, w1, CAST(count(*) AS BIGINT) AS cbg
+                FROM bg GROUP BY bg, w1),
+        u AS (SELECT unnest(string_split(text, ' ')) AS w1
+              FROM documents WHERE text IS NOT NULL),
+        cw1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1
+                FROM u GROUP BY w1),
+        model AS (SELECT bg,
+                         CAST(floor(ln(CAST(cw1 AS DOUBLE)
+                             / CAST(cbg AS DOUBLE)) * 1000.0) AS BIGINT)
+                             AS cost
+                  FROM cbg JOIN cw1 USING (w1))
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(m.cost) AS BIGINT) AS cost_x1000,
+               CAST(sum(m.cost) // count(*) AS BIGINT) AS avg_cost_x1000
+        FROM bg b JOIN model m USING (bg)
+        GROUP BY b.doc_id
     """,
     "curated_training_corpus": _CENTROID_ASSIGN_SQL + f"""
         , pairs AS (

@@ -226,3 +226,42 @@ def test_unigram_logprob_exact_costs(spark):
         assert out == expected
     # rarer token costs strictly more: b (count 2) vs a/c (count 3)
     assert cost["b"] > cost["a"] == cost["c"]
+
+
+def test_bigram_logprob_exact_costs(spark):
+    """Bigram costs recomputed in pure python: cost = floor(1000 *
+    ln(c(w1)/c(w1 w2))); word-salad scores above natural ordering; a
+    single-token doc is absent."""
+    import math
+
+    from blockchain_postgres_sync_spark.operators.stats import bigram_logprob
+
+    docs = [(1, "a b a b a b"), (2, "b a"), (3, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uni: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    for _, t in docs:
+        toks = t.split(" ")
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(toks, toks[1:]):
+            bg[(x, y)] = bg.get((x, y), 0) + 1
+    cost = {
+        p: math.floor(math.log(uni[p[0]] / c) * 1000.0) for p, c in bg.items()
+    }
+    expected = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        s = sum(cost[p] for p in pairs)
+        expected[i] = (len(pairs), s, s // len(pairs))
+
+    for bcast in (True, False):
+        out = {
+            r.doc_id: (r.n_bigrams, r.cost_x1000, r.avg_cost_x1000)
+            for r in bigram_logprob(df, broadcast_model=bcast).collect()
+        }
+        assert out == expected
+    assert 3 not in expected  # single token: no transition evidence
