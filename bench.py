@@ -98,6 +98,7 @@ HEADLINE = [
     "normalize_text",
     "curated_training_corpus",
     "bigram_logprob",
+    "event_funnel",
 ]
 
 

@@ -1348,6 +1348,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase
+    (operators/temporal.py::funnel): stage k is the user's earliest
+    stage-k event strictly after stage k-1; one user-keyed shuffle, the
+    stage chain folds in-row — no self-joins."""
+    return temporal.funnel(
+        _t(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram-LM surprisal per document
     (operators/stats.py::bigram_logprob) — catches shuffled/word-salad text
@@ -1992,6 +2002,7 @@ CATALOG: dict[str, QueryFn] = {
     "normalize_text": q_normalize_text,
     "curated_training_corpus": q_curated_training_corpus,
     "bigram_logprob": q_bigram_logprob,
+    "event_funnel": q_event_funnel,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2835,6 +2846,32 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "event_funnel": """
+        WITH t0 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+        t1 AS (
+            SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(0 AS INT) AS stage, 'signup' AS stage_name,
+               CAST((SELECT count(*) FROM t0) AS BIGINT) AS n_users,
+               CAST(NULL AS BIGINT) AS mean_secs_from_prev
+        UNION ALL
+        SELECT 1, 'click', CAST((SELECT count(*) FROM t1) AS BIGINT),
+               (SELECT CAST(sum(CAST(epoch(t1.t) AS BIGINT)
+                        - CAST(epoch(t0.t) AS BIGINT)) // count(*) AS BIGINT)
+                FROM t1 JOIN t0 USING (user_id))
+        UNION ALL
+        SELECT 2, 'purchase', CAST((SELECT count(*) FROM t2) AS BIGINT),
+               (SELECT CAST(sum(CAST(epoch(t2.t) AS BIGINT)
+                        - CAST(epoch(t1.t) AS BIGINT)) // count(*) AS BIGINT)
+                FROM t2 JOIN t1 USING (user_id))
     """,
     "bigram_logprob": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -184,3 +184,36 @@ def test_epoch_rejects_non_utc_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     _epoch(F.col("ts"))  # UTC session: fine
+
+
+def test_funnel_ordered_stages(spark):
+    """Stage k counts only events strictly after the user's stage k-1:
+    out-of-order and skipped-stage events do not advance the funnel."""
+    from blockchain_postgres_sync_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel, 60s then 120s apart
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:01:00"),
+        (1, "purchase", "2024-01-01 00:03:00"),
+        # user 2: signup only
+        (2, "signup", "2024-01-01 00:00:00"),
+        # user 3: click BEFORE signup -> click never counts
+        (3, "click", "2024-01-01 00:00:00"),
+        (3, "signup", "2024-01-01 00:01:00"),
+        # user 4: signup then purchase but NO click -> stalls at stage 0
+        (4, "signup", "2024-01-01 00:00:00"),
+        (4, "purchase", "2024-01-01 00:05:00"),
+        # user 5: no signup at all -> absent everywhere
+        (5, "purchase", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.stage: (r.stage_name, r.n_users, r.mean_secs_from_prev)
+        for r in funnel(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert out[0] == ("signup", 4, None)
+    assert out[1] == ("click", 1, 60)
+    assert out[2] == ("purchase", 1, 120)
