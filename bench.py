@@ -99,6 +99,7 @@ HEADLINE = [
     "curated_training_corpus",
     "bigram_logprob",
     "event_funnel",
+    "retention_cohorts",
 ]
 
 

@@ -1348,6 +1348,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the Monday week of
+    their FIRST event; cell (cohort, week_n) counts distinct users active
+    week_n integer weeks later (exact epoch arithmetic, no calendar
+    drift).  One user-keyed agg + one user join (co-partitioned — the
+    first-event frame reuses the exchange) + one (cohort, week) agg."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("_first"))
+    joined = ev.join(first, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.date_trunc("week", F.col("_first")).cast("string").alias(
+                "cohort_week"
+            ),
+            F.expr(
+                "(unix_timestamp(ts) - unix_timestamp(_first)) div 604800"
+            ).cast("int").alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup -> click -> purchase
     (operators/temporal.py::funnel): stage k is the user's earliest
@@ -2003,6 +2027,7 @@ CATALOG: dict[str, QueryFn] = {
     "curated_training_corpus": q_curated_training_corpus,
     "bigram_logprob": q_bigram_logprob,
     "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2846,6 +2871,17 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "retention_cohorts": f"""
+        WITH f AS (SELECT user_id, min(ts) AS first_ts
+                   FROM events GROUP BY user_id)
+        SELECT CAST({_dd_trunc('f.first_ts', '1w')} AS VARCHAR) AS cohort_week,
+               CAST((CAST(epoch(e.ts) AS BIGINT)
+                     - CAST(epoch(f.first_ts) AS BIGINT)) // 604800 AS INT)
+                   AS week_n,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN f USING (user_id)
+        GROUP BY 1, 2
     """,
     "event_funnel": """
         WITH t0 AS (

@@ -217,3 +217,32 @@ def test_funnel_ordered_stages(spark):
     assert out[0] == ("signup", 4, None)
     assert out[1] == ("click", 1, 60)
     assert out[2] == ("purchase", 1, 120)
+
+
+def test_retention_cohorts_multi_cohort(spark, tmp_path):
+    """Cohorts key on the Monday week of the FIRST event; week_n is exact
+    epoch weeks since that first event."""
+    from blockchain_postgres_sync_spark.plans.catalog import CATALOG
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Mon wk0 cohort 2024-01-01
+        (1, "2024-01-09 10:00:00"),  # 8 days later -> week_n 1
+        (2, "2024-01-10 09:00:00"),  # Wed: cohort week 2024-01-08
+        (2, "2024-01-16 09:00:00"),  # 6 days later -> week_n 0
+        (2, "2024-01-18 09:00:00"),  # 8 days later -> week_n 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        (r.cohort_week[:10], r.week_n): r.n_users
+        for r in CATALOG["retention_cohorts"](spark, d).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
