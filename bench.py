@@ -100,6 +100,7 @@ HEADLINE = [
     "bigram_logprob",
     "event_funnel",
     "retention_cohorts",
+    "tfidf_rerank",
 ]
 
 

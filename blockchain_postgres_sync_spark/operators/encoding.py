@@ -27,7 +27,7 @@ search-token surface (up.sql:703-705) to the trainer-facing encode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -223,3 +223,66 @@ def tfidf_vectorize(
         F.transform(F.col("_tw"), lambda s: s["_w"]).alias("weights_x1m"),
         F.size(F.col("_tw")).cast("int").alias("n_terms"),
     )
+
+
+def tfidf_rerank(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vec_id: str = "doc_id",
+) -> DataFrame:
+    """Second-stage reranking: score candidate pairs (from MinHash-LSH,
+    SimHash, or any blocking stage) by EXACT tf-idf similarity — the
+    standard two-phase retrieval shape (cheap recall stage -> exact
+    precision stage over the small candidate set).
+
+    ``vectors`` is :func:`tfidf_vectorize` output; the dot product is
+    exact integer arithmetic (sum of w_a * w_b over shared token_ids — no
+    float order sensitivity), and ``cos_x1m`` floors one float expression
+    mirrored verbatim in the oracle.  Pairs sharing no in-vocabulary token
+    score dot 0 and are dropped (they carry no lexical evidence).
+
+    Plan shape (100 TB): two joins of the (small) pair frame against the
+    vector table — each a plain hash join keyed on a doc id, no fan-out —
+    then the dot folds IN-ROW over the a-side arrays with a map lookup
+    into the b-side (map_from_arrays; no explode, no (pair, token)
+    shuffle).  Work is O(|pairs| * avg_terms), independent of corpus size.
+    """
+    va = vectors.select(
+        F.col(vec_id).alias(id_a),
+        F.col("token_ids").alias("_ta"),
+        F.col("weights_x1m").alias("_wa"),
+    )
+    vb = vectors.select(
+        F.col(vec_id).alias(id_b),
+        F.col("token_ids").alias("_tb"),
+        F.col("weights_x1m").alias("_wb"),
+    )
+    j = pairs.select(id_a, id_b).join(va, id_a).join(vb, id_b)
+    mb = F.map_from_arrays(F.col("_tb"), F.col("_wb"))
+    za = F.arrays_zip(F.col("_ta"), F.col("_wa"))
+    dot = F.aggregate(
+        za,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.element_at(mb, s["_ta"]), F.lit(0).cast("long"))
+        * s["_wa"],
+    )
+
+    def n2(col: str) -> Column:
+        return F.aggregate(
+            F.col(col), F.lit(0).cast("long"), lambda acc, w: acc + w * w
+        )
+
+    out = j.select(
+        id_a,
+        id_b,
+        dot.alias("dot_w2"),
+        F.floor(
+            dot.cast("double")
+            * 1000000.0
+            / (F.sqrt(n2("_wa").cast("double")) * F.sqrt(n2("_wb").cast("double")))
+        ).cast("long").alias("cos_x1m"),
+    )
+    return out.filter(F.col("dot_w2") > 0)

@@ -1348,6 +1348,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase retrieval: MinHash-LSH candidate pairs reranked by EXACT
+    integer tf-idf similarity (operators/encoding.py::tfidf_rerank) — the
+    cheap-recall -> exact-precision shape; dot folds in-row via a
+    map_from_arrays lookup, no (pair, token) shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    vectors = encoding.tfidf_vectorize(docs)
+    return encoding.tfidf_rerank(pairs, vectors)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by the Monday week of
     their FIRST event; cell (cohort, week_n) counts distinct users active
@@ -2028,6 +2040,7 @@ CATALOG: dict[str, QueryFn] = {
     "bigram_logprob": q_bigram_logprob,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "tfidf_rerank": q_tfidf_rerank,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2871,6 +2884,34 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "tfidf_rerank": f"""
+        WITH pairs AS ({_MINHASH_SQL}),
+        toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents WHERE text IS NOT NULL),
+        tf2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks2 GROUP BY doc_id, term),
+        dfq2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM tf2 GROUP BY term),
+        vocab2 AS (SELECT term FROM toks2 GROUP BY term HAVING count(*) >= 2),
+        w AS (SELECT tf2.doc_id, tf2.term,
+                     CAST((tf2.tf * 1000000) // dfq2.df AS BIGINT) AS w
+              FROM tf2 JOIN dfq2 USING (term) JOIN vocab2 USING (term)),
+        norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                  FROM w GROUP BY doc_id),
+        dots AS (SELECT p.id_a, p.id_b, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+                 FROM pairs p
+                 JOIN w wa ON wa.doc_id = p.id_a
+                 JOIN w wb ON wb.doc_id = p.id_b AND wb.term = wa.term
+                 GROUP BY p.id_a, p.id_b)
+        SELECT d.id_a, d.id_b, d.dot AS dot_w2,
+               CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT) AS cos_x1m
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.id_a
+        JOIN norms nb ON nb.doc_id = d.id_b
+        WHERE d.dot > 0
     """,
     "retention_cohorts": f"""
         WITH f AS (SELECT user_id, min(ts) AS first_ts

@@ -192,3 +192,41 @@ def test_tfidf_vectorize_exact(spark):
     assert out[1] == ([0, 1, 2], [2 * 10**6 // 2, 10**6 // 2, 10**6 // 2], 3)
     assert out[2] == ([0, 1], [10**6 // 2, 2 * 10**6 // 2], 2)
     assert out[3] == ([2], [10**6 // 2], 1)  # 'rare' dropped (min_count)
+
+
+def test_tfidf_rerank_exact_dot(spark):
+    """Dot/cosine recomputed in pure python; OOV-only pairs drop; map
+    lookup only counts shared tokens."""
+    from blockchain_postgres_sync_spark.operators.encoding import (
+        tfidf_rerank,
+        tfidf_vectorize,
+    )
+
+    docs = [(1, "a a b c"), (2, "a b b"), (3, "c rare"), (4, "rare only")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vectors = tfidf_vectorize(df, min_count=2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    # vocab (cnt>=2): a=3, b=3, c=2, rare=2 -> weights w = tf*1e6//df
+    # df: a {1,2}, b {1,2}, c {1,3}, rare {3,4}
+    w = {
+        1: {"a": 2 * 10**6 // 2, "b": 10**6 // 2, "c": 10**6 // 2},
+        2: {"a": 10**6 // 2, "b": 2 * 10**6 // 2},
+        3: {"c": 10**6 // 2, "rare": 10**6 // 2},
+        4: {"rare": 10**6 // 2},
+    }
+    import math
+
+    def expect(a, b):
+        dot = sum(w[a][t] * w[b][t] for t in set(w[a]) & set(w[b]))
+        na = math.sqrt(float(sum(x * x for x in w[a].values())))
+        nb = math.sqrt(float(sum(x * x for x in w[b].values())))
+        return dot, math.floor(float(dot) * 1e6 / (na * nb))
+
+    out = {
+        (r.id_a, r.id_b): (r.dot_w2, r.cos_x1m)
+        for r in tfidf_rerank(pairs, vectors).collect()
+    }
+    assert out == {(1, 2): expect(1, 2), (1, 3): expect(1, 3),
+                   (3, 4): expect(3, 4)}
