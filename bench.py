@@ -101,6 +101,7 @@ HEADLINE = [
     "event_funnel",
     "retention_cohorts",
     "tfidf_rerank",
+    "daily_anomalies",
 ]
 
 

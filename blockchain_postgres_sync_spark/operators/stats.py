@@ -343,3 +343,77 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k_x100: int = 300,
+) -> DataFrame:
+    """Robust daily-volume anomaly detection per event type: flag days
+    whose count deviates from the type's EXACT median daily count by more
+    than ``k_x100/100`` times the exact MAD (median absolute deviation) —
+    the classic outlier rule, in pure integer arithmetic (medians are
+    rank-picked actual members, deviations are integer |diffs|, and the
+    threshold test is cross-multiplied: ``dev * 100 > k_x100 * mad`` — no
+    float ever, so flags are engine- and partitioning-independent).
+    MAD = 0 (a perfectly regular type) flags any deviating day.
+
+    Returns flagged (type, day, n_events, median_n, mad) rows.
+
+    Plan shape: one (type, day) count agg, then two windows partitioned on
+    the TYPE over day-cardinality rows (both shuffle on the same key —
+    exchange reuse; the windowed frame is days × types, thousands of rows
+    per decade, never corpus-sized).  Ties rank deterministically
+    (value asc, day asc).
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("_t"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .groupBy("_t", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w_cnt = Window.partitionBy("_t")
+    w_rank = Window.partitionBy("_t").orderBy(
+        F.col("n_events").asc(), F.col("day").asc()
+    )
+    with_med = (
+        daily.withColumn("_rn", F.row_number().over(w_rank) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(w_cnt))
+        .withColumn(
+            "_med",
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("(_n - 1) div 2"), F.col("n_events")
+                )
+            ).over(w_cnt),
+        )
+        .withColumn("_dev", F.abs(F.col("n_events") - F.col("_med")))
+    )
+    w_rank2 = Window.partitionBy("_t").orderBy(
+        F.col("_dev").asc(), F.col("day").asc()
+    )
+    with_mad = (
+        with_med.withColumn("_rn2", F.row_number().over(w_rank2) - 1)
+        .withColumn(
+            "_mad",
+            F.max(
+                F.when(
+                    F.col("_rn2") == F.expr("(_n - 1) div 2"), F.col("_dev")
+                )
+            ).over(w_cnt),
+        )
+    )
+    return (
+        with_mad.filter(F.col("_dev") * 100 > F.lit(k_x100) * F.col("_mad"))
+        .select(
+            F.col("_t").alias(type_col),
+            F.col("day").cast("string").alias("day"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_med").cast("long").alias("median_n"),
+            F.col("_mad").cast("long").alias("mad"),
+        )
+    )

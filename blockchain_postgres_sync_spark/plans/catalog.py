@@ -1348,6 +1348,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags per event type (exact integer
+    median/MAD, cross-multiplied threshold — no floats;
+    operators/stats.py::daily_anomalies)."""
+    return stats.daily_anomalies(_t(spark, sf_dir, "events"), k_x100=200)
+
+
 def q_tfidf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase retrieval: MinHash-LSH candidate pairs reranked by EXACT
     integer tf-idf similarity (operators/encoding.py::tfidf_rerank) — the
@@ -2041,6 +2048,7 @@ CATALOG: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "tfidf_rerank": q_tfidf_rerank,
+    "daily_anomalies": q_daily_anomalies,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2884,6 +2892,38 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "daily_anomalies": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2),
+        med AS (
+            SELECT *,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_events ASC, day ASC) - 1 AS BIGINT) AS rn
+            FROM daily),
+        m1 AS (
+            SELECT *,
+                   max(CASE WHEN rn = (n - 1) // 2 THEN n_events END)
+                       OVER (PARTITION BY event_type) AS median_n
+            FROM med),
+        d AS (SELECT *, abs(n_events - median_n) AS dev FROM m1),
+        m2 AS (
+            SELECT *,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY dev ASC, day ASC) - 1 AS BIGINT) AS rn2
+            FROM d),
+        m3 AS (
+            SELECT *,
+                   max(CASE WHEN rn2 = (n - 1) // 2 THEN dev END)
+                       OVER (PARTITION BY event_type) AS mad
+            FROM m2)
+        SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+               CAST(median_n AS BIGINT) AS median_n,
+               CAST(mad AS BIGINT) AS mad
+        FROM m3 WHERE dev * 100 > 200 * mad
     """,
     "tfidf_rerank": f"""
         WITH pairs AS ({_MINHASH_SQL}),

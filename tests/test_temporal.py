@@ -246,3 +246,26 @@ def test_retention_cohorts_multi_cohort(spark, tmp_path):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_daily_anomalies_median_mad(spark):
+    """Exact median/MAD flagging: a spike day flags, regular days do not;
+    MAD=0 (constant series) flags any deviation."""
+    from blockchain_postgres_sync_spark.operators.stats import daily_anomalies
+
+    rows = []
+    # type A: 10 events/day for 6 days, 30 on the 7th (spike)
+    for d in range(1, 7):
+        rows += [("A", f"2024-01-0{d} 00:00:0{i}") for i in range(10)]
+    rows += [("A", f"2024-01-07 00:00:{i:02d}") for i in range(30)]
+    # type B: constant 5/day for 3 days -> MAD 0, nothing deviates
+    for d in range(1, 4):
+        rows += [("B", f"2024-01-0{d} 00:00:0{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = [
+        (r.event_type, r.day, r.n_events, r.median_n, r.mad)
+        for r in daily_anomalies(df, k_x100=300).collect()
+    ]
+    assert out == [("A", "2024-01-07", 30, 10, 0)]
