@@ -308,3 +308,35 @@ def test_semantic_dedup_one_scan_one_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_has_no_joins(spark):
+    """The funnel folds the stage chain in-row: the plan contains NO join
+    operator of any kind (the naive form is k-1 self-joins)."""
+    plan = _plan(spark, "event_funnel")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_and_anomalies_bounded_exchanges(spark):
+    """retention_cohorts: user agg + user join + (cohort, week) agg — at
+    most 3 exchanges, no nested loop.  daily_anomalies: the (type, day)
+    agg plus type-keyed windows — at most 2 exchanges, no joins."""
+    plan = _plan(spark, "retention_cohorts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    plan = _plan(spark, "daily_anomalies")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_tfidf_rerank_no_pair_token_shuffle(spark):
+    """The rerank dot folds in-row (map_from_arrays lookup): no Generate
+    over the pair frame downstream of the vector joins — i.e. the plan
+    never explodes (pair, token) rows."""
+    plan = _plan(spark, "tfidf_rerank")
+    assert "map_from_arrays" in plan
+    # explodes exist upstream (shingles/tokens for LSH + vocab), but the
+    # final projection computes the dot via aggregate(), not a join on an
+    # exploded token stream: no SortMergeJoin anywhere in the rerank
+    assert "CartesianProduct" not in plan
