@@ -102,6 +102,7 @@ HEADLINE = [
     "retention_cohorts",
     "tfidf_rerank",
     "daily_anomalies",
+    "source_overlap",
 ]
 
 

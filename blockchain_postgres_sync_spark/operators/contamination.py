@@ -190,3 +190,64 @@ def split_decontamination(
             / F.col("n_shingles").cast("double")
         ).cast("long").alias("overlap_x100"),
     ).filter(F.col("overlap_x100") >= min_overlap_x100)
+
+
+def source_overlap(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the dataset-management question
+    "how much of source A already lives in source B?" answered from any
+    candidate-pair frame (MinHash-LSH, semantic, exact-digest): pairs map
+    to their documents' sources, collapse to UNORDERED source pairs
+    (least/greatest), and normalize by the smaller source's doc count
+    (``rate_x1m = floor(1e6 * n_pairs / min(|A|, |B|))`` — the containment
+    orientation: a tiny source fully duplicated inside a huge one scores
+    1e6, not noise).  The diagonal (A = B) is intra-source duplication.
+
+    Plan shape (100 TB): two hash joins of the (bounded) pair frame
+    against the (id -> source) projection — no fan-out; per-source totals
+    are a group-count dimension that BROADCASTS (source cardinality ≪
+    corpus); one final (source_a, source_b) agg over pair-count rows.
+    """
+    src = docs.select(F.col(id_col), F.col(group_col).alias("_src"))
+    j = (
+        pairs.select(id_a, id_b)
+        .join(src.withColumnRenamed(id_col, id_a).withColumnRenamed("_src", "_sa"), id_a)
+        .join(src.withColumnRenamed(id_col, id_b).withColumnRenamed("_src", "_sb"), id_b)
+    )
+    grouped = (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    totals = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    ta = totals.select(
+        F.col(group_col).alias("source_a"), F.col("_n").alias("n_docs_a")
+    )
+    tb = totals.select(
+        F.col(group_col).alias("source_b"), F.col("_n").alias("n_docs_b")
+    )
+    return (
+        grouped.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.col("n_docs_a").cast("long").alias("n_docs_a"),
+            F.col("n_docs_b").cast("long").alias("n_docs_b"),
+            F.floor(
+                F.col("n_pairs").cast("double")
+                * 1000000.0
+                / F.least("n_docs_a", "n_docs_b").cast("double")
+            ).cast("long").alias("rate_x1m"),
+        )
+    )

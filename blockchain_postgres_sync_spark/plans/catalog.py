@@ -1348,6 +1348,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the MinHash-LSH candidate
+    pairs (operators/contamination.py::source_overlap) — which sources
+    already contain each other's content."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    return contamination.source_overlap(pairs, docs)
+
+
 def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-volume anomaly flags per event type (exact integer
     median/MAD, cross-multiplied threshold — no floats;
@@ -2049,6 +2059,7 @@ CATALOG: dict[str, QueryFn] = {
     "retention_cohorts": q_retention_cohorts,
     "tfidf_rerank": q_tfidf_rerank,
     "daily_anomalies": q_daily_anomalies,
+    "source_overlap": q_source_overlap,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2892,6 +2903,25 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "source_overlap": f"""
+        WITH pairs AS ({_MINHASH_SQL}),
+        srcd AS (SELECT doc_id, source FROM documents),
+        sp AS (SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b
+               FROM pairs p
+               JOIN srcd da ON da.doc_id = p.id_a
+               JOIN srcd db ON db.doc_id = p.id_b),
+        g AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM sp GROUP BY source_a, source_b),
+        tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY source)
+        SELECT g.source_a, g.source_b, g.n_pairs,
+               ta.n AS n_docs_a, tb.n AS n_docs_b,
+               CAST(floor(CAST(g.n_pairs AS DOUBLE) * 1000000.0
+                   / CAST(least(ta.n, tb.n) AS DOUBLE)) AS BIGINT) AS rate_x1m
+        FROM g JOIN tot ta ON ta.source = g.source_a
+               JOIN tot tb ON tb.source = g.source_b
     """,
     "daily_anomalies": """
         WITH daily AS (

@@ -338,3 +338,26 @@ def test_normalize_text_messy_inputs_match_duckdb(spark):
     assert got == want
     assert got[1] == "hello world !"
     assert got[3] == "mixed case"
+
+
+def test_source_overlap_unordered_and_normalized(spark):
+    """Source pairs are unordered (least/greatest), the diagonal is
+    intra-source, and the rate normalizes by the SMALLER source."""
+    from blockchain_postgres_sync_spark.operators.contamination import (
+        source_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "big"), (2, "big"), (3, "big"), (4, "small"), (5, "small")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(4, 1), (2, 5), (1, 2)], "id_a long, id_b long"
+    )
+    out = {
+        (r.source_a, r.source_b): (r.n_pairs, r.n_docs_a, r.n_docs_b, r.rate_x1m)
+        for r in source_overlap(pairs, docs).collect()
+    }
+    # (4,1) and (2,5) both collapse to (big, small); (1,2) is intra-big
+    assert out[("big", "small")] == (2, 3, 2, 1_000_000)  # 2 pairs / min=2
+    assert out[("big", "big")] == (1, 3, 3, 333_333)
