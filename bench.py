@@ -103,6 +103,7 @@ HEADLINE = [
     "tfidf_rerank",
     "daily_anomalies",
     "source_overlap",
+    "chunk_dedup",
 ]
 
 

@@ -1348,6 +1348,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (RAG/index hygiene): chunk every doc into
+    16-token windows, keep the FIRST occurrence of each distinct chunk
+    text (min (doc_id, chunk_idx) — deterministic), and report survivors.
+    Map-only chunking + one digest-keyed min_by agg; the duplicate rate is
+    visible as kept vs total chunk counts."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    chunks = packing.doc_chunks(docs, chunk_tokens=16)
+    kept = (
+        chunks.groupBy(F.md5("chunk_text").alias("_dig"))
+        .agg(
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_first"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return kept.select(
+        F.col("_first.doc_id").alias("doc_id"),
+        F.col("_first.chunk_idx").alias("chunk_idx"),
+        F.col("_dig").alias("chunk_digest"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix over the MinHash-LSH candidate
     pairs (operators/contamination.py::source_overlap) — which sources
@@ -2060,6 +2083,7 @@ CATALOG: dict[str, QueryFn] = {
     "tfidf_rerank": q_tfidf_rerank,
     "daily_anomalies": q_daily_anomalies,
     "source_overlap": q_source_overlap,
+    "chunk_dedup": q_chunk_dedup,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2903,6 +2927,24 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "chunk_dedup": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL),
+        ch AS (SELECT doc_id,
+                      CAST(i AS INT) AS chunk_idx,
+                      array_to_string(t[(i*16+1):((i+1)*16)], ' ') AS chunk_text
+               FROM toks,
+                    unnest(generate_series(0,
+                        CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS g(i)),
+        k AS (SELECT md5(chunk_text) AS chunk_digest,
+                     min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS first_rc,
+                     CAST(count(*) AS BIGINT) AS n_copies
+              FROM ch GROUP BY md5(chunk_text))
+        SELECT CAST(first_rc.doc_id AS BIGINT) AS doc_id,
+               CAST(first_rc.chunk_idx AS INT) AS chunk_idx,
+               chunk_digest, n_copies
+        FROM k
     """,
     "source_overlap": f"""
         WITH pairs AS ({_MINHASH_SQL}),
