@@ -31,3 +31,20 @@ def test_query_matches_oracle(spark, name):
 def test_catalog_oracle_keys_match():
     assert set(ORACLES).issubset(set(CATALOG))
     assert set(ORACLES) | ROWS_ONLY_QUERIES == set(CATALOG)
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must be a registered catalog query —
+    a typo would crash the driver's per-round bench run."""
+    import re
+
+    import bench
+
+    assert set(bench.HEADLINE) <= set(CATALOG)
+    # and the exclusions are exactly the documented sub-second/streaming set
+    excluded = set(CATALOG) - set(bench.HEADLINE)
+    assert excluded == {
+        "decimals_view", "dedup_tokenset", "latest_supply", "order_json",
+        "rollback_scd", "squash_blocks", "squash_repoint",
+        "ticker_parse_latest",
+    }
