@@ -104,6 +104,7 @@ HEADLINE = [
     "daily_anomalies",
     "source_overlap",
     "chunk_dedup",
+    "lang_mismatch",
 ]
 
 

@@ -1348,6 +1348,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata QA crosscheck: documents whose DECLARED lang column
+    disagrees with the stopword-vote prediction (confident predictions
+    only — unknowns carry no evidence).  The label-vs-content audit a
+    corpus runs before trusting upstream metadata; in-row scoring + one
+    filter, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pred, score = T.language_id(F.col("text"))
+    return (
+        docs.select(
+            "doc_id", "lang", pred.alias("lang_pred"),
+            score.alias("lang_score"),
+        )
+        .filter(
+            (F.col("lang_pred") != "unknown")
+            & (F.col("lang_pred") != F.col("lang"))
+        )
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup (RAG/index hygiene): chunk every doc into
     16-token windows, keep the FIRST occurrence of each distinct chunk
@@ -2084,6 +2104,7 @@ CATALOG: dict[str, QueryFn] = {
     "daily_anomalies": q_daily_anomalies,
     "source_overlap": q_source_overlap,
     "chunk_dedup": q_chunk_dedup,
+    "lang_mismatch": q_lang_mismatch,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2927,6 +2948,13 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "lang_mismatch": f"""
+        WITH p AS ({_lang_id_oracle_sql()})
+        SELECT d.doc_id, d.lang, p.lang_pred, p.lang_score
+        FROM documents d JOIN p USING (doc_id)
+        WHERE d.text IS NOT NULL
+          AND p.lang_pred != 'unknown' AND p.lang_pred != d.lang
     """,
     "chunk_dedup": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
