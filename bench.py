@@ -105,6 +105,7 @@ HEADLINE = [
     "source_overlap",
     "chunk_dedup",
     "lang_mismatch",
+    "embedding_outliers",
 ]
 
 

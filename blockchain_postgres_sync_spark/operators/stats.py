@@ -353,20 +353,13 @@ def daily_anomalies(
 ) -> DataFrame:
     """Robust daily-volume anomaly detection per event type: flag days
     whose count deviates from the type's EXACT median daily count by more
-    than ``k_x100/100`` times the exact MAD (median absolute deviation) —
-    the classic outlier rule, in pure integer arithmetic (medians are
-    rank-picked actual members, deviations are integer |diffs|, and the
-    threshold test is cross-multiplied: ``dev * 100 > k_x100 * mad`` — no
-    float ever, so flags are engine- and partitioning-independent).
-    MAD = 0 (a perfectly regular type) flags any deviating day.
+    than ``k_x100/100`` times the exact MAD — the generic
+    :func:`robust_outliers` rule applied to the (type, day) count frame.
+    All integer arithmetic; MAD = 0 (a perfectly regular type) flags any
+    deviating day.  Returns flagged (type, day, n_events, median_n, mad).
 
-    Returns flagged (type, day, n_events, median_n, mad) rows.
-
-    Plan shape: one (type, day) count agg, then two windows partitioned on
-    the TYPE over day-cardinality rows (both shuffle on the same key —
-    exchange reuse; the windowed frame is days × types, thousands of rows
-    per decade, never corpus-sized).  Ties rank deterministically
-    (value asc, day asc).
+    Plan shape: one (type, day) count agg, then the helper's two windows
+    sharing one type-keyed exchange over day-cardinality rows.
     """
     daily = (
         events.select(
@@ -376,44 +369,63 @@ def daily_anomalies(
         .groupBy("_t", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w_cnt = Window.partitionBy("_t")
-    w_rank = Window.partitionBy("_t").orderBy(
-        F.col("n_events").asc(), F.col("day").asc()
+    out = robust_outliers(
+        daily, group_col="_t", value_col="n_events",
+        tiebreak_col="day", k_x100=k_x100,
+    )
+    return out.select(
+        F.col("_t").alias(type_col),
+        F.col("day").cast("string").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_median").cast("long").alias("median_n"),
+        F.col("_mad").cast("long").alias("mad"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k_x100: int = 300,
+) -> DataFrame:
+    """Generic exact median/MAD outlier filter — the integer-arithmetic
+    core of :func:`daily_anomalies`, reusable over any (group, value)
+    frame (daily volumes, vector norms, doc lengths): keep rows where
+    ``|value - median(group)| * 100 > k_x100 * MAD(group)``, attaching
+    ``_median`` and ``_mad`` columns.  Medians are rank-picked actual
+    members (value asc, tiebreak asc); all comparisons cross-multiplied
+    integers — float-free, engine- and partitioning-independent.
+
+    Two windows + the final filter share ONE group-keyed exchange; the
+    windowed frame is |groups| x |members| rows of three columns.
+    """
+    w_cnt = Window.partitionBy(group_col)
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
     )
     with_med = (
-        daily.withColumn("_rn", F.row_number().over(w_rank) - 1)
+        df.withColumn("_rn", F.row_number().over(w_rank) - 1)
         .withColumn("_n", F.count(F.lit(1)).over(w_cnt))
         .withColumn(
-            "_med",
+            "_median",
             F.max(
-                F.when(
-                    F.col("_rn") == F.expr("(_n - 1) div 2"), F.col("n_events")
-                )
+                F.when(F.col("_rn") == F.expr("(_n - 1) div 2"), F.col(value_col))
             ).over(w_cnt),
         )
-        .withColumn("_dev", F.abs(F.col("n_events") - F.col("_med")))
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("_median")))
     )
-    w_rank2 = Window.partitionBy("_t").orderBy(
-        F.col("_dev").asc(), F.col("day").asc()
+    w_rank2 = Window.partitionBy(group_col).orderBy(
+        F.col("_dev").asc(), F.col(tiebreak_col).asc()
     )
-    with_mad = (
-        with_med.withColumn("_rn2", F.row_number().over(w_rank2) - 1)
-        .withColumn(
-            "_mad",
-            F.max(
-                F.when(
-                    F.col("_rn2") == F.expr("(_n - 1) div 2"), F.col("_dev")
-                )
-            ).over(w_cnt),
-        )
+    with_mad = with_med.withColumn(
+        "_rn2", F.row_number().over(w_rank2) - 1
+    ).withColumn(
+        "_mad",
+        F.max(
+            F.when(F.col("_rn2") == F.expr("(_n - 1) div 2"), F.col("_dev"))
+        ).over(w_cnt),
     )
-    return (
-        with_mad.filter(F.col("_dev") * 100 > F.lit(k_x100) * F.col("_mad"))
-        .select(
-            F.col("_t").alias(type_col),
-            F.col("day").cast("string").alias("day"),
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("_med").cast("long").alias("median_n"),
-            F.col("_mad").cast("long").alias("mad"),
-        )
-    )
+    return with_mad.filter(
+        F.col("_dev") * 100 > F.lit(k_x100) * F.col("_mad")
+    ).drop("_rn", "_rn2", "_n", "_dev")

@@ -1348,6 +1348,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-label embedding-norm outliers: quantized-exact squared
+    norm (Σ floor(x·2^20)², pure integer) filtered by the generic exact
+    median/MAD rule (operators/stats.py::robust_outliers) — catches
+    corrupt/degenerate vectors whose magnitude departs from their label's
+    population.  Map-only scoring + one label-keyed window exchange."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1048576.0).cast("long"),
+    )
+    n2q = F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    scored = emb.select("vec_id", "label", n2q.alias("n2q"))
+    out = stats.robust_outliers(
+        scored, group_col="label", value_col="n2q",
+        tiebreak_col="vec_id", k_x100=250,
+    )
+    return out.select(
+        "vec_id", "label", "n2q",
+        F.col("_median").cast("long").alias("median_n2q"),
+        F.col("_mad").cast("long").alias("mad_n2q"),
+    )
+
+
 def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata QA crosscheck: documents whose DECLARED lang column
     disagrees with the stopword-vote prediction (confident predictions
@@ -2105,6 +2129,7 @@ CATALOG: dict[str, QueryFn] = {
     "source_overlap": q_source_overlap,
     "chunk_dedup": q_chunk_dedup,
     "lang_mismatch": q_lang_mismatch,
+    "embedding_outliers": q_embedding_outliers,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2948,6 +2973,39 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "embedding_outliers": """
+        WITH scored AS (
+            SELECT vec_id, label,
+                   CAST(list_sum(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                            AS BIGINT)
+                            * CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                            AS BIGINT))) AS BIGINT) AS n2q
+            FROM embeddings),
+        med AS (
+            SELECT *,
+                   CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n,
+                   CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY n2q ASC, vec_id ASC) - 1 AS BIGINT) AS rn
+            FROM scored),
+        m1 AS (
+            SELECT *, max(CASE WHEN rn = (n - 1) // 2 THEN n2q END)
+                       OVER (PARTITION BY label) AS median_n2q
+            FROM med),
+        d AS (SELECT *, abs(n2q - median_n2q) AS dev FROM m1),
+        m2 AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY dev ASC, vec_id ASC) - 1 AS BIGINT) AS rn2
+            FROM d),
+        m3 AS (
+            SELECT *, max(CASE WHEN rn2 = (n - 1) // 2 THEN dev END)
+                       OVER (PARTITION BY label) AS mad_n2q
+            FROM m2)
+        SELECT vec_id, label, n2q,
+               CAST(median_n2q AS BIGINT) AS median_n2q,
+               CAST(mad_n2q AS BIGINT) AS mad_n2q
+        FROM m3 WHERE dev * 100 > 250 * mad_n2q
     """,
     "lang_mismatch": f"""
         WITH p AS ({_lang_id_oracle_sql()})
