@@ -106,6 +106,7 @@ HEADLINE = [
     "chunk_dedup",
     "lang_mismatch",
     "embedding_outliers",
+    "label_purity",
 ]
 
 

@@ -1348,6 +1348,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality summary per assigned centroid: majority true label,
+    its share (purity_x100, integer-exact), and cluster size — the
+    one-look health check of the embedding clustering (pure aggregation
+    over the map-only assignment; ties break to the smallest label)."""
+    assigned = q_centroid_assign(spark, sf_dir)
+    per = assigned.groupBy("assigned_label", "label").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    best = per.groupBy("assigned_label").agg(
+        F.max(
+            F.struct(F.col("_n"), (-F.col("label")).alias("_nl"))
+        ).alias("_b"),
+        F.sum("_n").alias("n_vectors"),
+    )
+    return best.select(
+        "assigned_label",
+        (-F.col("_b._nl")).cast("int").alias("majority_label"),
+        F.col("_b._n").cast("long").alias("n_majority"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.floor(
+            F.col("_b._n").cast("double") * 100.0
+            / F.col("n_vectors").cast("double")
+        ).cast("long").alias("purity_x100"),
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-label embedding-norm outliers: quantized-exact squared
     norm (Σ floor(x·2^20)², pure integer) filtered by the generic exact
@@ -2130,6 +2157,7 @@ CATALOG: dict[str, QueryFn] = {
     "chunk_dedup": q_chunk_dedup,
     "lang_mismatch": q_lang_mismatch,
     "embedding_outliers": q_embedding_outliers,
+    "label_purity": q_label_purity,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
     "token_encode": q_token_encode,
@@ -2973,6 +3001,23 @@ ORACLES: dict[str, str] = {
     "label_confusion": _CENTROID_ASSIGN_SQL + """
         SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
         FROM assigned GROUP BY label, assigned_label
+    """,
+    "label_purity": _CENTROID_ASSIGN_SQL + """
+        , per AS (
+            SELECT assigned_label, label, CAST(count(*) AS BIGINT) AS n
+            FROM assigned GROUP BY assigned_label, label),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY assigned_label
+                       ORDER BY n DESC, label ASC) AS rn,
+                   CAST(sum(n) OVER (PARTITION BY assigned_label) AS BIGINT)
+                       AS n_vectors
+            FROM per)
+        SELECT assigned_label,
+               CAST(label AS INT) AS majority_label,
+               n AS n_majority, n_vectors,
+               CAST(floor(CAST(n AS DOUBLE) * 100.0
+                   / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS purity_x100
+        FROM ranked WHERE rn = 1
     """,
     "embedding_outliers": """
         WITH scored AS (
