@@ -405,3 +405,40 @@ def test_table_diff_matches_set_semantics(spark, before_rows, after_rows):
     assert got == want
     if before_rows:
         assert table_diff(before, before, key="k").count() == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=30,
+    )
+)
+@_slow
+def test_robust_outliers_matches_python_reference(spark, rows):
+    """The generic median/MAD rule agrees with a naive python reference:
+    rank-picked medians (value asc, tiebreak asc), integer cross-multiplied
+    threshold, MAD=0 flags any deviation."""
+    from blockchain_postgres_sync_spark.operators.stats import robust_outliers
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v long, tb long")
+    got = {
+        (r.g, r.tb): (r._median, r._mad)
+        for r in robust_outliers(
+            df, group_col="g", value_col="v", tiebreak_col="tb", k_x100=300
+        ).collect()
+    }
+
+    want = {}
+    groups: dict[int, list] = {}
+    for g, v, tb in data:
+        groups.setdefault(g, []).append((v, tb))
+    for g, members in groups.items():
+        s = sorted(members)
+        med = s[(len(s) - 1) // 2][0]
+        devs = sorted((abs(v - med), tb) for v, tb in members)
+        mad = devs[(len(devs) - 1) // 2][0]
+        for v, tb in members:
+            if abs(v - med) * 100 > 300 * mad:
+                want[(g, tb)] = (med, mad)
+    assert got == want
