@@ -62,19 +62,32 @@ def benchmark_contamination(
         benchmark.select(F.col(bench_id_col).alias("_bid"), text_col),
         "_bid", text_col, shingle_size,
     )
-    doc_sh = _doc_shingles(corpus, id_col, text_col, shingle_size)
-    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_doc"))
-
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy(id_col, "_bid")
-        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    # per-doc shingle count computed IN-ROW before the explode and carried
+    # through the postings join — a separate (doc_id, _n_doc) frame would be
+    # corpus-sized, and broadcasting it is a driver-collect of every
+    # document id at 100 TB.  _n_doc is functionally dependent on the doc
+    # id, so grouping on (id, _n_doc) is the same grouping as on id alone.
+    doc_sh = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_distinct(token_shingles(F.col(text_col), shingle_size)).alias("_shs"),
+    ).select(
+        id_col,
+        F.size("_shs").cast("long").alias("_n_doc"),
+        F.explode("_shs").alias("shingle"),
     )
-    scored = hits.join(F.broadcast(sizes), id_col).withColumn(
-        "containment_x100",
-        F.floor(
-            F.col("_n_inter").cast("double") * 100.0 / F.col("_n_doc").cast("double")
-        ).cast("long"),
+
+    # the benchmark suite is a true dimension (fixed eval sets, not
+    # SF-scaled) — broadcast is correct here
+    scored = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "_n_doc", "_bid")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+        .withColumn(
+            "containment_x100",
+            F.floor(
+                F.col("_n_inter").cast("double") * 100.0 / F.col("_n_doc").cast("double")
+            ).cast("long"),
+        )
     )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("containment_x100"), (-F.col("_bid")).alias("_nb")))

@@ -152,9 +152,12 @@ def ngram_jaccard_pairs(
     then pairs expand IN-ROW (two explodes over the same list) — no
     shuffle self-join, and the overwhelmingly common singleton shingles
     (|postings| = 1, which can never witness a pair) are dropped before
-    expansion.  Per-doc sizes come from an independent MAP-ONLY second scan
-    of the source (``F.size`` in-row — no explode, no shuffle dependency on
-    the postings aggregate).
+    expansion.  Per-doc sizes are computed IN-ROW at the source
+    (``F.size`` over the same distinct-shingle array) and carried through
+    the posting lists as struct fields, so the union-size arithmetic needs
+    NO join at all — no second corpus scan, and critically no broadcast of
+    a per-document table (a |docs|-row frame is corpus-sized at 100 TB and
+    must never be collected to the driver).
     At 100 TB a viral shingle makes |postings|^2 in-row pairs — pass
     ``max_postings`` to drop such stop-shingles before expansion (standard
     stop-shingle removal: a shingle shared by that many documents carries
@@ -163,41 +166,36 @@ def ngram_jaccard_pairs(
     every shingle, so capped scores only ever filter pairs out, never
     admit false positives.
     """
-    # postings aggregate feeds ONLY the pair expansion; per-doc sizes are a
-    # separate map-only scan of the source (below).  |grouped| ≤ |distinct
+    # postings aggregate feeds the pair expansion AND (via the carried n_sh
+    # struct field) the union-size arithmetic.  |grouped| ≤ |distinct
     # shingles| rows — at 100 TB materialize instead to a table bucketed on
-    # the shingle key.
+    # the shingle key.  n_sh rides as a struct member: it is functionally
+    # dependent on the doc id, so grouping on (id, n_sh) pairs below is the
+    # same grouping as on ids alone.
     sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(token_shingles(F.col(text_col), shingle_size))).alias("shingle"),
+        F.col(id_col).alias("_id"),
+        F.array_distinct(token_shingles(F.col(text_col), shingle_size)).alias("_shs"),
+    ).select(
+        F.struct(
+            F.col("_id").alias("id"), F.size("_shs").cast("long").alias("n_sh")
+        ).alias("doc"),
+        F.explode("_shs").alias("shingle"),
     )
-    grouped = sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("ids"))
-    # per-doc sizes IN-ROW at the source: |distinct shingles| needs no
-    # explode and no aggregation — a second map-only scan of the corpus is
-    # strictly cheaper than re-aggregating the exploded posting rows
-    # (corpus-row-count output either way, but zero shuffle dependency here)
-    sizes = df.select(
-        F.col(id_col),
-        F.size(
-            F.array_distinct(token_shingles(F.col(text_col), shingle_size))
-        ).cast("long").alias("n_sh"),
-    )
-    expandable = grouped.filter(F.size("ids") >= 2)
+    grouped = sh.groupBy("shingle").agg(F.collect_list(F.col("doc")).alias("docs"))
+    expandable = grouped.filter(F.size("docs") >= 2)
     if max_postings is not None:
-        expandable = expandable.filter(F.size("ids") <= max_postings)
-    inter = (
-        expandable.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    # per-doc size table is |docs| rows — always the broadcast side
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        expandable = expandable.filter(F.size("docs") <= max_postings)
     scored = (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        expandable.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .withColumn(
             "jaccard_x100",
             F.floor(
