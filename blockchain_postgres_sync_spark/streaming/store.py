@@ -19,6 +19,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: directory name Spark/Hive uses for NULL partition values
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
 
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):
@@ -188,9 +191,16 @@ class TableStore:
         if not fat:
             return False
         df = self.read(name)
-        fat_rows = df.filter(
-            F.col(partition_col).cast("string").isin(*fat)
-        ).repartition(max(len(fat), 1), partition_col)
+        # NULL partition values live in the Hive default-partition dir; an
+        # isin() filter never matches NULL rows, so without an explicit
+        # isNull() branch a fat NULL partition would be dropped from the
+        # rewrite while the replace predicate still retires its old dir —
+        # silent data loss.  (A literal string equal to the sentinel shares
+        # the dir — Hive's own ambiguity — so the isin branch keeps it too.)
+        cond = F.col(partition_col).cast("string").isin(*fat)
+        if _HIVE_NULL_PART in fat:
+            cond = cond | F.col(partition_col).isNull()
+        fat_rows = df.filter(cond).repartition(max(len(fat), 1), partition_col)
         self.stage_range_replace(
             name, fat_rows, partition_col, lambda v: v in fat
         )

@@ -510,3 +510,43 @@ def test_store_compact_partitioned(spark, tmp_path):
     v = store._manifest["t"]
     assert store.compact("t", partition_col="p", max_files=4) is False
     assert store._manifest["t"] == v and not store._staged
+
+
+def test_store_compact_null_partition(spark, tmp_path):
+    """A fat NULL-valued partition (__HIVE_DEFAULT_PARTITION__ dir) must be
+    rewritten, not silently dropped: isin() never matches NULL rows, so
+    without the explicit isNull() branch compact would retire the old NULL
+    dir while writing none of its rows forward — data loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blockchain_postgres_sync_spark.streaming.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    base = spark.range(0, 40).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("a")).alias("p"),  # odd ids -> NULL
+    )
+    # p=a compact; the NULL partition deliberately fragmented into ~12 files
+    frag = base.filter(F.col("p").isNotNull()).coalesce(1).unionByName(
+        base.filter(F.col("p").isNull()).repartition(12)
+    )
+    store.stage("t", frag, partition_by=["p"])
+    store.commit()
+
+    def null_files():
+        d = os.path.join(
+            store._dir("t", store._manifest["t"]), "p=__HIVE_DEFAULT_PARTITION__"
+        )
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(null_files()) > 4  # precondition: NULL partition is fat
+    before_rows = sorted(
+        (r["id"], r["p"]) for r in store.read("t").collect()
+    )
+    assert store.compact("t", partition_col="p", max_files=4) is True
+    store.commit()
+    assert len(null_files()) == 1
+    after_rows = sorted((r["id"], r["p"]) for r in store.read("t").collect())
+    assert after_rows == before_rows  # every NULL row survived
