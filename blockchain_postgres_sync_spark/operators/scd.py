@@ -86,9 +86,11 @@ def table_diff(
     migration runs after rewriting a table.
 
     Payloads compare by ``xxhash64`` over the compare columns in a FIXED
-    order (the sorted column list, or ``compare_cols`` as given) with a
-    null sentinel per column, so the comparison is type-agnostic and the
-    diff never widens the shuffle with full payloads twice: each side
+    order (the sorted column list, or ``compare_cols`` as given) with an
+    OUT-OF-BAND null flag per column (a one-char present/null marker
+    hashed alongside the value — never an in-band sentinel string, which a
+    real value could collide with), so the comparison is type-agnostic and
+    the diff never widens the shuffle with full payloads twice: each side
     reduces to (key, hash) before the join.
 
     Plan shape (100 TB): two map-only projections to (key, hash), one
@@ -103,7 +105,11 @@ def table_diff(
         cols = compare_cols or sorted(c for c in df.columns if c != key)
         parts = []
         for c in cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            # explicit null flag: NULL -> "n\x1f", value v -> "v" + v + "\x1f"
+            # — no string value can impersonate NULL (an in-band sentinel
+            # like "\x00null" could)
+            parts.append(F.when(F.col(c).isNull(), F.lit("n")).otherwise(F.lit("v")))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
             parts.append(F.lit("\x1f"))  # unit separator: no concat ambiguity
         return df.select(
             F.col(key), F.xxhash64(F.concat(*parts)).alias(alias)

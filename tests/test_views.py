@@ -104,3 +104,22 @@ def test_table_diff_statuses(spark):
         for r in table_diff(before, after, key="k", compare_cols=["v"]).collect()
     }
     assert out_v == {4: "removed", 5: "added"}
+
+
+def test_table_diff_null_vs_sentinel_string(spark):
+    """NULL is hashed via an out-of-band flag, so a literal string that any
+    in-band sentinel scheme would use (e.g. "\\x00null") is a CHANGE vs
+    NULL, and equal literal sentinels are unchanged."""
+    from blockchain_postgres_sync_spark.operators.scd import table_diff
+
+    sentinel = "\x00null"
+    before = spark.createDataFrame(
+        [(1, None), (2, sentinel), (3, sentinel)], "k long, s string"
+    )
+    after = spark.createDataFrame(
+        [(1, sentinel), (2, None), (3, sentinel)], "k long, s string"
+    )
+    out = {r.k: r.status for r in table_diff(before, after, key="k").collect()}
+    # keys 1 and 2 flip NULL <-> literal sentinel: both must classify as
+    # changed; key 3 (sentinel == sentinel) is unchanged and absent
+    assert out == {1: "changed", 2: "changed"}
