@@ -299,8 +299,11 @@ def q_assets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("origin_order"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_vol"),
     )
+    # origins is a per-part aggregate — it scales with SF, so no forced
+    # broadcast (a hint would override Spark's size check and OOM at 100x);
+    # AQE/CBO picks broadcast vs shuffle from the actual aggregate size
     base = (
-        part.join(F.broadcast(origins), part.p_partkey == origins.l_partkey, "left")
+        part.join(origins, part.p_partkey == origins.l_partkey, "left")
         .select(
             F.col("p_partkey").cast("string").alias("asset_id"),
             F.col("p_name").alias("asset_name"),
@@ -336,11 +339,15 @@ def q_ticker_parse_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: lease-cancel-style broadcast lookup (pg.rs:472-505): resolve each
-    fact row against a (small) lookup side; unmatched stays NULL."""
+    """J1: lease-cancel-style lookup (pg.rs:472-505): resolve each fact row
+    against a lookup side; unmatched stays NULL.  The lookup side here
+    (projected orders) scales with SF, so the strategy is left to AQE —
+    broadcast when it fits, shuffled hash join otherwise; a forced
+    broadcast hint would OOM at 100x.  (The reference's real lease-cancel
+    lookup resolves against the in-batch lease set, which IS bounded.)"""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left").select(
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "left").select(
         "l_orderkey", "l_linenumber", "o_custkey"
     )
 
@@ -409,9 +416,10 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    # customer scales with SF — no forced broadcast; AQE decides
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(rev).alias("_rev")
@@ -667,6 +675,12 @@ def q_candles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asset_id",
             (F.length("asset_id") * 3 % 9).cast("int").alias("decimals"),
         )
+        # the dim feeds TWO broadcast lookups (amount + price side); without
+        # materialization each consumer re-runs the corpus scan + explode +
+        # distinct, making the query scan the corpus 3x.  Asset-count-sized
+        # frame -> localCheckpoint (house diamond pattern) caps it at 2 scans,
+        # matching the reference's single decimals lookup (pg.rs:708-713).
+        .localCheckpoint(eager=False)
     )
     scaled = scale_prices(trades, decimals)
     return _candles_final(minute_candles(scaled), with_interval=False)

@@ -33,7 +33,10 @@ def test_decimals_dim_broadcasts(spark):
 
 
 def test_lookup_join_broadcasts(spark):
-    """J1: lease-cancel-style lookup broadcasts the small side."""
+    """J1: lease-cancel-style lookup broadcasts the small side — via
+    Spark's SIZE-BASED planning (no forced hint: the lookup side scales
+    with SF, so a hard F.broadcast would OOM at 100x; at smoke SF the
+    planner's own estimate must still choose broadcast)."""
     plan = _plan(spark, "lookup_join")
     assert "BroadcastHashJoin" in plan
 
