@@ -23,20 +23,38 @@ a dense integer id.  Two operators, both deterministic and engine-exact:
 
 Reference analog: the engine generalizes the reference's `to_tsvector`
 search-token surface (up.sql:703-705) to the trainer-facing encode.
+
+Storage lifetimes: the small frames these operators ``localCheckpoint``
+(the numbered rank frame in :func:`rank_vocab`, the vector frame in
+:func:`tfidf_rerank`) live in executor local storage until the Python/JVM
+references are GC'd (Spark's ContextCleaner) — there is no deterministic
+release hook for checkpointed RDDs.  All of them are vocabulary- or
+result-sized, never corpus-sized; long-lived sessions that loop over
+many builds should drop their references (or call
+:func:`release_caches` for the persisted frames, which DO have a
+deterministic release path).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 
-#: holds the previous build_vocab call's persisted counts frame until the
-#: next call.  Cost-only: counts is a deterministic aggregation, so an early
-#: eviction merely recomputes it — correctness never depends on this cache
-#: (the rank frame is localCheckpoint-ed instead, see build_vocab).
+#: holds the previous build_vocab / tfidf_vectorize call's persisted frames
+#: until the next call.  Cost-only: each is a deterministic aggregation, so
+#: an early eviction merely recomputes it — correctness never depends on
+#: this cache (rank frames are localCheckpoint-ed instead, see build_vocab).
 _VOCAB_CACHE: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Deterministically unpersist the module's cost-only persisted frames
+    (the checkpointed frames are released by GC via ContextCleaner)."""
+    while _VOCAB_CACHE:
+        _VOCAB_CACHE.pop().unpersist()
 
 
 def build_vocab(
@@ -80,8 +98,7 @@ def build_vocab(
     small sampling job eagerly; the vocabulary itself still
     materializes on first consumption.
     """
-    while _VOCAB_CACHE:
-        _VOCAB_CACHE.pop().unpersist()
+    release_caches()
     counts = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -101,7 +118,19 @@ def rank_vocab(
     (count desc, token asc) — the distributed two-phase rank behind
     :func:`build_vocab`, reusable when the counts already exist (e.g.
     derived from a (doc, token, tf) pair stream, see
-    :func:`tfidf_vectorize`)."""
+    :func:`tfidf_vectorize`).
+
+    PRECONDITION: ``token`` values must be UNIQUE — the strict
+    cross-partition order (and hence the exact dense ids) relies on the
+    (count desc, token asc) key being total.  Duplicate tokens make the
+    range-boundary ordering ambiguous and the assigned ids
+    nondeterministic; internal callers guarantee uniqueness because
+    counts come from a groupBy("token").
+
+    Columns beyond (token, count) are carried through unchanged to the
+    output (after token_id), so a caller can rank a counts frame that
+    already aggregates other per-token statistics (e.g. document
+    frequency) without a re-join."""
     spark = counts.sparkSession
     nparts = rank_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -112,12 +141,14 @@ def rank_vocab(
     # row-position-in-partition — the cumcount, computed entirely JVM-side
     # (no Arrow round-trip, no python workers in the rank path)
     mid = F.monotonically_increasing_id()
+    extras = [c for c in counts.columns if c not in ("token", "count")]
     numbered = (
         counts.repartitionByRange(nparts, *order)
         .sortWithinPartitions(*order)
         .select(
             "token",
             "count",
+            *extras,
             F.spark_partition_id().alias("_pid"),
             mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_lix"),
         )
@@ -140,6 +171,7 @@ def rank_vocab(
             "token",
             (F.col("_off") + F.col("_lix")).alias("token_id"),
             "count",
+            *extras,
         )
     )
 
@@ -211,30 +243,44 @@ def tfidf_vectorize(
 
     Plan shape (100 TB): the corpus is tokenized ONCE — a single explode
     feeds the (doc, token) tf hash-agg (map-side combined), and that
-    compressed pair stream is ``localCheckpoint``-ed and re-read by all
-    three consumers: vocabulary counts (sum of tf — when no vocab is
-    passed), document frequencies, and the scored join.  The (token_id,
-    df) model is vocab-sized and joins broadcast by default
-    (``broadcast_model=False`` shuffle-joins past broadcast size); the
-    final per-doc array assembly groups on the id.  Array order is a total
-    (token_id) sort in-row — partitioning-independent.
+    compressed pair stream is ``persist``-ed (MEMORY_AND_DISK — lineage
+    stays recoverable under executor loss, unlike a local checkpoint; the
+    frame is corpus-scale, so fault-tolerance matters here) and re-read by
+    its two consumers: the per-token statistics and the scored join.  When
+    no vocab is passed, total counts AND document frequencies come from ONE
+    aggregation on the token key and ride through :func:`rank_vocab`'s
+    extra-column passthrough — no separate dfreq aggregation, no
+    vocab-to-dfreq join.  The (token_id, df) model is vocab-sized and
+    joins broadcast by default (``broadcast_model=False`` shuffle-joins
+    past broadcast size); the final per-doc array assembly groups on the
+    id.  Array order is a total (token_id) sort in-row —
+    partitioning-independent.
     """
+    release_caches()
     pairs = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _VOCAB_CACHE.append(pairs)
     if vocab is None:
-        counts = (
+        # one aggregation yields both the ranking count (sum of tf) and the
+        # document frequency (row count per token); rank_vocab carries _df
+        # through, so the model needs no second aggregation and no join
+        stats = (
             pairs.groupBy("token")
-            .agg(F.sum("_tf").cast("long").alias("count"))
+            .agg(
+                F.sum("_tf").cast("long").alias("count"),
+                F.count(F.lit(1)).alias("_df"),
+            )
             .filter(F.col("count") >= min_count)
         )
-        vocab = rank_vocab(counts)
-    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
-    model = vocab.select("token", "token_id").join(dfreq, "token")
+        model = rank_vocab(stats).select("token", "token_id", "_df")
+    else:
+        dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        model = vocab.select("token", "token_id").join(dfreq, "token")
     model = F.broadcast(model) if broadcast_model else model
     scored = pairs.join(model, "token").select(
         F.col(id_col),
@@ -258,6 +304,7 @@ def tfidf_rerank(
     id_a: str = "id_a",
     id_b: str = "id_b",
     vec_id: str = "doc_id",
+    materialize_vectors: bool = True,
 ) -> DataFrame:
     """Second-stage reranking: score candidate pairs (from MinHash-LSH,
     SimHash, or any blocking stage) by EXACT tf-idf similarity — the
@@ -282,9 +329,13 @@ def tfidf_rerank(
     corpus aggregations — plans and RUNS twice.  A lazy ``localCheckpoint``
     pins one materialization for both branches (house pattern, see
     ``stats.unigram_logprob``); measured ~1.6x on the registered
-    rerank query.
+    rerank query.  Pass ``materialize_vectors=False`` when the frame is
+    ALREADY materialized (a table read from disk, or checkpointed
+    upstream) — the unconditional checkpoint would store a redundant full
+    copy in executor local storage for no reuse benefit.
     """
-    vectors = vectors.localCheckpoint(eager=False)
+    if materialize_vectors:
+        vectors = vectors.localCheckpoint(eager=False)
     va = vectors.select(
         F.col(vec_id).alias(id_a),
         F.col("token_ids").alias("_ta"),
