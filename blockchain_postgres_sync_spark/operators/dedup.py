@@ -287,19 +287,23 @@ def duplicate_clusters(
     the component — the canonical "keep one representative per duplicate
     cluster" step of a training-data dedup pipeline.
 
-    Adaptive, like Spark's own broadcast threshold: the candidate-pair set is
-    orders of magnitude smaller than the corpus (it is the near-dup subset),
-    and the label→root map the distributed loop maintains is collected to the
-    driver each round anyway.  So when the edge count is at most
-    ``collect_threshold`` the whole edge list is collected ONCE and solved
-    with a linear union-find — one job instead of one per round.  Above the
-    threshold, the distributed min-label contraction loop runs: each round
-    projects the edge set onto current labels, computes each label's minimum
-    neighbouring label, and re-points every member of a losing label via a
-    broadcast map — whole clusters merge per round (pointer-jumping-style),
-    O(log diameter)-ish rounds, one aggregate job per round over the
-    persisted edge set.  At 100 TB both paths run over the bounded
-    candidate-pair set (linear in LSH postings), never over the corpus.
+    Adaptive, like Spark's own broadcast threshold: the candidate-pair set
+    is orders of magnitude smaller than the corpus (it is the near-dup
+    subset).  When the edge count is at most ``collect_threshold`` the
+    whole edge list is collected ONCE and solved with a linear union-find —
+    one job instead of one per round.  Above the threshold, the
+    alternating large-star / small-star contraction runs (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): every round keeps ALL
+    state — edges and labels — in DataFrames; nothing label-sized ever
+    reaches the driver (a 30-50%%-duplicate web corpus makes the label set
+    corpus-order, so a driver-side map is an OOM, not an optimization).
+    Per round: two neighborhood aggregations + in-row star re-pointing;
+    converges in O(log^2 n) rounds to per-component stars centered at the
+    minimum id.  The only driver traffic is a per-round O(1) convergence
+    checksum.  Each round ``localCheckpoint``s its edge set — the standard
+    lineage-truncation for iterative graph algorithms (same trade
+    GraphFrames makes): recovery is re-running the bounded loop, never a
+    2^rounds lineage replay.
 
     Raises RuntimeError if not converged within ``max_iters`` — a wrong
     partial clustering must never be silently returned.
@@ -318,62 +322,79 @@ def duplicate_clusters(
         edge_list = [(r["id_a"], r["id_b"]) for r in dedup_pairs.collect()]
         return _unionfind_local(edge_list, spark, id_type)
 
-    edges = (
-        dedup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(
-            dedup_pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
+    # every node must survive to the output even if star contraction
+    # removes its last explicit edge, so pin the node set up front
+    nodes = (
+        dedup_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(dedup_pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
         .persist()
     )
-    _CLUSTER_CACHE.append(edges)
+    _CLUSTER_CACHE.append(nodes)
 
-    # The losing-label -> root-label mapping is bounded by the CLUSTER-member
-    # count, not the corpus — it is the small side a broadcast join would
-    # collect to the driver anyway, so accumulate it driver-side across
-    # rounds (path-compressed union-find contraction: chains strictly
-    # decrease, so compression terminates) and relabel the ORIGINAL edge set
-    # with one broadcast join per side per round.  Each round then costs ONE
-    # job (the min-neighbour aggregate, which doubles as the convergence
-    # probe); no per-round labels table, no cache churn.
-    mapping: dict = {}
-
-    def relabel(df: DataFrame, cols: list[str]) -> DataFrame:
-        if not mapping:
-            return df
-        map_df = F.broadcast(
-            spark.createDataFrame(list(mapping.items()), "_from long, _to long")
+    def large_star(e: DataFrame) -> DataFrame:
+        """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        for c in cols:
-            df = (
-                df.join(map_df, df[c] == map_df["_from"], "left")
-                .withColumn(c, F.coalesce("_to", c))
-                .drop("_from", "_to")
-            )
-        return df
+        nbrs = sym.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+        m = F.array_min(F.array_union(F.col("ns"), F.array(F.col("src"))))
+        return (
+            nbrs.select("src", m.alias("m"), F.explode("ns").alias("v"))
+            .filter(F.col("v") > F.col("src"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
 
+    def small_star(e: DataFrame) -> DataFrame:
+        """Direct edges large→small, connect every smaller neighbor (and u
+        itself) to the minimum of the small neighborhood."""
+        directed = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        nbrs = directed.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+        with_self = F.array_union(F.col("ns"), F.array(F.col("src")))
+        m = F.array_min(with_self)
+        return (
+            nbrs.select(m.alias("m"), F.explode(with_self).alias("v"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def checksum(e: DataFrame) -> tuple:
+        """O(1)-to-driver fingerprint of the edge set (count + order-
+        independent hash sums) — the convergence probe."""
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38) sum: overflow-free under ANSI for any edge count
+            F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("h"),
+            F.bit_xor(F.xxhash64("dst", "src")).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["h"], row["x"])
+
+    edges = dedup_pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    prev = checksum(edges)
     for _ in range(max_iters):
-        cur = relabel(edges, ["src", "dst"]).filter(F.col("src") != F.col("dst"))
-        upd = (
-            cur.groupBy("src")
-            .agg(F.min("dst").alias("m"))
-            .filter(F.col("m") < F.col("src"))
-        )
-        new_map = {r["src"]: r["m"] for r in upd.collect()}
-        if not new_map:
-            ids = edges.select(F.col("src").alias("doc_id")).distinct()
-            out = relabel(
-                ids.withColumn("cluster_id", F.col("doc_id")), ["cluster_id"]
-            ).select("doc_id", "cluster_id")
-            return out
-        # old keys were already relabeled away, so new_map keys never
-        # collide with existing keys; compress every chain to its root
-        mapping.update(new_map)
-        for l in list(mapping):
-            root = mapping[l]
-            while root in mapping:
-                root = mapping[root]
-            mapping[l] = root
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            # fixpoint: per-component stars (v, root).  Re-attach isolated
+            # root/singleton nodes via the pinned node set.
+            labels = edges.select(
+                F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+            )
+            return (
+                nodes.join(labels, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                )
+            )
+        prev = cur
     raise RuntimeError(f"duplicate_clusters did not converge in {max_iters} rounds")
 
 

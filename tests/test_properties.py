@@ -442,3 +442,38 @@ def test_robust_outliers_matches_python_reference(spark, rows):
             if abs(v - med) * 100 > 300 * mad:
                 want[(g, tb)] = (med, mad)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1, max_size=40,
+    )
+)
+@_slow
+def test_duplicate_clusters_distributed_matches_unionfind(spark, edge_list):
+    """The large-star/small-star contraction (collect_threshold=0 forces
+    the distributed path; no label ever reaches the driver) produces the
+    identical (doc_id, cluster_id=min of component) relation as the local
+    union-find, on arbitrary graphs — chains, cycles, self-loops,
+    islands."""
+    from blockchain_postgres_sync_spark.operators.dedup import (
+        _unionfind_local,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in duplicate_clusters(pairs, collect_threshold=0).collect()
+    }
+    # the local reference drops self-loop-only nodes from its edge walk
+    # unless they appear in a real edge — normalize: every endpoint is a
+    # node, a self-loop is an island
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in _unionfind_local(
+            [tuple(e) for e in edge_list], spark, "bigint"
+        ).collect()
+    }
+    assert got == want
