@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline catalog queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with per-query wall seconds.
+and prints the full metrics JSON line (also written to BENCH_LOCAL.json)
+followed by a compact final JSON line sized to survive tail-truncating
+log collectors.
 
 Queries execute to completion via the no-op sink (full pipeline, no driver
 collect overhead).  Each query runs BENCH_RUNS times (default 2) and reports
@@ -107,6 +109,18 @@ HEADLINE = [
     "lang_mismatch",
     "embedding_outliers",
     "label_purity",
+]
+
+#: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —
+#: echoed in the FINAL compact JSON line so these timings survive a
+#: tail-truncating log collector (only the last ~2000 chars of stdout are
+#: guaranteed to be kept; the full dict exceeds that)
+REF_SURFACE = [
+    "candles_1m", "candles_cascade", "candles_scaled", "scd2_chain",
+    "scd2_current", "deterministic_uid", "assets_view", "lookup_join",
+    "pricing_summary", "top_orders", "regional_revenue",
+    "tumbling_window_5m", "pairs_view", "json_field_agg",
+    "asset_name_search", "snapshot_diff", "integrity_audit",
 ]
 
 
@@ -232,7 +246,7 @@ def main() -> None:
     stream = stream_throughput(spark, "/root/testdata/sf0.01")
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "catalog_headline_total",
         "value": total,
         "unit": "sec",
@@ -240,6 +254,25 @@ def main() -> None:
         "stream": stream,
         "sf": sf,
         "runs_per_query": runs,
+    }
+    # full record to a file (survives any stdout truncation), full line for
+    # humans, then a FINAL compact line — metric + stream + the
+    # reference-surface timings — small enough that a tail-2000-chars log
+    # collector always keeps a complete, parseable JSON object as the last
+    # line of output
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f)
+    print(json.dumps(full))
+    print(json.dumps({
+        "metric": "catalog_headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs_per_query": runs,
+        "stream": stream,
+        "headline": {k: timings[k] for k in REF_SURFACE if k in timings},
+        "full_queries_in": "BENCH_LOCAL.json",
     }))
     spark.stop()
 
