@@ -31,10 +31,20 @@ from ..functions.text import token_shingles
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs with the shingle as its 64-bit xxhash: every
+    consumer in this module counts or joins on shingle IDENTITY only, so
+    hashing in-row before the explode shrinks the shuffled/joined key from
+    a multi-token string to 8 bytes.  A collision merges two shingles'
+    counts with probability ~|shingles|^2 / 2^64 — the same accepted
+    approximation family as MinHash/SimHash blocking."""
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(token_shingles(F.col(text_col), n))
+            F.array_distinct(
+                F.transform(
+                    token_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            )
         ).alias("shingle"),
     )
 
@@ -69,7 +79,12 @@ def benchmark_contamination(
     # id, so grouping on (id, _n_doc) is the same grouping as on id alone.
     doc_sh = corpus.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.array_distinct(token_shingles(F.col(text_col), shingle_size)).alias("_shs"),
+        F.array_distinct(
+            F.transform(
+                token_shingles(F.col(text_col), shingle_size),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_shs"),
     ).select(
         id_col,
         F.size("_shs").cast("long").alias("_n_doc"),

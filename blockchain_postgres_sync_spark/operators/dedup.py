@@ -172,9 +172,18 @@ def ngram_jaccard_pairs(
     # the shingle key.  n_sh rides as a struct member: it is functionally
     # dependent on the doc id, so grouping on (id, n_sh) pairs below is the
     # same grouping as on ids alone.
+    # shingles hash to 64-bit in-row before the explode: the pair expansion
+    # groups on shingle identity only, so an 8-byte key replaces the
+    # multi-token string in the posting shuffle (collision odds
+    # ~|shingles|^2/2^64 — the MinHash/SimHash approximation family)
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(token_shingles(F.col(text_col), shingle_size)).alias("_shs"),
+        F.array_distinct(
+            F.transform(
+                token_shingles(F.col(text_col), shingle_size),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_shs"),
     ).select(
         F.struct(
             F.col("_id").alias("id"), F.size("_shs").cast("long").alias("n_sh")
