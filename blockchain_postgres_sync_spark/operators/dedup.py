@@ -107,28 +107,38 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Band the wide signature (rows_per_band = num_hashes/bands) into
-    bucket hashes, then bucket-join: docs sharing any band bucket become a
-    candidate pair (a < b).  The join key is (band, 32-char bucket hash) —
-    uniform, broadcast-friendly postings."""
+    bucket hashes, then expand each bucket's posting list in-row: docs
+    sharing any band bucket become a candidate pair (a < b).
+
+    Plan shape: ONE shuffle on the 8-byte (band-salted xxhash) bucket key
+    builds the posting list per bucket, then pairs expand IN-ROW (two
+    explodes over the same list) and dedupe — no shuffle self-join, and
+    singleton buckets (which can never witness a pair) drop before
+    expansion.  Same posting-expansion shape as
+    :func:`ngram_jaccard_pairs`; a viral bucket is an AQE-skew concern
+    only inside one row's |postings|² expansion — bound it upstream by
+    bands/rows_per_band choice (more rows per band → smaller buckets)."""
     rows_per_band = num_hashes // bands
     bucket_cols = []
     for b in range(bands):
         members = [
-            F.col(f"mh_{j}").cast("string")
+            F.col(f"mh_{j}")
             for j in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
-        bucket_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("bucket"))
-        )
+        # band id salts the hash so equal member tuples in different bands
+        # land in different buckets; 8-byte key replaces the md5 string
+        bucket_cols.append(F.xxhash64(F.lit(b), *members))
     banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
+    )
+    grouped = banded.groupBy("bucket").agg(
+        F.collect_list(F.col(id_col)).alias("ids")
+    )
     return (
-        a.join(b, ["band", "bucket"])
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
