@@ -109,6 +109,13 @@ HEADLINE = [
     "lang_mismatch",
     "embedding_outliers",
     "label_purity",
+    "decimals_view",
+    "ticker_parse_latest",
+    "latest_supply",
+    "order_json",
+    "rollback_scd",
+    "squash_blocks",
+    "squash_repoint",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —
@@ -121,6 +128,8 @@ REF_SURFACE = [
     "pricing_summary", "top_orders", "regional_revenue",
     "tumbling_window_5m", "pairs_view", "json_field_agg",
     "asset_name_search", "snapshot_diff", "integrity_audit",
+    "decimals_view", "ticker_parse_latest", "latest_supply", "order_json",
+    "rollback_scd", "squash_blocks", "squash_repoint",
 ]
 
 
