@@ -67,7 +67,10 @@ def inrow_minhash_columns(
 
 def band_buckets(num_hashes: int, bands: int) -> Column:
     """Band the in-row signature into (band, bucket-md5) structs — the same
-    bucket values ``lsh_candidate_pairs`` joins on."""
+    bucket GROUPING as batch ``lsh_candidate_pairs`` (identical member
+    tuples land in one bucket), so the emitted pair set matches batch
+    output; the batch op keys its buckets by an 8-byte xxhash instead of
+    this md5 string, which changes only the key encoding, not grouping."""
     rows_per_band = num_hashes // bands
     cols = []
     for b in range(bands):
