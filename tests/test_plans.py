@@ -132,12 +132,13 @@ def test_corpus_stats_single_exchange(spark):
 
 
 def test_ngram_jaccard_has_no_shuffle_self_join(spark):
-    """Pair candidates expand in-row from per-shingle posting lists; the
-    only joins are the broadcast per-doc size lookups."""
+    """Pair candidates expand in-row from per-shingle posting lists, and
+    per-doc sizes ride the posting structs — the plan contains no join
+    operator at all (see also test_posting_expansions_have_no_joins)."""
     plan = _plan(spark, "ngram_jaccard")
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
 
 
 def test_dedup_embedding_is_distributed_no_collect(spark):
@@ -343,3 +344,23 @@ def test_tfidf_rerank_no_pair_token_shuffle(spark):
     # final projection computes the dot via aggregate(), not a join on an
     # exploded token stream: no SortMergeJoin anywhere in the rerank
     assert "CartesianProduct" not in plan
+
+
+def test_posting_expansions_have_no_joins(spark):
+    """ngram_jaccard and dedup_minhash_lsh expand candidate pairs IN-ROW
+    from posting lists: neither plan may contain any join operator (the
+    naive forms are shuffle self-joins), and per-doc sizes ride the
+    posting structs so no per-document frame is ever joined or broadcast
+    back (the 100 TB OOM shape this replaces)."""
+    for name in ("ngram_jaccard", "dedup_minhash_lsh"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert "BroadcastExchange" not in plan, name
+
+
+def test_contamination_no_per_document_broadcast(spark):
+    """benchmark_contamination may broadcast only the benchmark dimension;
+    the per-document size rides in-row, so exactly ONE broadcast exchange
+    appears and no second corpus aggregation feeds a join."""
+    plan = _plan(spark, "contamination")
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
