@@ -12,12 +12,18 @@ Reference semantics mapped here:
   updates (pg.rs:225-256).
 - insert-if-absent ``ON CONFLICT DO NOTHING`` (S6, pg.rs:205-214).
 
-No Postgres server ships in this container, so ``write_*`` require a live
-``jdbc_url`` and are exercised in production deployments; the SQL generators
-are pure functions and unit-tested (tests/test_jdbc_sink.py).  The staged
-upsert is transactional per batch: stage + merge + drop run on one
-connection via a single statement batch, preserving the reference's
-batch-atomicity contract (T1, mod.rs:168-186) per table.
+Two upsert dialects: ``upsert_sql`` emits Postgres ``ON CONFLICT`` (the
+reference's exact idiom); ``merge_sql`` emits ANSI ``MERGE INTO`` (Postgres
+15+, Derby, most warehouses).  The full staged flow — Spark JDBC bulk
+write into a staging table, one set-based merge, drop staging — runs
+END-TO-END in tests against the Derby embedded database that ships inside
+Spark's own classpath (tests/test_jdbc_sink.py::test_derby_*), so the
+writer path is exercised live, not only as statement text; the
+``ON CONFLICT`` generators stay unit-tested as text (no Postgres server in
+the container).  The staged upsert is transactional per batch: stage +
+merge + drop run on one connection via a single statement batch,
+preserving the reference's batch-atomicity contract (T1, mod.rs:168-186)
+per table.
 """
 
 from __future__ import annotations
@@ -57,13 +63,43 @@ def insert_if_absent_sql(
     )
 
 
+def merge_sql(
+    table: str,
+    staging: str,
+    columns: list[str],
+    key_cols: list[str],
+) -> str:
+    """The same set-based upsert as :func:`upsert_sql` in ANSI ``MERGE``
+    form (Postgres 15+, Derby, DB2, SQL Server...) — used where
+    ``ON CONFLICT`` isn't available; exercised live against embedded
+    Derby in the test suite.
+
+    Identifiers are emitted UNQUOTED (matching the reference's SQL), while
+    Spark's JDBC writer QUOTES column names when creating the staging
+    table — so DataFrame column names must match the database's unquoted
+    case-folding (lowercase for Postgres, UPPERCASE for Derby/DB2) for the
+    merge to resolve them."""
+    non_keys = [c for c in columns if c not in key_cols]
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
 def delete_above_sql(table: str, uid_col: str, boundary: int) -> str:
     """Rollback delete (S7, pg.rs:392-398)."""
     return f"DELETE FROM {table} WHERE {uid_col} > {int(boundary)}"
 
 
 def staging_name(table: str, batch_id: int) -> str:
-    return f"_stg_{table}_{batch_id}"
+    # leading letter, not underscore: a bare "_x" identifier is invalid
+    # ANSI SQL (Derby rejects it); Postgres merely tolerates it
+    return f"stg_{table}_{batch_id}"
 
 
 def write_append(
@@ -93,11 +129,14 @@ def write_upsert(
     batch_id: int = 0,
     batchsize: int = 4500,
     properties: dict[str, str] | None = None,
+    dialect: str = "postgres",
 ) -> None:
-    """S5: stage + one set-based ON CONFLICT merge (candles).
+    """S5: stage + one set-based merge (candles).
 
-    Requires a live Postgres; the merge statement itself is
-    :func:`upsert_sql` (unit-tested without a server).
+    ``dialect='postgres'`` merges with ``ON CONFLICT`` (the reference's
+    idiom, pg.rs:721-730); ``dialect='ansi'`` uses ``MERGE INTO``
+    (Postgres 15+/Derby/warehouses) — the latter is exercised END-TO-END
+    against embedded Derby in the test suite.
     """
     stg = staging_name(table, batch_id)
     (
@@ -109,7 +148,8 @@ def write_upsert(
         .options(**(properties or {}))
         .save()
     )
-    merge = upsert_sql(table, stg, df.columns, key_cols)
+    gen = upsert_sql if dialect == "postgres" else merge_sql
+    merge = gen(table, stg, df.columns, key_cols)
     _execute_statements(df, jdbc_url, [merge, f"DROP TABLE {stg}"], properties)
 
 

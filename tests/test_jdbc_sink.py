@@ -6,6 +6,7 @@ from __future__ import annotations
 from blockchain_postgres_sync_spark.sources.jdbc_sink import (
     delete_above_sql,
     insert_if_absent_sql,
+    merge_sql,
     staging_name,
     upsert_sql,
 )
@@ -45,3 +46,110 @@ def test_delete_above_sql():
 
 def test_staging_name_unique_per_batch():
     assert staging_name("candles", 7) != staging_name("candles", 8)
+
+
+def test_merge_sql_ansi_shape():
+    sql = merge_sql(
+        "candles", "_stg_candles_7",
+        ["interval", "time_start", "low", "high"],
+        ["interval", "time_start"],
+    )
+    assert sql == (
+        "MERGE INTO candles t USING _stg_candles_7 s "
+        "ON (t.interval = s.interval AND t.time_start = s.time_start) "
+        "WHEN MATCHED THEN UPDATE SET t.low = s.low, t.high = s.high "
+        "WHEN NOT MATCHED THEN INSERT (interval, time_start, low, high) "
+        "VALUES (s.interval, s.time_start, s.low, s.high)"
+    )
+
+
+def _derby_url(tmp_path, name):
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def test_derby_append_roundtrip(spark, tmp_path):
+    """S4 end-to-end on a REAL JDBC database (Derby, embedded in Spark's own
+    classpath): chunked bulk append through Spark's JDBC writer, read back
+    through Spark's JDBC reader, row-identical."""
+    from blockchain_postgres_sync_spark.sources.jdbc_sink import write_append
+
+    url = _derby_url(tmp_path, "appenddb")
+    df = spark.range(0, 100).selectExpr(
+        "id AS uid", "id * 2 AS height", "CAST(id % 7 AS DOUBLE) AS fee"
+    )
+    write_append(df, url, "blocks_raw", batchsize=16, properties=_DERBY_PROPS)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "blocks_raw")
+        .options(**_DERBY_PROPS)
+        .load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_derby_staged_merge_upsert(spark, tmp_path):
+    """S5 end-to-end: bulk-stage via the Spark JDBC writer, one set-based
+    MERGE, staging dropped — existing keys update, new keys insert (the
+    candle upsert contract, pg.rs:721-730), verified by reading the target
+    back through JDBC."""
+    from blockchain_postgres_sync_spark.sources.jdbc_sink import (
+        _execute_statements, write_append, write_upsert,
+    )
+
+    url = _derby_url(tmp_path, "upsertdb")
+    base = spark.createDataFrame(
+        [(0, 10.0), (1, 11.0), (2, 12.0)], "TIME_START long, PX double"
+    )
+    # seed the target via the writer itself, with a real PK
+    _execute_statements(
+        base, url,
+        ["CREATE TABLE candles (TIME_START BIGINT PRIMARY KEY, PX DOUBLE)"],
+    )
+    write_append(base, url, "candles", properties=_DERBY_PROPS)
+
+    batch = spark.createDataFrame(
+        [(1, 99.0), (3, 13.0)], "TIME_START long, PX double"
+    )
+    write_upsert(
+        batch, url, "candles", key_cols=["TIME_START"], batch_id=4,
+        properties=_DERBY_PROPS, dialect="ansi",
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "candles")
+        .options(**_DERBY_PROPS).load()
+    )
+    assert {(r.TIME_START, r.PX) for r in back.collect()} == {
+        (0, 10.0), (1, 99.0), (2, 12.0), (3, 13.0)
+    }
+    # staging dropped: reading it must fail
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        (spark.read.format("jdbc").option("url", url)
+         .option("dbtable", "stg_candles_4").options(**_DERBY_PROPS)
+         .load().collect())
+
+
+def test_derby_rollback_delete(spark, tmp_path):
+    """S7 end-to-end: the rollback boundary delete executes on a live JDBC
+    connection and removes exactly the above-boundary rows."""
+    from blockchain_postgres_sync_spark.sources.jdbc_sink import (
+        _execute_statements, delete_above_sql, write_append,
+    )
+
+    url = _derby_url(tmp_path, "rbdb")
+    df = spark.range(0, 50).selectExpr("id AS BLOCK_UID", "id * 3 AS V")
+    write_append(df, url, "txs_7", properties=_DERBY_PROPS)
+    _execute_statements(df, url, [delete_above_sql("txs_7", "BLOCK_UID", 29)])
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "txs_7").options(**_DERBY_PROPS).load()
+    )
+    assert back.count() == 30
+    assert back.agg({"BLOCK_UID": "max"}).collect()[0][0] == 29
