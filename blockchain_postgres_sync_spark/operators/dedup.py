@@ -143,6 +143,95 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_matches(
+    incoming: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+    bands: int = 4,
+    min_agree: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus: for each
+    incoming document, its best near-duplicate already in the index —
+    ``(id_col, index_id, agree_x100)`` where ``agree_x100 = floor(100 *
+    |matching signature components| / num_hashes)`` (the unbiased MinHash
+    Jaccard estimate as an exact integer), keeping only incoming docs whose
+    best match reaches ``min_agree``.  Ties on agreement resolve to the
+    smallest index id (deterministic).
+
+    This is the operational dedup shape at 100 TB: the full corpus is
+    never re-paired against itself (that is :func:`lsh_candidate_pairs` at
+    ingest time); a delta joins against STORED signatures instead.  Mirrors
+    the reference's insert-if-absent idiom (data-service upserts keyed on
+    existing rows, ``pg.rs`` ``ON CONFLICT DO NOTHING``) lifted from exact
+    keys to near-duplicate identity.
+
+    Plan shape: each side is one explode + one map-side-combined groupBy
+    (signatures), then band-bucket hashes expand IN-ROW (``bands`` rows per
+    doc, each carrying the k-component signature array — k longs, so the
+    bucket-join shuffle moves bands*(k+1) longs per doc, no join back to a
+    signature table).  The bucket equi-join is a plain shuffle hash join:
+    the index side is corpus-sized (never broadcast); in production its
+    banded rows live in a table bucketed on the key
+    (``sources/bucketed.py``) so only the delta shuffles.  A pair meeting
+    in several bands scores identically each time, so the final max-agg
+    dedupes without a distinct pass.
+    """
+    def _banded(df: DataFrame, out: str) -> DataFrame:
+        sig = minhash_signatures(
+            df, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_size=shingle_size,
+        )
+        rows_per_band = num_hashes // bands
+        buckets = [
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh_{j}")
+                  for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)]).alias("sig"),
+            ).alias(out),
+            F.explode(F.array(*buckets)).alias("bucket"),
+        )
+
+    joined = _banded(incoming, "inc").join(_banded(index, "idx"), "bucket")
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("inc.sig"), F.col("idx.sig"),
+            lambda x, y: (x == y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.select(
+        F.col("inc.id").alias(id_col),
+        F.col("idx.id").alias("index_id"),
+        F.floor(agree.cast("double") * 100.0 / float(num_hashes))
+        .cast("long").alias("agree_x100"),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("agree_x100"), (-F.col("index_id")).alias("_ni"))
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            (-F.col("_best._ni")).alias("index_id"),
+            F.col("_best.agree_x100").alias("agree_x100"),
+        )
+    )
+    return best.filter(F.col("agree_x100") >= int(min_agree * 100))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

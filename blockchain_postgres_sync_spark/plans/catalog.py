@@ -592,6 +592,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-index dedup: the 20% of documents with doc_id % 10 >= 8
+    arrive as a new batch and LSH-match against the other 80% (the
+    already-ingested index); best index match per incoming doc by MinHash
+    signature agreement (>= 50)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_lsh_matches(
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        docs.filter(F.col("doc_id") % 10 < 8),
+        num_hashes=12, shingle_size=3, bands=4, min_agree=0.5,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (min-label contraction loop)
     over the MinHash-LSH candidate-pair graph; cluster_id = min doc in the
@@ -2185,6 +2198,7 @@ CATALOG: dict[str, QueryFn] = {
     "asof_quotes": q_asof_quotes,
     "session_windows": q_session_windows,
     "twap": q_twap,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3441,5 +3455,51 @@ ORACLES: dict[str, str] = {
              AND a.vec_id < b.vec_id)
         SELECT cluster, vec_id_a, vec_id_b, cos_x1m
         FROM pairs WHERE cos_x1m >= 400000
+    """,
+    "dedup_incremental": f"""
+        WITH {_SHINGLES_SQL},
+        hv AS (
+            SELECT doc_id,
+                   {_hex_int_sql('md5(shingle)', 15)} % {_MINHASH_P} AS hv
+            FROM sh),
+        seeded AS (
+            SELECT doc_id, unnest(generate_series(0, 11)) AS seed, hv
+            FROM hv),
+        hashed AS (
+            SELECT doc_id, seed,
+                   (((2654435761 * (seed + 1)) % {_MINHASH_P}) * hv
+                    + ((40503 * (seed + 7)) % {_MINHASH_P})) % {_MINHASH_P} AS h
+            FROM seeded),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash
+                FROM hashed GROUP BY doc_id, seed),
+        sigarr AS (SELECT doc_id, list(minhash ORDER BY seed) AS s
+                   FROM sig GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, CAST(floor(seed / 3.0) AS INT) AS band,
+                   md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                       AS bucket
+            FROM sig GROUP BY doc_id, CAST(floor(seed / 3.0) AS INT)),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS index_id
+            FROM banded i JOIN banded x
+                ON i.band = x.band AND i.bucket = x.bucket
+            WHERE i.doc_id % 10 >= 8 AND x.doc_id % 10 < 8),
+        scored AS (
+            SELECT c.doc_id, c.index_id,
+                   CAST(floor(CAST(list_reduce(
+                       list_transform(generate_series(1, 12),
+                           j -> CASE WHEN si.s[j] = sx.s[j] THEN 1 ELSE 0 END),
+                       (a, b) -> a + b) AS DOUBLE) * 100.0 / 12.0) AS BIGINT)
+                       AS agree_x100
+            FROM cand c
+            JOIN sigarr si ON si.doc_id = c.doc_id
+            JOIN sigarr sx ON sx.doc_id = c.index_id),
+        best AS (
+            SELECT doc_id, index_id, agree_x100,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY agree_x100 DESC, index_id ASC) AS rn
+            FROM scored)
+        SELECT doc_id, index_id, agree_x100
+        FROM best WHERE rn = 1 AND agree_x100 >= 50
     """,
 }

@@ -198,14 +198,28 @@ def test_pii_and_repetition_are_zero_shuffle(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_dedup_incremental_carries_signatures_in_row(spark):
+    """The delta-vs-index bucket join must carry the signature arrays on
+    the banded rows themselves — no join back to a signature table (which
+    would add two corpus-wide shuffles), no forced broadcast of the
+    index side (corpus-sized at 100 TB), and no Python in the plan."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two signature aggs + bucket-join alignment + final max-agg: the
+    # agreement score needs NO additional exchange because the arrays
+    # ride the banded rows
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
 def test_shingle_novelty_reuses_shingle_exchange(spark):
-    """Count postings + join back must share ONE exchange over the exploded
-    shingles (AQE exchange reuse), and never materialize id lists."""
+    """The count-only unique-shingle plan: the raw (doc, shingle) posting
+    stream is consumed ONLY by the map-side-combined groupBy(shingle)
+    aggregate (never re-shuffled as a join probe), and no id list is ever
+    materialized.  Shuffles: shingle agg, singleton per-doc agg, narrow
+    universe-join alignment — at most 3."""
     plan = _plan(spark, "shingle_novelty")
     assert "collect_list" not in plan
-    # the (doc, shingle) explode feeds both the count agg and the join
-    # probe; with exchange reuse the *initial* plan carries at most the
-    # shuffles for: shingle count agg, join alignment, per-doc agg
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
