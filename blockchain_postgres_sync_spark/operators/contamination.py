@@ -125,42 +125,22 @@ def shingle_novelty(
     appear in at least one OTHER document, and the shared fraction
     ``shared_x100`` (floor of 100 * shared / total, exact integer).
 
-    Identity ``n_shared = n_shingles - n_unique`` turns the obvious
-    counts-join-back plan (which re-shuffles every raw (doc, shingle) row
-    into a join probe) into a count-only one: the per-doc total is computed
-    IN-ROW before the explode (``size(array_distinct(...))``), and a
-    globally-unique shingle lives on exactly ONE row after the
-    groupBy(shingle) aggregate, so ``min(owner)`` on that aggregate names
-    its owning document for free.  The only wide exchange thus carries the
-    map-side-COMBINED (shingle -> count, owner) rows — never the raw
-    posting stream — and no posting id list is ever materialized (a
-    stop-shingle would make that one corpus-sized row).  The join back to
-    the doc universe is narrow (two long columns a side, corpus-row count)
-    and is required because fully-shared documents own no singleton row.
+    Count-only postings (never a materialized id list — a stop-shingle's
+    posting list would be one corpus-sized row) joined back to the shingle
+    table ON THE SAME KEY the count aggregate shuffled on: AQE exchange
+    reuse executes the tokenize+shingle+shuffle once and the join consumes
+    the co-partitioned sides without a new exchange, so the whole operator
+    costs one wide exchange over (doc, shingle) plus the final per-doc agg.
     """
-    universe = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    token_shingles(F.col(text_col), shingle_size),
-                    lambda s: F.xxhash64(s),
-                )
-            )
-        ).cast("long").alias("n_shingles"),
-    ).filter(F.col("n_shingles") > 0)
     sh = _doc_shingles(df, id_col, text_col, shingle_size)
-    uniques = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_n_docs"), F.min(F.col(id_col)).alias(id_col))
-        .filter(F.col("_n_docs") == 1)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n_docs"))
+    out = (
+        sh.join(counts, "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n_unique"))
-    )
-    out = universe.join(uniques, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        (F.col("n_shingles") - F.coalesce("_n_unique", F.lit(0))).alias("n_shared"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
     )
     return out.select(
         id_col,
