@@ -109,6 +109,8 @@ HEADLINE = [
     "lang_mismatch",
     "embedding_outliers",
     "label_purity",
+    "dedup_incremental",
+    "boilerplate_scrub",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

@@ -232,6 +232,105 @@ def incremental_lsh_matches(
     return best.filter(F.col("agree_x100") >= int(min_agree * 100))
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal, APPLIED: every document
+    is cut into non-overlapping ``span_tokens``-token spans; a span whose
+    exact token sequence occurs >= ``min_count`` times across the corpus
+    (counting every occurrence, including repeats within one document) is
+    boilerplate, and the output document is the original with those spans
+    removed — remaining spans and the trailing ``len % span_tokens``
+    remainder keep their original order.
+
+    Returns ``(id_col, n_spans, n_dropped, clean_text)`` for every
+    non-NULL-text document (``n_spans`` counts full spans only).
+
+    The survivor-report companion is the ``chunk_dedup`` catalog query
+    (keep-first-occurrence); this operator is the other half of the C4
+    recipe — the corpus rewritten.
+
+    Plan shape: map-only span digests (md5 — exact dedup wants exact
+    equality, and the digest is oracle-reproducible), ONE groupBy on the
+    digest for global counts, a join of the span stream back on THE SAME
+    digest key (AQE exchange reuse: the tokenize+span+shuffle runs once),
+    then one per-doc agg of dropped span positions and an IN-ROW rebuild
+    (filter the token array by span index) joined narrowly against the
+    doc frame.  No posting list of owners is ever materialized — a viral
+    boilerplate span (the whole point of the operator) would make that
+    one corpus-sized row; the hot-span dim is count-only.
+    """
+    w = span_tokens
+    toks = F.split(F.col(text_col), " ")
+    n_full = F.floor(F.size(toks) / w).cast("int")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n_full.alias("_nf"),
+        # sequence(0, -1) descends in Spark — guard the empty-span case
+        F.when(
+            n_full > 0, F.sequence(F.lit(0), (n_full - 1).cast("int"))
+        ).otherwise(F.array().cast("array<int>")).alias("_ps"),
+    )
+    sp = base.select(
+        F.col(id_col),
+        F.explode("_ps").alias("_pos"),
+        F.col("_t"),
+    ).select(
+        id_col,
+        "_pos",
+        F.md5(F.array_join(F.slice("_t", F.col("_pos") * w + 1, w), " ")).alias("_h"),
+    )
+    hot = (
+        sp.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    dropped = (
+        sp.join(hot, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("_pos").alias("_dp"),
+            F.count(F.lit(1)).alias("n_dropped"),
+        )
+    )
+    joined = base.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("_nf").cast("long").alias("n_spans"),
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        F.col("_t"),
+        F.col("_nf"),
+        F.coalesce("_dp", F.array().cast("array<int>")).alias("_dp"),
+    )
+    kept_spans = F.filter(
+        F.when(
+            F.col("_nf") > 0, F.sequence(F.lit(0), (F.col("_nf") - 1).cast("int"))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda p: ~F.array_contains("_dp", p),
+    )
+    tail_len = F.size("_t") - F.col("_nf") * w
+    tail = F.when(
+        tail_len > 0, F.slice("_t", F.col("_nf") * w + 1, tail_len)
+    ).otherwise(F.array().cast("array<string>"))
+    clean = F.array_join(
+        F.concat(
+            F.flatten(
+                F.transform(kept_spans, lambda p: F.slice("_t", p * w + 1, w))
+            ),
+            tail,
+        ),
+        " ",
+    )
+    return joined.select(
+        id_col, "n_spans", "n_dropped", clean.alias("clean_text")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -605,6 +605,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal applied to the corpus: 3-token spans
+    occurring >= 2 times corpus-wide are dropped and each document is
+    rebuilt (surviving spans + remainder tokens, original order)."""
+    return dedup.boilerplate_scrub(
+        _t(spark, sf_dir, "documents"), span_tokens=3, min_count=2
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (min-label contraction loop)
     over the MinHash-LSH candidate-pair graph; cluster_id = min doc in the
@@ -2199,6 +2208,7 @@ CATALOG: dict[str, QueryFn] = {
     "session_windows": q_session_windows,
     "twap": q_twap,
     "dedup_incremental": q_dedup_incremental,
+    "boilerplate_scrub": q_boilerplate_scrub,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3501,5 +3511,37 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT doc_id, index_id, agree_x100
         FROM best WHERE rn = 1 AND agree_x100 >= 50
+    """,
+    "boilerplate_scrub": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL),
+        base AS (SELECT doc_id, t,
+                        CAST(floor(len(t) / 3.0) AS BIGINT) AS nf
+                 FROM toks),
+        sp AS (
+            SELECT doc_id, pos,
+                   md5(array_to_string(t[pos * 3 + 1 : pos * 3 + 3], ' ')) AS h
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(0, nf - 1)) AS pos
+                  FROM base WHERE nf > 0)),
+        hot AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+        dr AS (SELECT doc_id, list(pos) AS dp,
+                      CAST(count(*) AS BIGINT) AS n_dropped
+               FROM sp JOIN hot USING (h) GROUP BY doc_id),
+        rebuilt AS (
+            SELECT b.doc_id, b.nf AS n_spans,
+                   coalesce(dr.n_dropped, 0) AS n_dropped,
+                   coalesce(array_to_string(
+                       flatten(list_transform(
+                           list_filter(
+                               CASE WHEN b.nf > 0
+                                    THEN generate_series(0, b.nf - 1)
+                                    ELSE [] END,
+                               p -> NOT list_contains(coalesce(dr.dp, []), p)),
+                           p -> b.t[p * 3 + 1 : p * 3 + 3]))
+                       || b.t[b.nf * 3 + 1 : len(b.t)], ' '), '')
+                       AS clean_text
+            FROM base b LEFT JOIN dr ON dr.doc_id = b.doc_id)
+        SELECT doc_id, n_spans, n_dropped, clean_text FROM rebuilt
     """,
 }

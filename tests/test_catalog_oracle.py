@@ -43,8 +43,4 @@ def test_bench_headline_names_resolve():
     assert set(bench.HEADLINE) <= set(CATALOG)
     # and the exclusions are exactly the documented sub-second/streaming set
     excluded = set(CATALOG) - set(bench.HEADLINE)
-    assert excluded == {
-        "decimals_view", "dedup_tokenset", "latest_supply", "order_json",
-        "rollback_scd", "squash_blocks", "squash_repoint",
-        "ticker_parse_latest",
-    }
+    assert excluded == {"dedup_tokenset"}

@@ -361,3 +361,57 @@ def test_source_overlap_unordered_and_normalized(spark):
     # (4,1) and (2,5) both collapse to (big, small); (1,2) is intra-big
     assert out[("big", "small")] == (2, 3, 2, 1_000_000)  # 2 pairs / min=2
     assert out[("big", "big")] == (1, 3, 3, 333_333)
+
+
+def test_boilerplate_scrub_drops_hot_spans_keeps_tail(spark):
+    # "a b c" occurs in docs 1+2; "q r s" occurs 3x (once in 2, twice in 3
+    # — within-doc repeats count toward the global threshold).
+    rows = [
+        (1, "a b c d e f x"),
+        (2, "a b c q r s"),
+        (3, "q r s q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_scrub(df, span_tokens=3, min_count=2).collect()
+    }
+    assert out[1].clean_text == "d e f x"  # tail token survives
+    assert (out[1].n_spans, out[1].n_dropped) == (2, 1)
+    assert out[2].clean_text == ""
+    assert (out[2].n_spans, out[2].n_dropped) == (2, 2)
+    assert out[3].clean_text == ""
+    assert (out[3].n_spans, out[3].n_dropped) == (2, 2)
+    # a threshold nothing reaches leaves every document intact
+    intact = {
+        r.doc_id: r.clean_text
+        for r in dedup.boilerplate_scrub(df, span_tokens=3, min_count=4).collect()
+    }
+    assert intact == {1: "a b c d e f x", 2: "a b c q r s", 3: "q r s q r s"}
+
+
+def test_incremental_lsh_matches_tiebreak_and_miss(spark):
+    index = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta"),
+            (12, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (20, "alpha beta gamma delta epsilon zeta eta theta"),
+            (21, "red orange yellow green blue indigo violet ultraviolet"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_lsh_matches(incoming, index).collect()
+    }
+    # identical text -> full signature agreement; tie between index docs
+    # 10 and 11 resolves to the smaller id
+    assert out[20].index_id == 10 and out[20].agree_x100 == 100
+    # nothing in the index shares a band bucket with doc 21
+    assert 21 not in out
