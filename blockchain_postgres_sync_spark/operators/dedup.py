@@ -143,15 +143,55 @@ def lsh_candidate_pairs(
     )
 
 
+def banded_signature_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """The storable LSH-index relation: ``(id_col, sig array<long>,
+    bucket long)`` — ``bands`` rows per document, each carrying the full
+    k-component minhash signature and one band-salted 64-bit bucket hash.
+
+    This is the frame :func:`incremental_lsh_matches` joins the delta
+    against; persist it with ``sources.bucketed.write_bucketed(...,
+    bucket_cols=["bucket"])`` and steady-state ingest reads it back with
+    its distribution metadata intact — the bucket join then shuffles ONLY
+    the incoming batch (asserted structurally in
+    tests/test_plans.py::test_incremental_dedup_bucketed_index_skips_exchange).
+    """
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_size=shingle_size,
+    )
+    rows_per_band = num_hashes // bands
+    buckets = [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"mh_{j}")
+              for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )
+
+
 def incremental_lsh_matches(
     incoming: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 12,
     shingle_size: int = 3,
     bands: int = 4,
     min_agree: float = 0.5,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-ingested corpus: for each
     incoming document, its best near-duplicate already in the index —
@@ -178,30 +218,36 @@ def incremental_lsh_matches(
     (``sources/bucketed.py``) so only the delta shuffles.  A pair meeting
     in several bands scores identically each time, so the final max-agg
     dedupes without a distinct pass.
+
+    Pass ``index_banded`` (a :func:`banded_signature_rows` frame, e.g. a
+    bucketed table read back via ``sources.bucketed.read_bucketed``)
+    instead of ``index`` to reuse a STORED index: signatures are then
+    computed for the delta only, and a table bucketed on ``bucket``
+    contributes no exchange of its own to the join.
     """
-    def _banded(df: DataFrame, out: str) -> DataFrame:
-        sig = minhash_signatures(
-            df, id_col=id_col, text_col=text_col,
-            num_hashes=num_hashes, shingle_size=shingle_size,
-        )
-        rows_per_band = num_hashes // bands
-        buckets = [
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"mh_{j}")
-                  for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-        return sig.select(
+    if (index is None) == (index_banded is None):
+        raise ValueError("pass exactly one of index / index_banded")
+
+    def _to_struct(banded: DataFrame, out: str) -> DataFrame:
+        return banded.select(
             F.struct(
-                F.col(id_col).alias("id"),
-                F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)]).alias("sig"),
+                F.col(id_col).alias("id"), F.col("sig").alias("sig")
             ).alias(out),
-            F.explode(F.array(*buckets)).alias("bucket"),
+            "bucket",
         )
 
-    joined = _banded(incoming, "inc").join(_banded(index, "idx"), "bucket")
+    if index_banded is None:
+        index_banded = banded_signature_rows(
+            index, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_size=shingle_size, bands=bands,
+        )
+    inc_banded = banded_signature_rows(
+        incoming, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_size=shingle_size, bands=bands,
+    )
+    joined = _to_struct(inc_banded, "inc").join(
+        _to_struct(index_banded, "idx"), "bucket"
+    )
     agree = F.aggregate(
         F.zip_with(
             F.col("inc.sig"), F.col("idx.sig"),

@@ -279,6 +279,53 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_counts")
 
 
+def test_incremental_dedup_bucketed_index_skips_exchange(spark, tmp_path):
+    """Steady-state ingest posture: the LSH index stored bucketed on the
+    bucket key contributes NO exchange to the delta join — only the
+    incoming batch shuffles — and the stored-index path returns exactly
+    what the recompute-the-index path returns."""
+    from blockchain_postgres_sync_spark.operators import dedup
+    from blockchain_postgres_sync_spark.sources.bucketed import (
+        read_bucketed, write_bucketed,
+    )
+
+    index = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (12, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    write_bucketed(
+        dedup.banded_signature_rows(index), "b_lsh_index", ["bucket"], 8,
+        path=str(tmp_path / "b_lsh_index"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stored = dedup.incremental_lsh_matches(
+            incoming, None, index_banded=read_bucketed(spark, "b_lsh_index")
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = stored._jdf.queryExecution().explainString(mode)
+        # delta side: signature agg + join alignment; final max-agg.  The
+        # index side adds NOTHING (recomputing it adds two more).
+        assert plan.count("Exchange hashpartitioning") <= 3
+        recomputed = dedup.incremental_lsh_matches(incoming, index)
+        assert sorted(map(tuple, stored.collect())) == sorted(
+            map(tuple, recomputed.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+
+
 def test_mapside_quality_and_split_are_zero_shuffle(spark):
     """quality_score / dataset_split / embedding_quantize are pure per-row
     transforms: no exchange, no Python anywhere in the plan."""
