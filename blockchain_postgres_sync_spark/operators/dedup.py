@@ -182,6 +182,44 @@ def banded_signature_rows(
     )
 
 
+def banded_match_scores(
+    inc_banded: DataFrame,
+    index_banded: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Pair-level scores behind :func:`incremental_lsh_matches` (and its
+    streaming twin ``streaming.lsh_stream.streaming_index_matches``): join
+    two :func:`banded_signature_rows` frames on the bucket key and score
+    every met pair — ``(id_col, index_id, agree_x100)``, one row per
+    SHARED BAND (a pair meeting in several bands repeats with an identical
+    deterministic score, so any downstream dedupe/agg is idempotent)."""
+    joined = inc_banded.select(
+        F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig")).alias("inc"),
+        "bucket",
+    ).join(
+        index_banded.select(
+            F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig")).alias("idx"),
+            "bucket",
+        ),
+        "bucket",
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("inc.sig"), F.col("idx.sig"),
+            lambda x, y: (x == y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return joined.select(
+        F.col("inc.id").alias(id_col),
+        F.col("idx.id").alias("index_id"),
+        F.floor(agree.cast("double") * 100.0 / float(num_hashes))
+        .cast("long").alias("agree_x100"),
+    )
+
+
 def incremental_lsh_matches(
     incoming: DataFrame,
     index: DataFrame | None,
@@ -228,14 +266,6 @@ def incremental_lsh_matches(
     if (index is None) == (index_banded is None):
         raise ValueError("pass exactly one of index / index_banded")
 
-    def _to_struct(banded: DataFrame, out: str) -> DataFrame:
-        return banded.select(
-            F.struct(
-                F.col(id_col).alias("id"), F.col("sig").alias("sig")
-            ).alias(out),
-            "bucket",
-        )
-
     if index_banded is None:
         index_banded = banded_signature_rows(
             index, id_col=id_col, text_col=text_col,
@@ -245,22 +275,8 @@ def incremental_lsh_matches(
         incoming, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_size=shingle_size, bands=bands,
     )
-    joined = _to_struct(inc_banded, "inc").join(
-        _to_struct(index_banded, "idx"), "bucket"
-    )
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("inc.sig"), F.col("idx.sig"),
-            lambda x, y: (x == y).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = joined.select(
-        F.col("inc.id").alias(id_col),
-        F.col("idx.id").alias("index_id"),
-        F.floor(agree.cast("double") * 100.0 / float(num_hashes))
-        .cast("long").alias("agree_x100"),
+    scored = banded_match_scores(
+        inc_banded, index_banded, id_col=id_col, num_hashes=num_hashes
     )
     best = (
         scored.groupBy(id_col)

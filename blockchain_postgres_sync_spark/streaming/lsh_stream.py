@@ -136,3 +136,89 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def inrow_banded_signature_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """``operators.dedup.banded_signature_rows`` as pure per-row
+    expressions — value-identical rows (same signatures, same band-salted
+    xxhash64 bucket keys, docs with no shingles absent), but with NO
+    aggregation, so it is legal in an append-mode stream.  The shingle
+    hash array materializes as a column first: higher-order expressions do
+    not common-subexpression-eliminate, so deriving all k minhash columns
+    from one concrete array avoids re-hashing every shingle k times."""
+    base = docs.select(
+        F.col(id_col),
+        F.transform(
+            token_shingles(F.col(text_col), shingle_size),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            % MINHASH_PRIME,
+        ).alias("_hv"),
+    ).filter(F.size("_hv") > 0)
+    sig = base.select(
+        id_col,
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "_hv", lambda v: (F.lit(a) * v + F.lit(b)) % MINHASH_PRIME
+                    )
+                )
+                for a, b in minhash_affine_params(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = num_hashes // bands
+    buckets = [
+        F.xxhash64(
+            F.lit(b),
+            *[F.element_at("sig", j + 1)
+              for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, "sig", F.explode(F.array(*buckets)).alias("bucket")
+    )
+
+
+def streaming_index_matches(
+    docs: DataFrame,
+    index_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+    bands: int = 4,
+    min_agree: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.incremental_lsh_matches``: as
+    documents STREAM in, match each against a STORED LSH index
+    (``banded_signature_rows`` persisted bucketed on the bucket key) via a
+    stateless stream-static join — emits ``(id_col, index_id,
+    agree_x100)`` per shared band at ``min_agree`` or above.
+
+    A pair meeting in several bands repeats with an identical
+    deterministic score, so consumers dedupe idempotently (same contract
+    as ``streaming_lsh_candidates``); the distinct union over micro-
+    batches equals the batch ``banded_match_scores`` of the union of
+    inputs at the same threshold (parity-tested).  Unlike the batch
+    operator there is no best-match collapse — that would be a stateful
+    max over the unbounded stream; collapse in the sink, where the
+    candidate set is already bounded."""
+    from ..operators.dedup import banded_match_scores
+
+    inc = inrow_banded_signature_rows(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_size=shingle_size, bands=bands,
+    )
+    scored = banded_match_scores(
+        inc, index_banded, id_col=id_col, num_hashes=num_hashes
+    )
+    return scored.filter(F.col("agree_x100") >= int(min_agree * 100))

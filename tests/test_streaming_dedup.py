@@ -226,3 +226,61 @@ def test_kafka_frame_decode_matches_socket_path(spark):
     via_socket = sorted(map(str, parse_update_lines(socket_df).collect()))
     assert via_kafka == via_socket
     assert len(via_kafka) == 2  # malformed + tombstone dropped
+
+
+def test_streaming_index_matches_batch_parity(spark):
+    """Stream-vs-stored-index matches accumulated over a 2-micro-batch
+    stream (deduped) must equal the batch pair-level scores of the same
+    split at the same threshold — and stay consistent with the batch
+    best-match operator (every best match is witnessed by the stream)."""
+    from blockchain_postgres_sync_spark.operators.dedup import (
+        banded_match_scores, banded_signature_rows, incremental_lsh_matches,
+    )
+    from blockchain_postgres_sync_spark.streaming.lsh_stream import (
+        streaming_index_matches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    idx_banded = banded_signature_rows(index).localCheckpoint(eager=False)
+    expected = {
+        (r.doc_id, r.index_id, r.agree_x100)
+        for r in banded_match_scores(banded_signature_rows(incoming), idx_banded)
+        .filter(F.col("agree_x100") >= 50).collect()
+    }
+    assert expected, "fixture must contain index matches"
+
+    d = tempfile.mkdtemp(prefix="lsh_index_stream_")
+    try:
+        half = incoming.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        incoming.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(f"{d}/b0")
+        incoming.filter(F.col("doc_id") > half).coalesce(1).write.parquet(f"{d}/b1")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        q = (
+            streaming_index_matches(stream, idx_banded)
+            .writeStream.format("memory")
+            .queryName("lsh_index_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.doc_id, r.index_id, r.agree_x100)
+            for r in spark.sql("SELECT * FROM lsh_index_stream_out").collect()
+        }
+        assert got == expected
+        # the batch operator's best matches are a subset of the stream's
+        # witnessed pairs
+        best = {
+            (r.doc_id, r.index_id, r.agree_x100)
+            for r in incremental_lsh_matches(incoming, index).collect()
+        }
+        assert best <= got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
