@@ -111,6 +111,7 @@ HEADLINE = [
     "label_purity",
     "dedup_incremental",
     "boilerplate_scrub",
+    "mixture_plan",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

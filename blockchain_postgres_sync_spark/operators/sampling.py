@@ -144,3 +144,66 @@ def curate(
         & (F.col("mean_token_len_x100") <= max_mean_token_len_x100)
         & (F.col("repetition_x100") >= min_repetition_x100)
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Data-mixture planning: how to sample each source to fill a training
+    token budget at uniform per-source proportions — the static mixture
+    table every large-scale pretraining run starts from (per-source
+    inventory -> planned tokens -> sampling rate, with over-subscribed
+    sources exposed as epoch counts rather than silently clipped).
+
+    Per source: ``n_docs``, ``n_tokens`` (whitespace tokens),
+    ``planned_tokens = floor(token_budget / n_sources)``,
+    ``sample_rate_x1m = floor(1e6 * min(1, planned/n_tokens))`` (the
+    hash_sample rate that realizes the plan when the source over-fills
+    its quota) and ``epochs_x100 = floor(100 * planned/n_tokens)``
+    (>100 means the source must repeat to fill its share).
+
+    Plan shape (100 TB): ONE map-side-combined groupBy(source) over the
+    corpus — token counting is in-row; the source-count total is a
+    one-row broadcast attach (the ``unigram_logprob`` house pattern,
+    never a driver collect), and everything after the agg operates on
+    source-cardinality rows.
+    """
+    per_source = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("long")
+            .alias("n_tokens"),
+        )
+        # feeds BOTH the plan rows and the source-count total: without
+        # materialization each consumer re-runs the corpus aggregation
+        # (house diamond pattern; source-cardinality rows, so the pinned
+        # copy is tiny)
+        .localCheckpoint(eager=False)
+    )
+    n_sources = per_source.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_sources")
+    )
+    planned = F.floor(
+        F.lit(float(token_budget)) / F.col("_n_sources").cast("double")
+    ).cast("long")
+    out = per_source.join(F.broadcast(n_sources)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        planned.alias("planned_tokens"),
+    )
+    frac = F.col("planned_tokens").cast("double") / F.col("n_tokens").cast("double")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "planned_tokens",
+        F.floor(F.least(F.lit(1.0), frac) * 1000000.0).cast("long")
+        .alias("sample_rate_x1m"),
+        F.floor(frac * 100.0).cast("long").alias("epochs_x100"),
+    )

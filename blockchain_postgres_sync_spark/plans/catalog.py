@@ -614,6 +614,14 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture table for a 100k-token budget: source
+    inventory -> planned tokens -> hash_sample rate / epoch count."""
+    return sampling.mixture_plan(
+        _t(spark, sf_dir, "documents"), token_budget=100_000
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (min-label contraction loop)
     over the MinHash-LSH candidate-pair graph; cluster_id = min doc in the
@@ -2209,6 +2217,7 @@ CATALOG: dict[str, QueryFn] = {
     "twap": q_twap,
     "dedup_incremental": q_dedup_incremental,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "mixture_plan": q_mixture_plan,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3543,5 +3552,26 @@ ORACLES: dict[str, str] = {
                        AS clean_text
             FROM base b LEFT JOIN dr ON dr.doc_id = b.doc_id)
         SELECT doc_id, n_spans, n_dropped, clean_text FROM rebuilt
+    """,
+    "mixture_plan": """
+        WITH per_source AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents WHERE text IS NOT NULL GROUP BY source),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM per_source),
+        planned AS (
+            SELECT p.source, p.n_docs, p.n_tokens,
+                   CAST(floor(100000.0 / CAST(t.ns AS DOUBLE)) AS BIGINT)
+                       AS planned_tokens
+            FROM per_source p, tot t)
+        SELECT source, n_docs, n_tokens, planned_tokens,
+               CAST(floor(least(1.0, CAST(planned_tokens AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS sample_rate_x1m,
+               CAST(floor(CAST(planned_tokens AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) * 100.0) AS BIGINT)
+                   AS epochs_x100
+        FROM planned
     """,
 }
