@@ -265,3 +265,21 @@ def test_bigram_logprob_exact_costs(spark):
         }
         assert out == expected
     assert 3 not in expected  # single token: no transition evidence
+
+
+def test_mixture_plan_caps_and_epochs(spark):
+    # budget 120 over 2 sources -> 60 planned each; "big" holds 100 tokens
+    # (rate 60%), "small" holds 10 (needs 6 epochs, rate capped at 100%)
+    rows = [("big", "w " * 99 + "w")] * 1 + [("small", "w " * 9 + "w")]
+    df = spark.createDataFrame(
+        [(s, t.strip()) for s, t in rows], "source string, text string"
+    )
+    from blockchain_postgres_sync_spark.operators.sampling import mixture_plan
+
+    out = {r.source: r for r in mixture_plan(df, token_budget=120).collect()}
+    assert out["big"].n_tokens == 100 and out["big"].planned_tokens == 60
+    assert out["big"].sample_rate_x1m == 600000
+    assert out["big"].epochs_x100 == 60
+    assert out["small"].n_tokens == 10
+    assert out["small"].sample_rate_x1m == 1000000  # capped at 1.0
+    assert out["small"].epochs_x100 == 600  # must repeat 6x to fill quota
