@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_incremental",
     "boilerplate_scrub",
     "mixture_plan",
+    "leakage_safe_split",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

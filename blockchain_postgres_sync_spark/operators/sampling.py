@@ -207,3 +207,45 @@ def mixture_plan(
         .alias("sample_rate_x1m"),
         F.floor(frac * 100.0).cast("long").alias("epochs_x100"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """:func:`dataset_split` with the near-dup leak closed: random-by-key
+    splits put near-duplicate documents in DIFFERENT splits, so the model
+    trains on (a copy of) its own eval set.  Here the split is a pure
+    function of the duplicate CLUSTER id (``operators.dedup.
+    duplicate_clusters`` output; unclustered docs fall back to their own
+    key, which IS their cluster id under min-member labeling), so every
+    member of a cluster lands in one split and unclustered docs keep
+    exactly their :func:`dataset_split` assignment.
+
+    Plan shape: one hash join of the corpus against the cluster relation
+    (bounded by the near-dup subset — orders of magnitude smaller than
+    the corpus, but it SCALES with duplication, so no forced broadcast;
+    AQE decides) + the same map-only hash banding as
+    :func:`dataset_split`.
+    """
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            f"need val_frac, test_frac >= 0 with sum < 1, got "
+            f"{val_frac}, {test_frac}"
+        )
+    cl = clusters.select(
+        F.col("doc_id").alias(key_col), F.col("cluster_id")
+    )
+    skey = F.coalesce(F.col("cluster_id"), F.col(key_col))
+    h = _hash31(skey)
+    t_val = int(val_frac * HASH_SPACE)
+    t_test = t_val + int(test_frac * HASH_SPACE)
+    return df.join(cl, key_col, "left").withColumn(
+        "split",
+        F.when(h < t_val, F.lit("val"))
+        .when(h < t_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -622,6 +622,20 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the near-dup CLUSTER id (min member),
+    so no near-duplicate pair ever straddles a split boundary; unclustered
+    docs keep exactly their dataset_split assignment.  Oracle: recursive-
+    CTE connected components + the same md5 hash banding."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    clusters = dedup.duplicate_clusters(pairs)
+    return sampling.leakage_safe_split(
+        docs.select("doc_id", "source"), clusters
+    ).select("doc_id", "source", "cluster_id", "split")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (min-label contraction loop)
     over the MinHash-LSH candidate-pair graph; cluster_id = min doc in the
@@ -2218,6 +2232,7 @@ CATALOG: dict[str, QueryFn] = {
     "dedup_incremental": q_dedup_incremental,
     "boilerplate_scrub": q_boilerplate_scrub,
     "mixture_plan": q_mixture_plan,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3573,5 +3588,29 @@ ORACLES: dict[str, str] = {
                    / CAST(n_tokens AS DOUBLE) * 100.0) AS BIGINT)
                    AS epochs_x100
         FROM planned
+    """,
+    "leakage_safe_split": f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+        nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY id),
+        keyed AS (
+            SELECT d.doc_id, d.source, c.cluster_id,
+                   {_hex_int_sql(
+                       "md5(CAST(coalesce(c.cluster_id, d.doc_id)"
+                       " AS VARCHAR))", 15)}
+                       % 2147483647 AS h31
+            FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+        SELECT doc_id, source, cluster_id,
+               CASE WHEN h31 < 214748364 THEN 'val'
+                    WHEN h31 < 429496728 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM keyed
     """,
 }

@@ -283,3 +283,27 @@ def test_mixture_plan_caps_and_epochs(spark):
     assert out["small"].n_tokens == 10
     assert out["small"].sample_rate_x1m == 1000000  # capped at 1.0
     assert out["small"].epochs_x100 == 600  # must repeat 6x to fill quota
+
+
+def test_leakage_safe_split_colocates_clusters(spark):
+    from blockchain_postgres_sync_spark.operators.sampling import (
+        dataset_split, leakage_safe_split,
+    )
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    # clusters: {0..9} -> 0, {100..104} -> 100; everything else unclustered
+    members = list(range(10)) + list(range(100, 105))
+    clusters = spark.createDataFrame(
+        [(m, 0 if m < 10 else 100) for m in members],
+        "doc_id long, cluster_id long",
+    )
+    out = leakage_safe_split(docs, clusters).collect()
+    by_doc = {r.doc_id: r.split for r in out}
+    assert len({by_doc[m] for m in range(10)}) == 1
+    assert len({by_doc[m] for m in range(100, 105)}) == 1
+    # cluster members inherit the split of their min-member id
+    base = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    assert by_doc[5] == base[0] and by_doc[104] == base[100]
+    # unclustered docs keep exactly their dataset_split assignment
+    for d in (50, 250, 399):
+        assert by_doc[d] == base[d]
