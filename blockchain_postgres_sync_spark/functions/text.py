@@ -70,6 +70,34 @@ def token_shingles(text: Column, n: int = 3) -> Column:
     return F.slice(z, 1, out_len)
 
 
+def hashed_token_shingles(text: Column, n: int = 3) -> Column:
+    """64-bit shingle KEYS without ever materializing shingle strings:
+    tokens hash once (xxhash64), then the same zip-of-shifted-copies pass
+    as :func:`token_shingles` combines n consecutive token hashes with
+    xxhash64(long, long) — fixed 16-byte hashing per position instead of
+    an O(shingle-length) string build + string hash.
+
+    The result is a CONSISTENT identity function of the token sequence
+    (equal shingles ⇒ equal keys; unequal ⇒ equal only with the usual
+    ~2^-64 collision odds — the accepted MinHash/SimHash approximation
+    family), NOT equal to ``xxhash64(token_shingles(...))`` values: use it
+    where shingles only matter for grouping/joining identity, never where
+    the shingle text itself is output (ngram_topk, salient_terms) or where
+    an external oracle must reproduce the digest (minhash md5 family).
+
+    Tail note: for documents shorter than n tokens the null zip padding
+    re-hashes instead of no-op'ing (xxhash64 skips nulls), which changes
+    the VALUE versus the string form but not identity consistency.
+    """
+    th = F.transform(tokens(text), lambda x: F.xxhash64(x))
+    out_len = F.greatest(F.size(th) - (n - 1), F.lit(1))
+    z = th
+    for k in range(1, n):
+        shifted = F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(1)))
+        z = F.zip_with(z, shifted, lambda a, b: F.xxhash64(a, b))
+    return F.slice(z, 1, out_len)
+
+
 def quality_ratios(text: Column) -> dict[str, Column]:
     """Cheap quality-score signals (length, mean token length, repetition).
 

@@ -27,24 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_shingles
+from ..functions.text import hashed_token_shingles
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs with the shingle as its 64-bit xxhash: every
+    """(id, shingle) pairs with the shingle as a 64-bit hash key: every
     consumer in this module counts or joins on shingle IDENTITY only, so
-    hashing in-row before the explode shrinks the shuffled/joined key from
-    a multi-token string to 8 bytes.  A collision merges two shingles'
-    counts with probability ~|shingles|^2 / 2^64 — the same accepted
-    approximation family as MinHash/SimHash blocking."""
+    the keys come straight from ``hashed_token_shingles`` — token hashes
+    combined in-row, no shingle string ever built, and the shuffled/joined
+    key is 8 bytes instead of a multi-token string.  A collision merges two
+    shingles' counts with probability ~|shingles|^2 / 2^64 — the same
+    accepted approximation family as MinHash/SimHash blocking."""
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    token_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-                )
-            )
+            F.array_distinct(hashed_token_shingles(F.col(text_col), n))
         ).alias("shingle"),
     )
 
@@ -80,10 +77,7 @@ def benchmark_contamination(
     doc_sh = corpus.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.array_distinct(
-            F.transform(
-                token_shingles(F.col(text_col), shingle_size),
-                lambda s: F.xxhash64(s),
-            )
+            hashed_token_shingles(F.col(text_col), shingle_size)
         ).alias("_shs"),
     ).select(
         id_col,

@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_shingles, tokenset_fingerprint
+from ..functions.text import (
+    hashed_token_shingles, token_shingles, tokenset_fingerprint,
+)
 from ..functions.vectors import dot, norm
 
 
@@ -432,17 +434,15 @@ def ngram_jaccard_pairs(
     # the shingle key.  n_sh rides as a struct member: it is functionally
     # dependent on the doc id, so grouping on (id, n_sh) pairs below is the
     # same grouping as on ids alone.
-    # shingles hash to 64-bit in-row before the explode: the pair expansion
-    # groups on shingle identity only, so an 8-byte key replaces the
-    # multi-token string in the posting shuffle (collision odds
-    # ~|shingles|^2/2^64 — the MinHash/SimHash approximation family)
+    # shingles are 64-bit hash keys built WITHOUT shingle strings
+    # (hashed_token_shingles): the pair expansion groups on shingle
+    # identity only, so an 8-byte key replaces the multi-token string in
+    # the posting shuffle (collision odds ~|shingles|^2/2^64 — the
+    # MinHash/SimHash approximation family)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
-            F.transform(
-                token_shingles(F.col(text_col), shingle_size),
-                lambda s: F.xxhash64(s),
-            )
+            hashed_token_shingles(F.col(text_col), shingle_size)
         ).alias("_shs"),
     ).select(
         F.struct(

@@ -838,7 +838,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
 
     def dup_x100(n: int) -> F.Column:
-        sh = T.token_shingles(F.col("text"), n)
+        # distinctness only needs gram IDENTITY — hashed keys skip the
+        # per-position gram-string builds (accepted 2^-64 collision family)
+        sh = T.hashed_token_shingles(F.col("text"), n)
         total = F.size(sh)
         distinct = F.size(F.array_distinct(sh))
         return F.floor(
