@@ -30,6 +30,22 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # Whole-stage codegen compiles a fresh Java class per plan shape; a
+    # ~100-query bench pass fills the JVM's default 240 MB reserved code
+    # cache (measured: profiled-nmethods heap at 90/116 MB after two
+    # catalog passes), after which HotSpot stops JIT-compiling and every
+    # subsequent query runs 2-3x slower ("CodeCache is full" aging).  The
+    # flag must reach the JVM BEFORE launch — in local-mode pyspark the
+    # gateway forks the JVM at getOrCreate, so spark.driver.extraJavaOptions
+    # set via SparkConf is silently ignored; JAVA_TOOL_OPTIONS is read by
+    # any JVM at startup.  No-op if a JVM is already up or the caller set
+    # their own value.
+    jto = os.environ.get("JAVA_TOOL_OPTIONS", "")
+    if "ReservedCodeCacheSize" not in jto:
+        os.environ["JAVA_TOOL_OPTIONS"] = (
+            jto + " -XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
+        ).strip()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
