@@ -113,6 +113,9 @@ HEADLINE = [
     "boilerplate_scrub",
     "mixture_plan",
     "leakage_safe_split",
+    "bpe_merge_pairs",
+    "bpe_train_merges",
+    "quality_auc",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

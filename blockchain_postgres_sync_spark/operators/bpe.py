@@ -1,0 +1,217 @@
+"""Byte-pair-encoding tokenizer-training primitives.
+
+Training-data pipeline extension (BASELINE.json north star): the
+map-reduce formulation of BPE training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") over the corpus
+word-frequency table.  No reference-repo analog — this is LLM-pipeline
+surface, like operators/encoding.py's vocab/encode family.
+
+Scale shape (100 TB): the corpus is scanned ONCE to build the word
+frequency table (one shuffle, |vocab| rows ≪ corpus); every BPE iteration
+after that operates on the vocab-sized frame only — one pair-count hash
+aggregation (map-side partial) plus an in-row merge rewrite.  The driver
+holds exactly one (left, right) pair per iteration (the argmax merge);
+word/symbol state never leaves the executors.  Per-iteration lineage is
+truncated with an eager localCheckpoint (house pattern — the frame is
+vocab-sized, NOT corpus-sized, so executor-local storage is bounded and
+the lost-executor recompute concern of corpus-scale checkpoints does not
+apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "word_frequencies",
+    "adjacent_pair_counts",
+    "top_merges",
+    "merge_symbols",
+    "bpe_train",
+    "bpe_encode",
+]
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the whitespace token stream — the input table of
+    BPE training.  One explode + ONE shuffle; output is vocab-sized.
+    Empty-string tokens (consecutive separators) carry no pair signal and
+    are dropped."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _symbol_pairs(symbols: F.Column) -> F.Column:
+    """Adjacent (left, right) struct pairs of a symbol array, in-row —
+    the zip-of-shifted-copies house pattern (functions/text.py
+    token_shingles); zip_with's null tail padding marks the end and is
+    filtered."""
+    shifted = F.slice(symbols, 2, F.greatest(F.size(symbols) - 1, F.lit(1)))
+    zipped = F.zip_with(
+        symbols,
+        shifted,
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return F.filter(zipped, lambda p: p["r"].isNotNull())
+
+
+def adjacent_pair_counts(
+    words: DataFrame,
+    symbols_col: str = "symbols",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over the word table:
+    the quantity BPE maximizes each merge step.  Pairs expand IN-ROW from
+    each word's symbol array (no self-join), then ONE hash aggregation on
+    (left, right) — map-side partial agg, vocab-sized input."""
+    return (
+        words.select(
+            F.explode(_symbol_pairs(F.col(symbols_col))).alias("_pr"),
+            F.col(freq_col).alias("_f"),
+        )
+        .groupBy(
+            F.col("_pr.l").alias("left"), F.col("_pr.r").alias("right")
+        )
+        .agg(F.sum("_f").cast("long").alias("pair_count"))
+    )
+
+
+def top_merges(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Top-k first-iteration merge candidates (character pairs) straight
+    from a document table — word frequencies, initial character symbols,
+    pair counts, deterministic (count desc, left, right) order.  One
+    corpus scan + two vocab-sized shuffles + TakeOrdered top-k."""
+    words = word_frequencies(df, text_col).withColumn(
+        "symbols", F.split(F.col("word"), "")
+    )
+    return (
+        adjacent_pair_counts(words)
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(k)
+    )
+
+
+def merge_symbols(symbols: F.Column, left: str, right: str) -> F.Column:
+    """Apply ONE merge to a symbol array in-row: single left-to-right
+    non-overlapping pass (the classic scan: on match emit left||right and
+    consume both, else emit and advance one).  A fold carrying
+    (pending_symbol, output) — O(n) per word, no captured re-evaluated
+    subexpressions (the HOF no-CSE gotcha)."""
+    merged = left + right
+    fold = F.aggregate(
+        symbols,
+        F.struct(
+            F.lit(None).cast("string").alias("pend"),
+            F.array().cast("array<string>").alias("out"),
+        ),
+        lambda s, c: F.struct(
+            F.when(
+                (s["pend"] == F.lit(left)) & (c == F.lit(right)),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(c)
+            .alias("pend"),
+            F.when(
+                (s["pend"] == F.lit(left)) & (c == F.lit(right)),
+                F.concat(s["out"], F.array(F.lit(merged))),
+            )
+            .when(s["pend"].isNull(), s["out"])
+            .otherwise(F.concat(s["out"], F.array(s["pend"])))
+            .alias("out"),
+        ),
+        lambda s: F.when(
+            s["pend"].isNull(), s["out"]
+        ).otherwise(F.concat(s["out"], F.array(s["pend"]))),
+    )
+    return fold
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a document table; returns the
+    merge table (step, left, right, pair_count) as a DataFrame.
+
+    Inherently iterative (each merge depends on the previous rewrite), so
+    the loop runs on the driver — but per iteration only the ONE argmax
+    row is collected; the vocab-sized symbol table stays distributed and
+    is checkpointed each round (lineage truncation, house pattern).  Ties
+    break deterministically on (count desc, left asc, right asc), so the
+    learned table is engine- and partitioning-independent.  Stops early
+    when no adjacent pair remains.
+    """
+    spark = df.sparkSession
+    words = (
+        word_frequencies(df, text_col)
+        .withColumn("symbols", F.split(F.col("word"), ""))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        best = (
+            adjacent_pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        merges.append((step, left, right, int(cnt)))
+        words = words.withColumn(
+            "symbols", merge_symbols(F.col("symbols"), left, right)
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment documents with a learned merge table: per word, apply the
+    merges IN ORDER, one full left-to-right pass each (the same pass
+    :func:`bpe_train` used to learn them, so train→encode round-trips).
+
+    Map-only — zero shuffle: tokenize, split to characters, chain
+    ``len(merges)`` in-row folds.  The expression chain grows linearly
+    with the merge table; for production-size tables (10k+) encode via a
+    broadcast merge list in an Arrow-batched pandas UDF instead — this
+    Catalyst form is for the bounded tables bpe_train produces.
+    """
+    sym = F.transform(
+        # empty-string words (consecutive separators / empty docs) match
+        # word_frequencies' drop — they contribute no pieces
+        F.filter(tokens(F.col(text_col)), lambda w: w != ""),
+        lambda w: F.split(w, ""),
+    )
+
+    def _apply_one(col_expr: F.Column, lf: str, rt: str) -> F.Column:
+        # closure (not lambda defaults): pyspark counts default params as
+        # HOF lambda arity, and late binding would capture the loop vars
+        return F.transform(col_expr, lambda s: merge_symbols(s, lf, rt))
+
+    out = F.col("_syms")
+    for left, right in merges:
+        out = _apply_one(out, left, right)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), sym.alias("_syms"))
+        .select(
+            F.col(id_col),
+            F.flatten(out).alias("pieces"),
+        )
+    )

@@ -32,8 +32,8 @@ from ..sources.tables import load_table
 from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
-    contamination, dedup, encoding, multimodal, packing, sampling, similarity,
-    stats, temporal,
+    bpe, contamination, dedup, encoding, multimodal, packing, sampling,
+    similarity, stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -2126,6 +2126,37 @@ _SQUASH_REPOINT_SQL = """
     FROM events, k
 """
 
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support (operators/bpe.py): top-20 first-
+    iteration BPE merge candidates — frequency-weighted adjacent character
+    pairs over the corpus word-frequency table.  One corpus scan + two
+    vocab-sized shuffles; deterministic (count desc, left, right) order."""
+    return bpe.top_merges(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table, 10 steps (operators/bpe.py::bpe_train).
+    Inherently iterative — no single-statement SQL oracle exists
+    (ROWS_ONLY_QUERIES); semantics are pinned against a pure-Python BPE
+    reference in tests/test_bpe.py."""
+    return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval primitive (operators/stats.py::score_auc): exact
+    tie-aware ROC-AUC of the composite quality score against the
+    lang=='en' label — the standard bias probe for curation filters (does
+    the 'quality' score just rank English higher?).  One corpus scan, one
+    score-domain-bounded shuffle, integer-exact output."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    qs = T.quality_score(F.col("text"))
+    scored = docs.select(
+        qs["quality_x100"].alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return stats.score_auc(scored, "score", "is_en")
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2235,13 +2266,16 @@ CATALOG: dict[str, QueryFn] = {
     "boilerplate_scrub": q_boilerplate_scrub,
     "mixture_plan": q_mixture_plan,
     "leakage_safe_split": q_leakage_safe_split,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "bpe_train_merges": q_bpe_train_merges,
+    "quality_auc": q_quality_auc,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
 #: check for these; each must carry a pytest pinning its semantics instead —
 #: see the query docstring for the test reference).
 ROWS_ONLY_QUERIES: frozenset[str] = frozenset(
-    {"pack_greedy", "pack_greedy_sharded"}
+    {"pack_greedy", "pack_greedy_sharded", "bpe_train_merges"}
 )
 
 #: Shared CTE chain for the nearest-centroid oracle: exact quantized label
@@ -3615,4 +3649,53 @@ ORACLES: dict[str, str] = {
                     ELSE 'train' END AS split
         FROM keyed
     """,
+    "bpe_merge_pairs": """
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE word != ''
+            GROUP BY word),
+        prs AS (
+            SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+                   freq
+            FROM words, UNNEST(range(1, length(word))) AS u(i))
+        SELECT l AS left, r AS right,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM prs
+        GROUP BY l, r
+        ORDER BY pair_count DESC, l ASC, r ASC
+        LIMIT 20
+    """,
 }
+
+# ROC-AUC over the composite quality score: the score CTE is the
+# quality_score oracle verbatim (one definition, two consumers), joined
+# back to documents for the language label; rank-sum AUC with tie-average
+# ranks in exact HUGEINT arithmetic mirroring score_auc's decimal math.
+ORACLES["quality_auc"] = f"""
+    WITH q AS ({ORACLES["quality_score"]}),
+    lab AS (
+        SELECT q.quality_x100 AS s, (d.lang = 'en') AS y
+        FROM q JOIN documents d USING (doc_id)
+        WHERE d.lang IS NOT NULL),
+    per AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM lab GROUP BY s),
+    rk AS (
+        SELECT *, COALESCE(SUM(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM per),
+    t AS (
+        SELECT SUM(CAST(p AS HUGEINT) * (2 * cum + c + 1)) AS r2,
+               SUM(p) AS np, SUM(c - p) AS nn
+        FROM rk)
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(CASE WHEN np > 0 AND nn > 0 THEN
+                (r2 - CAST(np AS HUGEINT) * (np + 1)) * 1000000
+                // (2 * CAST(np AS HUGEINT) * nn)
+           END AS BIGINT) AS auc_x1000000
+    FROM t
+"""

@@ -1,0 +1,181 @@
+"""BPE tokenizer-training primitives (operators/bpe.py) pinned against a
+pure-Python reference implementation (Sennrich et al. 2016 semantics:
+frequency-weighted pair counts over the word table; one left-to-right
+non-overlapping pass per merge), plus score_auc (operators/stats.py)
+checked against scikit-style rank-sum AUC computed in Python."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.operators import bpe, stats
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low newer low wide lowest",
+    "aaa aa aaaa a",  # overlapping-run merges: non-overlap pass matters
+    "",  # empty doc: no words
+]
+
+
+# ---------------------------------------------------------- py reference
+def _py_word_freq(texts):
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                c[w] += 1
+    return c
+
+
+def _py_merge(sym: tuple, left: str, right: str) -> tuple:
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_pair_counts(word_syms: dict) -> Counter:
+    pc: Counter = Counter()
+    for syms, f in word_syms.items():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += f
+    return pc
+
+
+def _py_train(texts, n_merges):
+    wf: dict = {}
+    for w, f in _py_word_freq(texts).items():
+        wf[tuple(w)] = wf.get(tuple(w), 0) + f
+    merges = []
+    for step in range(n_merges):
+        pc = _py_pair_counts(wf)
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, cnt))
+        nxt: dict = {}
+        for syms, f in wf.items():
+            m = _py_merge(syms, left, right)
+            nxt[m] = nxt.get(m, 0) + f
+        wf = nxt
+    return merges
+
+
+def _py_encode(text, merges):
+    pieces = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        s = tuple(w)
+        for left, right in merges:
+            s = _py_merge(s, left, right)
+        pieces.extend(s)
+    return pieces
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_pair_counts_match_python(spark, docs):
+    words = bpe.word_frequencies(docs).withColumn(
+        "symbols", F.split(F.col("word"), "")
+    )
+    got = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in bpe.adjacent_pair_counts(words).collect()
+    }
+    wf = {tuple(w): f for w, f in _py_word_freq(TEXTS).items()}
+    assert got == dict(_py_pair_counts(wf))
+
+
+def test_bpe_train_matches_python_reference(spark, docs):
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.bpe_train(docs, n_merges=8).collect()
+    ]
+    assert got == _py_train(TEXTS, 8)
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    merges = bpe.bpe_train(df, n_merges=5).collect()
+    assert merges == []  # all words are single chars: nothing to merge
+
+
+def test_bpe_encode_roundtrips_train_pass(spark, docs):
+    ref = _py_train(TEXTS, 8)
+    table = [(left, right) for _, left, right, _ in ref]
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe.bpe_encode(docs, table).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert enc[i] == _py_encode(t, table), f"doc {i}"
+
+
+def test_merge_symbols_nonoverlapping_pass(spark):
+    # "aaaa" with merge (a,a) -> [aa, aa]; "aaa" -> [aa, a]
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("a",)], "w string")
+    out = df.select(
+        bpe.merge_symbols(F.split(F.col("w"), ""), "a", "a").alias("m")
+    ).collect()
+    assert [list(r["m"]) for r in out] == [["aa", "aa"], ["aa", "a"], ["a"]]
+
+
+# ---------------------------------------------------------------- AUC
+def _py_auc(pairs):
+    """Tie-aware rank-sum AUC over (score, label) pairs."""
+    pos = sorted(s for s, y in pairs if y)
+    neg = sorted(s for s, y in pairs if not y)
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    return (wins + ties / 2) / (len(pos) * len(neg))
+
+
+@pytest.mark.parametrize(
+    "rows",
+    [
+        [(i, i >= 50) for i in range(100)],  # perfect: AUC 1.0
+        [(1, i % 2 == 0) for i in range(10)],  # all tied: AUC 0.5
+        [(i % 7, (i * 13 % 5) < 2) for i in range(60)],  # messy ties
+    ],
+)
+def test_score_auc_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(int(s), bool(y)) for s, y in rows], "s long, y boolean"
+    )
+    got = stats.score_auc(df, "s", "y").collect()[0]
+    import math
+
+    expect = math.floor(_py_auc(rows) * 1_000_000)
+    assert got["auc_x1000000"] == expect
+    assert got["n_pos"] == sum(1 for _, y in rows if y)
+    assert got["n_neg"] == sum(1 for _, y in rows if not y)
+
+
+def test_score_auc_degenerate_single_class(spark):
+    df = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
+    row = stats.score_auc(df, "s", "y").collect()[0]
+    assert row["n_neg"] == 0 and row["auc_x1000000"] is None
