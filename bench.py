@@ -116,6 +116,7 @@ HEADLINE = [
     "bpe_merge_pairs",
     "bpe_train_merges",
     "quality_auc",
+    "dsir_weights",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

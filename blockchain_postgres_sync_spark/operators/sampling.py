@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_ratios
+from ..functions.text import quality_ratios, token_shingles
 
 #: same 31-bit space as the minhash family: md5 → 60-bit int → mod p keeps
 #: every intermediate in exact BIGINT range in any engine.
@@ -248,4 +248,87 @@ def leakage_safe_split(
         F.when(h < t_val, F.lit("val"))
         .when(h < t_test, F.lit("test"))
         .otherwise(F.lit("train")),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    shingle_size: int = 2,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a TARGET hashed-n-gram model over the
+    RAW (non-target) model — the standard way to upsample domain-relevant
+    data from a web-scale crawl given a small in-domain seed set.
+
+    ``target_col`` is a boolean column marking the in-domain seed docs;
+    both models are add-one-smoothed multinomials over ``n_buckets``
+    hashed token-``shingle_size``-gram features.  Per-bucket log ratio is
+    quantized immediately (x1000 floor — the unigram_logprob precedent:
+    ONE ln of one exact-integer double ratio per bucket, everything after
+    is integer), so document scores are associative and
+    partitioning-independent.  Returns (id, n_feats, importance_x1000):
+    positive = target-like.
+
+    Plan shape (100 TB): the feature stream is scanned twice (model
+    build, scoring) like unigram_logprob; ``rollup(bucket)`` emits the
+    per-bucket counts AND the two grand totals from one map-side-combined
+    aggregation, localCheckpoint-ed so both consumers read it once.  The
+    model is ≤ ``n_buckets`` rows by CONSTRUCTION — a true dimension at
+    any corpus size (unlike a raw vocab) — so the scoring join always
+    broadcasts; the only corpus-sized exchange is the final per-doc fold.
+    """
+    feats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(target_col).cast("boolean").alias("_is_t"),
+            F.explode(
+                token_shingles(F.col(text_col), shingle_size)
+            ).alias("_sh"),
+        )
+        .select(
+            F.col(id_col),
+            "_is_t",
+            (
+                F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+                % n_buckets
+            ).alias("_bucket"),
+        )
+    )
+    agg = (
+        feats.select("_bucket", "_is_t")
+        .rollup("_bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+            F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("_cr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = agg.filter(F.col("_bucket").isNotNull())
+    totals = agg.filter(F.col("_bucket").isNull()).select(
+        F.col("_ct").alias("_nt"), F.col("_cr").alias("_nr")
+    )
+    b = F.lit(n_buckets)
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        F.floor(
+            F.log(
+                ((F.col("_ct") + 1) * (F.col("_nr") + b)).cast("double")
+                / ((F.col("_cr") + 1) * (F.col("_nt") + b)).cast("double")
+            )
+            * 1000.0
+        ).cast("long").alias("_lr"),
+    )
+    return (
+        feats.join(F.broadcast(model), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("_lr").cast("long").alias("importance_x1000"),
+        )
     )

@@ -2157,6 +2157,18 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.score_auc(scored, "score", "is_en")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling weights (operators/sampling.py::dsir_weights):
+    log-likelihood ratio of the lang=='en' seed model over the rest, hashed
+    token-bigram features, 10k buckets — the domain-upsampling primitive.
+    Model build + scoring reuse one checkpointed rollup; the model side is
+    bucket-bounded (a true dimension), so the join always broadcasts."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return sampling.dsir_weights(docs, "_is_en", n_buckets=10_000)
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2269,6 +2281,7 @@ CATALOG: dict[str, QueryFn] = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "bpe_train_merges": q_bpe_train_merges,
     "quality_auc": q_quality_auc,
+    "dsir_weights": q_dsir_weights,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3666,6 +3679,44 @@ ORACLES: dict[str, str] = {
         GROUP BY l, r
         ORDER BY pair_count DESC, l ASC, r ASC
         LIMIT 20
+    """,
+    "dsir_weights": f"""
+        WITH toks AS (
+            SELECT doc_id, (lang = 'en') AS is_t,
+                   string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL),
+        pos AS (
+            SELECT doc_id, is_t, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+            FROM toks),
+        shs AS (
+            -- materialize the shingle BEFORE _hex_int_sql: its digit-fold
+            -- lambda binds a variable named i, which would capture the
+            -- slice bound here
+            SELECT doc_id, is_t, array_to_string(t[i:i+1], ' ') AS sh
+            FROM pos),
+        feats AS (
+            SELECT doc_id, is_t,
+                   {_hex_int_sql("md5(sh)", 15)} % 10000 AS bucket
+            FROM shs),
+        cnts AS (
+            SELECT bucket,
+                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ct,
+                   CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cr
+            FROM feats GROUP BY bucket),
+        tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnts),
+        model AS (
+            SELECT bucket,
+                   CAST(floor(ln(CAST((ct + 1) * (nr + 10000) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + 10000) AS DOUBLE)) * 1000.0)
+                       AS BIGINT) AS lr
+            FROM cnts, tot)
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(m.lr) AS BIGINT) AS importance_x1000
+        FROM feats f JOIN model m USING (bucket)
+        GROUP BY f.doc_id
     """,
 }
 

@@ -307,3 +307,33 @@ def test_leakage_safe_split_colocates_clusters(spark):
     # unclustered docs keep exactly their dataset_split assignment
     for d in (50, 250, 399):
         assert by_doc[d] == base[d]
+
+
+def test_dsir_weights_separates_domains(spark):
+    """DSIR importance: docs from the target vocabulary must outscore docs
+    from the raw vocabulary, with a mixed doc in between; scores are
+    deterministic (re-run identical)."""
+    from blockchain_postgres_sync_spark.operators.sampling import dsir_weights
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    raw_text = "one two three four one two three four"
+    rows = (
+        [(i, target_text, True) for i in range(5)]
+        + [(10 + i, raw_text, False) for i in range(5)]
+        # unlabeled docs to score: pure-target-, pure-raw-, mixed-vocab
+        + [(20, target_text, False), (21, raw_text, True),
+           (22, "alpha beta one two alpha beta one two", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r["importance_x1000"]
+        for r in dsir_weights(df, "is_t", n_buckets=1000).collect()
+    }
+    # doc 20 (target vocab) must outrank doc 22 (mixed) which outranks
+    # doc 21 (raw vocab) — the resampling order DSIR needs
+    assert out[20] > out[22] > out[21]
+    out2 = {
+        r["doc_id"]: r["importance_x1000"]
+        for r in dsir_weights(df, "is_t", n_buckets=1000).collect()
+    }
+    assert out == out2
