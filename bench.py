@@ -117,6 +117,7 @@ HEADLINE = [
     "bpe_train_merges",
     "quality_auc",
     "dsir_weights",
+    "quality_pr_curve",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

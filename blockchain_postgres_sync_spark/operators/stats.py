@@ -499,3 +499,70 @@ def score_auc(
             ),
         ).alias(f"auc_x{scale}"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Full precision/recall sweep of a score against a binary label: one
+    row per DISTINCT score value s with the confusion counts of the
+    classifier "predict positive iff score >= s" — the exact
+    precision-recall / ROC curve table (operating-point selection for
+    curation filters; complements :func:`score_auc`'s single number).
+
+    All integer arithmetic: cumulative-from-top counts, floor-scaled
+    ratios via decimal `div`.  Same plan + scale story as score_auc: ONE
+    map-side-combined aggregation on the score reduces the corpus to its
+    score domain; the descending cumulative window and ratio projection
+    run over that dimension-sized frame.
+    """
+    per_score = (
+        df.select(
+            F.col(score_col).alias("score"),
+            F.col(label_col).cast("boolean").alias("_y"),
+        )
+        .filter(F.col("score").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_p"),
+        )
+    )
+    w_top = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_score.select(
+        "score",
+        F.sum("_p").over(w_top).cast("long").alias("tp"),
+        (F.sum("_c").over(w_top) - F.sum("_p").over(w_top))
+        .cast("long")
+        .alias("fp"),
+        F.sum("_p").over(w_all).cast("long").alias("_npos"),
+        (F.sum("_c").over(w_all) - F.sum("_p").over(w_all))
+        .cast("long")
+        .alias("_nneg"),
+    )
+    return cum.select(
+        "score",
+        "tp",
+        "fp",
+        (F.col("_npos") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("_nneg") - F.col("fp")).cast("long").alias("tn"),
+        F.expr(
+            f"(CAST(tp AS DECIMAL(38,0)) * {scale}) "
+            "div CAST(tp + fp AS DECIMAL(38,0))"
+        ).alias(f"precision_x{scale}"),
+        F.when(
+            F.col("_npos") > 0,
+            F.expr(
+                f"(CAST(tp AS DECIMAL(38,0)) * {scale}) "
+                "div CAST(_npos AS DECIMAL(38,0))"
+            ),
+        ).alias(f"recall_x{scale}"),
+    )

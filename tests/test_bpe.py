@@ -179,3 +179,23 @@ def test_score_auc_degenerate_single_class(spark):
     df = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
     row = stats.score_auc(df, "s", "y").collect()[0]
     assert row["n_neg"] == 0 and row["auc_x1000000"] is None
+
+
+def test_threshold_sweep_confusion_counts(spark):
+    """Every row's confusion quadrant must match a brute-force recount at
+    that threshold; precision/recall are exact floors."""
+    rows = [(i % 7, (i * 13 % 5) < 2) for i in range(60)]
+    df = spark.createDataFrame(
+        [(int(s), bool(y)) for s, y in rows], "s long, y boolean"
+    )
+    out = stats.threshold_sweep(df, "s", "y").collect()
+    assert len(out) == len({s for s, _ in rows})
+    for r in out:
+        thr = r["score"]
+        tp = sum(1 for s, y in rows if s >= thr and y)
+        fp = sum(1 for s, y in rows if s >= thr and not y)
+        fn = sum(1 for s, y in rows if s < thr and y)
+        tn = sum(1 for s, y in rows if s < thr and not y)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), thr
+        assert r["precision_x1000000"] == tp * 1_000_000 // (tp + fp)
+        assert r["recall_x1000000"] == tp * 1_000_000 // (tp + fn)
