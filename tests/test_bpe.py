@@ -199,3 +199,53 @@ def test_threshold_sweep_confusion_counts(spark):
         assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), thr
         assert r["precision_x1000000"] == tp * 1_000_000 // (tp + fp)
         assert r["recall_x1000000"] == tp * 1_000_000 // (tp + fn)
+
+
+# ------------------------------------------------- property-based pinning
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@given(_corpus, st.integers(min_value=1, max_value=6))
+@_slow
+def test_bpe_train_property(spark, texts, n_merges):
+    """bpe_train == the Python reference on arbitrary small-alphabet
+    corpora — pins the rows-only catalog query bpe_train_merges."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.bpe_train(df, n_merges=n_merges).collect()
+    ]
+    assert got == _py_train(texts, n_merges)
+
+
+@given(_corpus)
+@_slow
+def test_bpe_encode_property(spark, texts):
+    """encode(train(corpus)) matches the Python reference end-to-end —
+    every word's pieces concatenate back to the word."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    table = [(l, r) for _, l, r, _ in _py_train(texts, 4)]
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe.bpe_encode(df, table).collect()
+    }
+    for i, t in enumerate(texts):
+        assert enc[i] == _py_encode(t, table), f"doc {i}"
+        assert "".join(enc[i]) == t.replace(" ", "")
