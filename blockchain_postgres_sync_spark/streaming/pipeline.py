@@ -84,6 +84,28 @@ def _empty(spark: SparkSession, like: DataFrame) -> DataFrame:
     return spark.createDataFrame([], like.schema)
 
 
+def _run_parallel(tasks, max_workers: int = 8) -> None:
+    """Run independent staged-table writes concurrently.  At micro-batch
+    sizes each write job's wall time is dominated by fixed scheduling +
+    parquet-commit overhead, so N sequential writes cost ~N × floor;
+    concurrent job submission (the documented multi-job Spark pattern)
+    collapses that to ~1 floor and, on a real cluster, fills executors a
+    single small job would leave idle.  Safe for DISTINCT tables only:
+    TableStore versions are per-name, and nothing here reads a table
+    another task in the same group writes."""
+    tasks = [t for t in tasks if t is not None]
+    if not tasks:
+        return
+    if len(tasks) == 1:
+        tasks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(tasks))) as ex:
+        for f in [ex.submit(t) for t in tasks]:
+            f.result()
+
+
 def _read_or_empty(store: TableStore, name: str, like: DataFrame) -> DataFrame:
     existing = store.read_or_none(name)
     return existing if existing is not None else _empty(store.spark, like)
@@ -443,34 +465,51 @@ def apply_appends(
         merged_tx[name] = _tail(name, df.withColumn("p_hb", _hb("height"))).unionByName(
             df.withColumn("p_hb", _hb("height"))
         )
+    child_frames: dict[str, DataFrame] = {}
     for name, df in children_new.items():
         parent_type = int(name.split("_")[1])
         if _untouched(name, parent_type):
             continue
         new_part = df.withColumn("p_hb", _hb("height"))
-        store.stage_range_replace(
-            name, _tail(name, new_part).unionByName(new_part), "p_hb", rb
-        )
+        child_frames[name] = _tail(name, new_part).unionByName(new_part)
+    _run_parallel(
+        [
+            (lambda n=n, f=f: store.stage_range_replace(n, f, "p_hb", rb))
+            for n, f in child_frames.items()
+        ]
+    )
 
     # blocks (tiny dimension: full rewrite) + squash normalization over the
     # block_uid-bearing tail frames
     blocks = _read_or_empty(store, "blocks_microblocks", new_blocks).unionByName(new_blocks)
     blocks, merged_tx = normalize_squash(blocks, merged_tx, settled_below=prev_key)
-    store.stage("blocks_microblocks", blocks)
-    for name, df in merged_tx.items():
-        store.stage_range_replace(name, df, "p_hb", rb)
 
     # compact id->uid lookup for J1 (post-squash so block_uids are settled):
     # the tail buckets are rebuilt from the merged typed frames, sealed
-    # buckets hardlink forward like every other height-partitioned table
+    # buckets hardlink forward like every other height-partitioned table.
+    # blocks + every merged typed table + tx_ids write concurrently: all
+    # distinct tables, all fully-defined frames (tx_ids reads the merged
+    # FRAMES, not their staged versions)
     id_frames = [
         df.select("id", "uid", "block_uid", "p_hb") for df in merged_tx.values()
     ]
+    new_ids = None
     if id_frames:
         new_ids = id_frames[0]
         for f in id_frames[1:]:
             new_ids = new_ids.unionByName(f)
-        store.stage_range_replace("tx_ids", new_ids, "p_hb", rb)
+    _run_parallel(
+        [lambda: store.stage("blocks_microblocks", blocks)]
+        + [
+            (lambda n=n, f=f: store.stage_range_replace(n, f, "p_hb", rb))
+            for n, f in merged_tx.items()
+        ]
+        + (
+            [lambda: store.stage_range_replace("tx_ids", new_ids, "p_hb", rb)]
+            if new_ids is not None
+            else []
+        )
+    )
 
     # SCD logs: asset updates + tickers.  Chains are per-key independent, so
     # only keys with updates in THIS batch rechain (W1 + the UNNEST close
@@ -501,34 +540,47 @@ def apply_appends(
         store.stage(chained_name, unchanged.unionByName(rechained))
 
     new_au = extract_asset_updates(seg_updates)
-    _scd("asset_updates_log", "asset_updates", new_au, bool(flags["has_au"]))
-    au_log = store.read("asset_updates_log")
-
     new_tick = extract_ticker_updates(seg_updates, asset_storage_address)
-    _scd("asset_tickers_log", "asset_tickers", new_tick, bool(flags["has_de"]))
-
-    # waves_data: dedupe on quantity (S6); skip the full-history rewrite
-    # when the batch carries no supply rows
     new_wd = extract_waves_data(seg_updates)
     stored_wd = store.read_or_none("waves_data")
-    if stored_wd is None or bool(flags["has_wd"]):
-        if stored_wd is not None:
-            new_wd = new_wd.join(
-                stored_wd.select("quantity"), "quantity", "left_anti"
-            )
-            new_wd = stored_wd.unionByName(new_wd)
-        store.stage("waves_data", new_wd)
 
-    # asset_origins: first-wins (S6); txs_3 may not exist yet (no issue tx
-    # ever seen) — origins are then empty by definition.  Only restage when
-    # this batch could have changed them (new asset updates or issue txs).
-    txs3 = store.read_or_none("txs_3")
-    if txs3 is not None and (
-        not store.exists("asset_origins")
-        or bool(flags["has_au"])
-        or 3 in present_types
-    ):
-        store.stage("asset_origins", extract_asset_origins(au_log, txs3))
+    def _asset_chain_and_origins() -> None:
+        _scd("asset_updates_log", "asset_updates", new_au, bool(flags["has_au"]))
+        # asset_origins: first-wins (S6); txs_3 may not exist yet (no issue
+        # tx ever seen) — origins are then empty by definition.  Only
+        # restage when this batch could have changed them (new asset
+        # updates or issue txs).  Chained after the asset log stage: it
+        # reads the staged asset_updates_log.
+        au_log = store.read("asset_updates_log")
+        txs3 = store.read_or_none("txs_3")
+        if txs3 is not None and (
+            not store.exists("asset_origins")
+            or bool(flags["has_au"])
+            or 3 in present_types
+        ):
+            store.stage("asset_origins", extract_asset_origins(au_log, txs3))
+
+    def _tickers() -> None:
+        _scd(
+            "asset_tickers_log", "asset_tickers", new_tick,
+            bool(flags["has_de"]),
+        )
+
+    def _waves() -> None:
+        # waves_data: dedupe on quantity (S6); skip the full-history
+        # rewrite when the batch carries no supply rows
+        wd = new_wd
+        if stored_wd is None or bool(flags["has_wd"]):
+            if stored_wd is not None:
+                wd = wd.join(
+                    stored_wd.select("quantity"), "quantity", "left_anti"
+                )
+                wd = stored_wd.unionByName(wd)
+            store.stage("waves_data", wd)
+
+    # three independent table families (asset chain feeds only
+    # asset_origins, chained inside its own task)
+    _run_parallel([_asset_chain_and_origins, _tickers, _waves])
 
     new_raw.unpersist()
     if meta_row["_wm"] is None:
