@@ -118,6 +118,7 @@ HEADLINE = [
     "quality_auc",
     "dsir_weights",
     "quality_pr_curve",
+    "kmeans_train",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

@@ -1,0 +1,173 @@
+"""Distributed k-means training (Lloyd iterations) over an embedding column.
+
+The clustering counterpart of the scoring-side operators in
+``operators/similarity.py``: `centroid_assign` CLASSIFIES against given
+centroids; this module LEARNS the centroids.  Together they cover the
+embedding-clustering legs of a training-data pipeline (SemDeDup-style
+semantic dedup, topic bucketing, per-cluster sampling quotas).
+
+Execution model — the canonical scalable Lloyd shape (same as Spark
+MLlib's, re-derived on the DataFrame API):
+
+- the corpus NEVER leaves the executors: each iteration is one map-side
+  assignment pass (in-row argmin fold over a broadcast-literal centroid
+  array — no k-times row expansion) plus one partial-aggregated shuffle
+  reduced to exactly ``k * dim`` rows;
+- only model state crosses the driver boundary: ``k`` seed rows at init
+  and ``k * dim`` component sums per iteration (a few KB for any
+  realistic ``k``/``dim``, independent of corpus size);
+- the quantized corpus is ``persist(MEMORY_AND_DISK)``-ed for the
+  duration of the loop and released deterministically before return.
+
+Integer-exact spec (cross-engine reproducible, no float accumulation):
+
+- inputs quantize once: ``xq[d] = floor(x[d] * scale + 0.5)`` as int64
+  (the house x1000 quantization, see functions/vectors.py);
+- centroids RE-QUANTIZE to the same integer grid each round:
+  ``c[d] = floordiv(2 * S[d] + n, 2 * n)`` — the round-half-up integer
+  mean of the member sums, computed with exact floor division;
+- assignment minimizes the exact integer squared distance
+  ``A_j = sum_d (xq[d] - c_j[d])^2`` with ties going to the smaller
+  cluster id (fold order is fixed: ascending j, strict < replacement);
+- an empty cluster keeps its previous ``(S, n)`` state;
+- seeding is the deterministic hash-order pick used across the repo's
+  sampling family: the ``k`` rows with the smallest
+  ``(md5-hash31(id), id)`` (operators/sampling.py::_hash31) — a uniform
+  pseudo-random draw any engine with md5 can replay.
+
+Every step is integer arithmetic, so a SQL engine unrolling the same
+recurrence (see plans/catalog.py ORACLES["kmeans_train"]) reproduces the
+assignment BIT-EXACTLY — no FP-order caveats anywhere.
+
+Reference parity: the reference engine has no clustering surface; this
+extends the BASELINE.json training-data north star alongside
+similarity.py (centroid scoring) and dedup.py (near-dup families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .sampling import _hash31
+
+
+def _floordiv(a: int, b: int) -> int:
+    """Exact floor division (Python // is already floor semantics)."""
+    return a // b
+
+
+def _centroid_ints(s: list[int], n: int) -> list[int]:
+    """Round-half-up integer mean per component: floor((S + n/2) / n)."""
+    return [_floordiv(2 * sd + n, 2 * n) for sd in s]
+
+
+def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Column:
+    """In-row argmin over a literal centroid array: fold ascending-j with
+    strict < replacement (ties keep the smaller cluster id).  O(k * dim)
+    per row, zero shuffle, zero row expansion."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(j)).cast("int").alias("j"),
+                F.array(*[F.lit(int(c)).cast("long") for c in cv]).alias("c"),
+            )
+            for j, cv in cent_ints
+        ]
+    )
+
+    def step(acc: Column, cst: Column) -> Column:
+        a = F.aggregate(
+            F.zip_with(F.col(xq), cst["c"], lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        better = a < acc["a"]
+        return F.when(
+            better, F.struct(a.alias("a"), cst["j"].alias("j"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit((1 << 62)).cast("long").alias("a"),
+        F.lit(0).cast("int").alias("j"),
+    )
+    return F.aggregate(cents, init, step)["j"]
+
+
+def quantize_vectors(
+    vecs: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """(id, xq): int64 round-half-up quantization of a float vector col."""
+    return vecs.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * float(scale) + 0.5).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    )
+
+
+def kmeans_train(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Train k-means for ``iters`` (assign, update) rounds, then run one
+    final assignment against the learned centroids.
+
+    Returns ``(assignments, centroids)``: a lazy ``(id_col, cluster)``
+    frame (one row per input vector; evaluating it costs one quantize +
+    assignment scan) and the final re-quantized integer centroids as
+    ``[(cluster_id, [c_1..c_dim]), ...]`` for all ``k`` clusters
+    (1-based ids, hash-order seeded).
+    """
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    qp = q.persist(StorageLevel.MEMORY_AND_DISK)
+
+    seed_rows = (
+        qp.orderBy(_hash31(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(k)
+        .select("xq")
+        .collect()
+    )
+    if len(seed_rows) < k:
+        qp.unpersist()
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    # model state: cluster j -> (component sums S, member count n);
+    # seeds enter as single-member clusters so c_j == the seed vector
+    state: dict[int, tuple[list[int], int]] = {
+        j: (list(r.xq), 1) for j, r in enumerate(seed_rows, start=1)
+    }
+
+    for _ in range(iters):
+        cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
+        assigned = qp.select(_assign_col(cent).alias("cl"), "xq")
+        upd = (
+            assigned.select("cl", F.posexplode("xq").alias("dd", "v"))
+            .groupBy("cl", "dd")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        nxt: dict[int, tuple[list[int], int]] = {}
+        for r in upd:
+            s, n = nxt.setdefault(
+                int(r.cl), ([0] * len(state[1][0]), int(r.n))
+            )
+            s[int(r.dd)] = int(r.s)
+        # empty clusters keep their previous (S, n)
+        state = {j: nxt.get(j, state[j]) for j in state}
+
+    final_cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
+    qp.unpersist()
+    # final assignment re-derives the quantization lazily (one scan when
+    # the caller evaluates; no persisted state outlives this call)
+    assignments = q.select(
+        F.col(id_col), _assign_col(final_cent).alias("cluster")
+    )
+    return assignments, final_cent

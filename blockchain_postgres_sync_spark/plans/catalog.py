@@ -32,8 +32,8 @@ from ..sources.tables import load_table
 from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
-    bpe, contamination, dedup, encoding, multimodal, packing, sampling,
-    similarity, stats, temporal,
+    bpe, clustering, contamination, dedup, encoding, multimodal, packing,
+    sampling, similarity, stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -2183,6 +2183,30 @@ def q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.threshold_sweep(scored, "score", "is_en")
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (operators/clustering.py::kmeans_train):
+    k=8, two Lloyd rounds + final assignment over the embeddings table.
+    Integer-exact spec (quantized inputs, re-quantized centroids, exact
+    floor-div means) makes the whole iteration bit-reproducible in SQL —
+    the oracle unrolls the identical recurrence.  Per iteration: one
+    map-side assignment scan + one k*dim-row partial-agg shuffle; only
+    model state (k*dim ints) ever reaches the driver."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = clustering.kmeans_train(
+        emb, k=8, iters=2, id_col="vec_id", vec_col="embedding"
+    )
+    dig = spark.createDataFrame(
+        [(j, sum(c), sum(abs(v) for v in c)) for j, c in cents],
+        "cluster_id int, centroid_sum long, centroid_l1 long",
+    )
+    return (
+        assigned.groupBy(F.col("cluster").cast("int").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .join(F.broadcast(dig), "cluster_id")
+        .select("cluster_id", "n_points", "centroid_sum", "centroid_l1")
+    )
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2297,6 +2321,7 @@ CATALOG: dict[str, QueryFn] = {
     "quality_auc": q_quality_auc,
     "dsir_weights": q_dsir_weights,
     "quality_pr_curve": q_quality_pr_curve,
+    "kmeans_train": q_kmeans_train,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3797,3 +3822,84 @@ ORACLES["quality_pr_curve"] = f"""
            END AS BIGINT) AS recall_x1000000
     FROM cum
 """
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+    """Unrolled Lloyd recurrence mirroring kmeans_train's integer spec:
+    quantize -> hash-order seeds -> per round (floor-div re-quantized
+    centroids, exact integer argmin assignment, per-dim member sums with
+    empty-cluster carry) -> final assignment + centroid digests.  Every
+    step is integer arithmetic, so the unroll is bit-exact vs Spark."""
+    h31 = _hex_int_sql("md5(CAST(vec_id AS VARCHAR))", 15)
+    # exact floor division (a // b with sign-safe floor mod), a = 2*v + n,
+    # b = 2*n: DuckDB % truncates like Spark's, so add-then-re-mod makes
+    # the remainder nonnegative and the subtracted quotient exact.
+    cdiv = (
+        "CAST(((2*v + n) - ((((2*v + n) % (2*n)) + 2*n) % (2*n)))"
+        " // (2*n) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                       AS xq
+            FROM embeddings),
+        seeds AS (
+            SELECT CAST(row_number() OVER
+                       (ORDER BY {h31} % 2147483647, vec_id) AS INTEGER) AS j,
+                   xq
+            FROM q
+            QUALIFY row_number() OVER
+                (ORDER BY {h31} % 2147483647, vec_id) <= {k}),
+        st0 AS (SELECT j, xq AS s, CAST(1 AS BIGINT) AS n FROM seeds)"""
+    ]
+    for r in range(1, iters + 2):  # iters updates + one final assignment
+        parts.append(
+            f"""c{r} AS (
+            SELECT j, list_transform(s, v -> {cdiv}) AS ci FROM st{r - 1})"""
+        )
+        parts.append(
+            f"""a{r} AS (
+            SELECT q.vec_id, c.j AS cl
+            FROM q, c{r} AS c
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_sum(list_transform(generate_series(1, {dims}),
+                    dd -> (q.xq[dd] - c.ci[dd]) * (q.xq[dd] - c.ci[dd]))),
+                c.j) = 1)"""
+        )
+        if r <= iters:
+            parts.append(
+                f"""e{r} AS (
+            SELECT a.cl AS j, g.dd AS dd, CAST(sum(q.xq[g.dd]) AS BIGINT)
+                       AS s, CAST(count(*) AS BIGINT) AS n
+            FROM a{r} AS a JOIN q ON a.vec_id = q.vec_id,
+                 unnest(generate_series(1, {dims})) AS g(dd)
+            GROUP BY a.cl, g.dd),
+        u{r} AS (
+            SELECT j, list(s ORDER BY dd) AS s, max(n) AS n
+            FROM e{r} GROUP BY j),
+        st{r} AS (
+            SELECT p.j, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
+            FROM st{r - 1} AS p LEFT JOIN u{r} AS u ON p.j = u.j)"""
+            )
+    fin = iters + 1
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        cnt AS (
+            SELECT cl AS cluster_id, CAST(count(*) AS BIGINT) AS n_points
+            FROM a{fin} GROUP BY cl),
+        dig AS (
+            SELECT j AS cluster_id, CAST(list_sum(ci) AS BIGINT)
+                       AS centroid_sum,
+                   CAST(list_sum(list_transform(ci, v -> abs(v))) AS BIGINT)
+                       AS centroid_l1
+            FROM c{fin})
+        SELECT cluster_id, n_points, centroid_sum, centroid_l1
+        FROM cnt JOIN dig USING (cluster_id)"""
+    )
+
+
+ORACLES["kmeans_train"] = _kmeans_oracle(k=8, iters=2, dims=64)

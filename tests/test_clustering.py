@@ -1,0 +1,107 @@
+"""kmeans_train vs a pure-Python reference of the identical integer spec.
+
+The operator's contract (operators/clustering.py) is a deterministic
+integer recurrence: md5-hash31-order seeding, x1000 round-half-up input
+quantization, floor-div re-quantized centroids, exact squared-distance
+argmin with ties to the smaller cluster id, empty-cluster state carry.
+The reference below replays that spec in plain Python (exact ints
+throughout), so any divergence is a real operator bug, not FP noise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from blockchain_postgres_sync_spark.operators.clustering import kmeans_train
+
+
+def _hash31_py(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 2147483647
+
+
+def _quantize(vec: list[float], scale: int = 1000) -> list[int]:
+    import math
+
+    return [math.floor(x * scale + 0.5) for x in vec]
+
+
+def _kmeans_py(
+    rows: list[tuple[int, list[float]]], k: int, iters: int
+) -> tuple[dict[int, int], dict[int, list[int]]]:
+    """(assignments id->cluster, final integer centroids per cluster)."""
+    q = {i: _quantize(v) for i, v in rows}
+    seed_ids = sorted(q, key=lambda i: (_hash31_py(i), i))[:k]
+    state = {j: (list(q[i]), 1) for j, i in enumerate(seed_ids, start=1)}
+
+    def cents(st):
+        return {
+            j: [(2 * sd + n) // (2 * n) for sd in s] for j, (s, n) in st.items()
+        }
+
+    def assign(c):
+        out = {}
+        for i, x in q.items():
+            best = min(
+                (sum((xd - cd) ** 2 for xd, cd in zip(x, c[j])), j)
+                for j in sorted(c)
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign(cents(state))
+        nxt: dict[int, tuple[list[int], int]] = {}
+        for i, j in a.items():
+            s, n = nxt.get(j, ([0] * len(q[i]), 0))
+            nxt[j] = ([sd + xd for sd, xd in zip(s, q[i])], n + 1)
+        state = {j: nxt.get(j, state[j]) for j in state}
+    fc = cents(state)
+    return assign(fc), fc
+
+
+def _run_both(spark, rows, k, iters):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    assigned, cent = kmeans_train(
+        df, k=k, iters=iters, id_col="vec_id", vec_col="embedding"
+    )
+    got = {int(r.vec_id): int(r.cluster) for r in assigned.collect()}
+    # Spark quantizes the FLOAT column (cast to double first), so the
+    # Python reference must quantize the same float32-rounded values
+    import numpy as np
+
+    f32rows = [(i, [float(np.float32(x)) for x in v]) for i, v in rows]
+    want, want_cent = _kmeans_py(f32rows, k, iters)
+    assert got == want
+    assert dict(cent) == want_cent
+
+
+def test_matches_python_reference_random(spark):
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(60)
+    ]
+    _run_both(spark, rows, k=5, iters=3)
+
+
+def test_duplicate_points_and_empty_cluster_carry(spark):
+    # 4 distinct points, k=4 seeds, but mass collapses onto 2 locations:
+    # some clusters must go empty and carry their previous state
+    rng = random.Random(7)
+    base = [[0.1] * 4, [0.1] * 4, [-0.3] * 4, [-0.3] * 4]
+    rows = [(i, base[i % 4]) for i in range(24)] + [
+        (100 + i, [rng.uniform(-0.4, 0.4) for _ in range(4)]) for i in range(4)
+    ]
+    _run_both(spark, rows, k=4, iters=2)
+
+
+def test_single_iteration_and_k_too_large(spark):
+    rows = [(i, [float(i) / 10, -float(i) / 10]) for i in range(6)]
+    _run_both(spark, rows, k=2, iters=1)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        kmeans_train(df, k=10, iters=1)
