@@ -119,6 +119,7 @@ HEADLINE = [
     "dsir_weights",
     "quality_pr_curve",
     "kmeans_train",
+    "soft_dedup_weights",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

@@ -682,6 +682,45 @@ def keep_representatives(
     return docs.join(F.broadcast(drop), id_col, "left_anti")
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates
+    (:func:`keep_representatives`), DOWNWEIGHT every member of a
+    duplicate cluster by its cluster size — the SoftDeDup-style loss /
+    sampling reweighting, keeping diversity signal the hard drop throws
+    away.  weight_x1000 = floor(weight_scale / cluster_size); a cluster's
+    total sampling mass therefore stays ~one document regardless of how
+    many copies the crawl picked up.  Unclustered documents keep size 1
+    and full weight.
+
+    Scale shape: ``clusters`` is bounded by the near-dup subset, never
+    the corpus.  Sizes reduce it to one row per cluster; both joins key
+    on ids (cluster_id, then ``id_col``) — plain hash joins with no
+    corpus-sized broadcast, and the corpus-side join lets AQE broadcast
+    the clustered subset when it is small.  Weights are exact integer
+    floor-division — no float ratios to drift cross-engine.
+
+    Output: docs columns + (cluster_size, weight_x1000).
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    labeled = clusters.join(sizes, "cluster_id").select(id_col, "_sz")
+    return (
+        docs.join(labeled, id_col, "left")
+        .withColumn("cluster_size", F.coalesce(F.col("_sz"), F.lit(1).cast("long")))
+        .withColumn(
+            "weight_x1000",
+            F.expr(f"CAST({int(weight_scale)} DIV cluster_size AS BIGINT)"),
+        )
+        .drop("_sz")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

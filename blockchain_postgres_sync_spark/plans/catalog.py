@@ -657,6 +657,20 @@ def q_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_representatives(docs, clusters).select("doc_id", "source")
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.py::soft_dedup_weights): downweight
+    near-dup cluster members by inverse cluster size instead of dropping
+    them — the reweighting alternative to dedup_kept_corpus.  Exact
+    integer weights; oracle reuses the recursive-CTE component closure."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.soft_dedup_weights(docs.select("doc_id"), clusters).select(
+        "doc_id", "cluster_size", "weight_x1000"
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs via shingle-postings join."""
     return dedup.ngram_jaccard_pairs(
@@ -2322,6 +2336,7 @@ CATALOG: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "quality_pr_curve": q_quality_pr_curve,
     "kmeans_train": q_kmeans_train,
+    "soft_dedup_weights": q_soft_dedup_weights,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3903,3 +3918,24 @@ def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
 
 
 ORACLES["kmeans_train"] = _kmeans_oracle(k=8, iters=2, dims=64)
+
+ORACLES["soft_dedup_weights"] = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+    nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+              FROM clusters GROUP BY cluster_id),
+    labeled AS (SELECT c.doc_id, s.sz FROM clusters c
+                JOIN sizes s ON c.cluster_id = s.cluster_id)
+    SELECT d.doc_id,
+           COALESCE(l.sz, 1) AS cluster_size,
+           CAST(1000 // COALESCE(l.sz, 1) AS BIGINT) AS weight_x1000
+    FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+"""

@@ -105,3 +105,28 @@ def test_single_iteration_and_k_too_large(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="exceeds corpus size"):
         kmeans_train(df, k=10, iters=1)
+
+
+def test_soft_dedup_weights_unit(spark):
+    """soft_dedup_weights: inverse-cluster-size integer weights, size-1
+    pass-through for unclustered docs, exact floor division."""
+    from blockchain_postgres_sync_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # clusters: {1,2,3} -> 1, {5,6} -> 5; 4 and 7 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        int(r.doc_id): (int(r.cluster_size), int(r.weight_x1000))
+        for r in soft_dedup_weights(docs, clusters).collect()
+    }
+    assert got == {
+        1: (3, 333), 2: (3, 333), 3: (3, 333),
+        4: (1, 1000), 5: (2, 500), 6: (2, 500), 7: (1, 1000),
+    }
