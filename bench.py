@@ -120,6 +120,7 @@ HEADLINE = [
     "quality_pr_curve",
     "kmeans_train",
     "soft_dedup_weights",
+    "cluster_balanced_sample",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

@@ -2221,6 +2221,23 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced corpus sampling: learn k-means clusters over the
+    embeddings (operators/clustering.py), then draw an equal hash-order
+    quota from each cluster (operators/sampling.py::stratified_quota) —
+    the cluster-balanced selection step of data-curation pipelines (equal
+    representation across semantic regions instead of raw frequency).
+    Composition of two hash-checked primitives; the oracle chains their
+    SQL mirrors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans_train(
+        emb, k=8, iters=2, id_col="vec_id", vec_col="embedding"
+    )
+    return sampling.stratified_quota(
+        assigned, stratum_col="cluster", n_per_stratum=10, key_col="vec_id"
+    ).select("vec_id", F.col("cluster").cast("int").alias("cluster_id"))
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2337,6 +2354,7 @@ CATALOG: dict[str, QueryFn] = {
     "quality_pr_curve": q_quality_pr_curve,
     "kmeans_train": q_kmeans_train,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3839,12 +3857,15 @@ ORACLES["quality_pr_curve"] = f"""
 """
 
 
-def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+def _kmeans_ctes(k: int, iters: int, dims: int) -> tuple[str, str]:
     """Unrolled Lloyd recurrence mirroring kmeans_train's integer spec:
     quantize -> hash-order seeds -> per round (floor-div re-quantized
     centroids, exact integer argmin assignment, per-dim member sums with
-    empty-cluster carry) -> final assignment + centroid digests.  Every
-    step is integer arithmetic, so the unroll is bit-exact vs Spark."""
+    empty-cluster carry) -> final assignment.  Every step is integer
+    arithmetic, so the unroll is bit-exact vs Spark.  Returns
+    ``(with_chain, final_assignment_cte)`` so consumers (the digest
+    oracle, the cluster-balanced sample oracle) compose their own final
+    SELECT on top."""
     h31 = _hex_int_sql("md5(CAST(vec_id AS VARCHAR))", 15)
     # exact floor division (a // b with sign-safe floor mod), a = 2*v + n,
     # b = 2*n: DuckDB % truncates like Spark's, so add-then-re-mod makes
@@ -3899,25 +3920,51 @@ def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
             FROM st{r - 1} AS p LEFT JOIN u{r} AS u ON p.j = u.j)"""
             )
     fin = iters + 1
+    return "WITH " + ",\n        ".join(parts), f"a{fin}"
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+    chain, afin = _kmeans_ctes(k, iters, dims)
+    cfin = afin.replace("a", "c")
     return (
-        "WITH "
-        + ",\n        ".join(parts)
+        chain
         + f""",
         cnt AS (
             SELECT cl AS cluster_id, CAST(count(*) AS BIGINT) AS n_points
-            FROM a{fin} GROUP BY cl),
+            FROM {afin} GROUP BY cl),
         dig AS (
             SELECT j AS cluster_id, CAST(list_sum(ci) AS BIGINT)
                        AS centroid_sum,
                    CAST(list_sum(list_transform(ci, v -> abs(v))) AS BIGINT)
                        AS centroid_l1
-            FROM c{fin})
+            FROM {cfin})
         SELECT cluster_id, n_points, centroid_sum, centroid_l1
         FROM cnt JOIN dig USING (cluster_id)"""
     )
 
 
+def _cluster_sample_oracle(k: int, iters: int, dims: int, quota: int) -> str:
+    """Cluster-balanced sample: the kmeans recurrence + the house
+    stratified-quota rank (md5-hash31 order, key tie-break) per cluster."""
+    chain, afin = _kmeans_ctes(k, iters, dims)
+    h31 = _hex_int_sql("md5(CAST(vec_id AS VARCHAR))", 15)
+    return (
+        chain
+        + f""",
+        rk AS (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY cl
+                       ORDER BY {h31} % 2147483647, vec_id) AS rk
+            FROM {afin})
+        SELECT vec_id, CAST(cl AS INTEGER) AS cluster_id
+        FROM rk WHERE rk <= {quota}"""
+    )
+
+
 ORACLES["kmeans_train"] = _kmeans_oracle(k=8, iters=2, dims=64)
+ORACLES["cluster_balanced_sample"] = _cluster_sample_oracle(
+    k=8, iters=2, dims=64, quota=10
+)
 
 ORACLES["soft_dedup_weights"] = f"""
     WITH RECURSIVE pairs AS ({_MINHASH_SQL}),

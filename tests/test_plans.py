@@ -444,3 +444,23 @@ def test_contamination_no_per_document_broadcast(spark):
     appears and no second corpus aggregation feeds a join."""
     plan = _plan(spark, "contamination")
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """kmeans_train's returned assignment frame must be a pure map-side
+    scan: the argmin runs as an in-row fold over the literal centroid
+    array — no Exchange, no Window, no join.  An accidental k-times row
+    expansion or centroid join here multiplies the corpus pass at scale."""
+    from blockchain_postgres_sync_spark.operators.clustering import (
+        kmeans_train,
+    )
+    from blockchain_postgres_sync_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, _ = kmeans_train(emb, k=4, iters=1)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = assigned._jdf.queryExecution().explainString(mode)
+    for bad in ("Exchange", "Window", "Join"):
+        assert bad not in plan, plan
