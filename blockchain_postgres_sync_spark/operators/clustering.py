@@ -145,8 +145,17 @@ def kmeans_train(
         j: (list(r.xq), 1) for j, r in enumerate(seed_rows, start=1)
     }
 
+    prev_cent: list[tuple[int, list[int]]] | None = None
     for _ in range(iters):
         cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
+        if cent == prev_cent:
+            # fixed point: identical integer centroids reproduce the
+            # previous assignment, hence the previous state — every
+            # remaining round is a no-op.  Skipping them is bit-identical
+            # to running iters out (pinned by test_early_stop_parity) and
+            # saves one corpus scan + shuffle per converged round.
+            break
+        prev_cent = cent
         assigned = qp.select(_assign_col(cent).alias("cl"), "xq")
         upd = (
             assigned.select("cl", F.posexplode("xq").alias("dd", "v"))

@@ -130,3 +130,15 @@ def test_soft_dedup_weights_unit(spark):
         1: (3, 333), 2: (3, 333), 3: (3, 333),
         4: (1, 1000), 5: (2, 500), 6: (2, 500), 7: (1, 1000),
     }
+
+
+def test_early_stop_parity(spark):
+    """Fixed-point early stop is bit-identical to running iterations out:
+    train with a large iters (certainly converged) and compare against the
+    pure-Python reference run for the SAME iters (which executes every
+    round literally)."""
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(6)]) for i in range(40)
+    ]
+    _run_both(spark, rows, k=3, iters=12)
