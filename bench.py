@@ -121,6 +121,7 @@ HEADLINE = [
     "kmeans_train",
     "soft_dedup_weights",
     "cluster_balanced_sample",
+    "ann_ivf_learned",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

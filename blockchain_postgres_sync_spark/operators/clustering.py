@@ -110,6 +110,25 @@ def quantize_vectors(
     )
 
 
+def cluster_assign(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Assign vectors to FIXED learned integer centroids (the serving /
+    online leg of :func:`kmeans_train`): quantize + in-row argmin fold,
+    a stateless map-only plan with no shuffle, window, or join — so the
+    SAME call works on a batch frame and on an unbounded streaming frame
+    (Spark's unified semantics; parity pinned by
+    tests/test_clustering.py::test_streaming_assign_matches_batch).
+    ``centroids`` is kmeans_train's ``[(cluster_id, [ints])]`` output.
+    """
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    return q.select(F.col(id_col), _assign_col(centroids).alias("cluster"))
+
+
 def kmeans_train(
     vecs: DataFrame,
     k: int = 8,
@@ -176,7 +195,4 @@ def kmeans_train(
     qp.unpersist()
     # final assignment re-derives the quantization lazily (one scan when
     # the caller evaluates; no persisted state outlives this call)
-    assignments = q.select(
-        F.col(id_col), _assign_col(final_cent).alias("cluster")
-    )
-    return assignments, final_cent
+    return cluster_assign(vecs, final_cent, id_col, vec_col, scale), final_cent

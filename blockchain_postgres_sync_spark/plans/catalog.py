@@ -1990,9 +1990,12 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
-_ANN_IVF_SQL = f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                  WHERE vec_id < 16),
+def _ann_ivf_sql(cent_cte: str, pre_ctes: str = "", n_probe: int = 4) -> str:
+    """IVF oracle parameterized on the codebook CTE: ``cent_cte`` must
+    yield (cid, cv); ``pre_ctes`` lets a caller chain codebook-producing
+    CTEs (e.g. the unrolled k-means recurrence) ahead of it."""
+    return f"""
+    WITH {pre_ctes}cent AS ({cent_cte}),
     assigned AS (
         SELECT neighbor_id, cvec, cid FROM (
             SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
@@ -2010,7 +2013,7 @@ _ANN_IVF_SQL = f"""
                            / (sqrt({_dot_sql('q.embedding', 'q.embedding')})
                               * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
                            c.cid ASC) AS rn
-            FROM embeddings q, cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+            FROM embeddings q, cent c WHERE q.vec_id < 5) WHERE rn <= {n_probe}),
     cand AS (
         SELECT p.query_id, a.neighbor_id,
                {_dot_sql('p.qe', 'a.cvec')}
@@ -2024,6 +2027,11 @@ _ANN_IVF_SQL = f"""
           FROM cand)
     WHERE rank <= 10
 """
+
+
+_ANN_IVF_SQL = _ann_ivf_sql(
+    "SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16"
+)
 
 
 #: FNV-1a-style 63-bit rolling hash over utf-8 text bytes (ASCII inputs ⇒
@@ -2238,6 +2246,33 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("cluster").cast("int").alias("cluster_id"))
 
 
+def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED codebook: kmeans_train's integer centroids
+    (exact, oracle-reproducible — unlike the MLlib k-means|| path of
+    similarity.ivf_fit) become the IVF cells; probe the 3 nearest of 8.
+    Centroids hand off as float32 on BOTH sides (the corpus-dtype route
+    the assignment kernel takes), so cell scores stay bit-identical to
+    the oracle's chained recurrence + float-rounded codebook."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = clustering.kmeans_train(
+        emb, k=8, iters=2, id_col="vec_id", vec_col="embedding"
+    )
+    cent = spark.createDataFrame(
+        [
+            (j, [float(np.float32(v / 1000.0)) for v in c])
+            for j, c in cents
+        ],
+        "cid int, _cent array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=10, n_probe=3, centroids=cent)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2355,6 +2390,7 @@ CATALOG: dict[str, QueryFn] = {
     "kmeans_train": q_kmeans_train,
     "soft_dedup_weights": q_soft_dedup_weights,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "ann_ivf_learned": q_ann_ivf_learned,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -3920,14 +3956,14 @@ def _kmeans_ctes(k: int, iters: int, dims: int) -> tuple[str, str]:
             FROM st{r - 1} AS p LEFT JOIN u{r} AS u ON p.j = u.j)"""
             )
     fin = iters + 1
-    return "WITH " + ",\n        ".join(parts), f"a{fin}"
+    return ",\n        ".join(parts), f"a{fin}"
 
 
 def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
     chain, afin = _kmeans_ctes(k, iters, dims)
     cfin = afin.replace("a", "c")
     return (
-        chain
+        "WITH " + chain
         + f""",
         cnt AS (
             SELECT cl AS cluster_id, CAST(count(*) AS BIGINT) AS n_points
@@ -3949,7 +3985,7 @@ def _cluster_sample_oracle(k: int, iters: int, dims: int, quota: int) -> str:
     chain, afin = _kmeans_ctes(k, iters, dims)
     h31 = _hex_int_sql("md5(CAST(vec_id AS VARCHAR))", 15)
     return (
-        chain
+        "WITH " + chain
         + f""",
         rk AS (
             SELECT vec_id, cl,
@@ -3986,3 +4022,14 @@ ORACLES["soft_dedup_weights"] = f"""
            CAST(1000 // COALESCE(l.sz, 1) AS BIGINT) AS weight_x1000
     FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
 """
+
+_KMEANS_CHAIN_8x2, _KMEANS_AFIN_8x2 = _kmeans_ctes(k=8, iters=2, dims=64)
+ORACLES["ann_ivf_learned"] = _ann_ivf_sql(
+    cent_cte=(
+        "SELECT j AS cid, list_transform(ci, v -> "
+        "CAST(CAST(CAST(v AS DOUBLE)/1000.0 AS FLOAT) AS DOUBLE)) AS cv "
+        f"FROM {_KMEANS_AFIN_8x2.replace('a', 'c')}"
+    ),
+    pre_ctes=_KMEANS_CHAIN_8x2 + ",\n    ",
+    n_probe=3,
+)

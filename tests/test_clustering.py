@@ -14,6 +14,7 @@ import hashlib
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from blockchain_postgres_sync_spark.operators.clustering import kmeans_train
 
@@ -142,3 +143,46 @@ def test_early_stop_parity(spark):
         (i, [rng.uniform(-0.5, 0.5) for _ in range(6)]) for i in range(40)
     ]
     _run_both(spark, rows, k=3, iters=12)
+
+
+def test_streaming_assign_matches_batch(spark):
+    """cluster_assign is stateless map-only, so running it over a file
+    stream (2 micro-batches) must reproduce the batch assignment row for
+    row — the online-serving leg of the learned model."""
+    import shutil
+    import tempfile
+
+    from blockchain_postgres_sync_spark.operators.clustering import (
+        cluster_assign,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch_assigned, cents = kmeans_train(emb, k=6, iters=2)
+    expected = {(r.vec_id, r.cluster) for r in batch_assigned.collect()}
+
+    d = tempfile.mkdtemp(prefix="cluster_stream_")
+    try:
+        emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/b0")
+        emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(f"{d}/b1")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        q = (
+            cluster_assign(stream, cents)
+            .writeStream.format("memory")
+            .queryName("cluster_assign_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.vec_id, r.cluster)
+            for r in spark.sql("SELECT * FROM cluster_assign_out").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
