@@ -67,14 +67,18 @@ def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Colum
     """In-row argmin over a literal centroid array: fold ascending-j with
     strict < replacement (ties keep the smaller cluster id).  O(k * dim)
     per row, zero shuffle, zero row expansion."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(j)).cast("int").alias("j"),
-                F.array(*[F.lit(int(c)).cast("long") for c in cv]).alias("c"),
-            )
+    # ONE parsed SQL literal instead of k*dim F.lit() calls: every lit() is
+    # a py4j round-trip, and at k=8 x dim=64 x (iters+1) assignment builds
+    # that overhead (~1500 JVM calls) dominated the whole training run —
+    # the expr string is a single call and parses JVM-side.
+    cents = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('j', CAST({int(j)} AS INT), 'c', "
+            + "array(" + ",".join(f"{int(c)}L" for c in cv) + "))"
             for j, cv in cent_ints
-        ]
+        )
+        + ")"
     )
 
     def step(acc: Column, cst: Column) -> Column:
