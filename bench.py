@@ -122,6 +122,7 @@ HEADLINE = [
     "soft_dedup_weights",
     "cluster_balanced_sample",
     "ann_ivf_learned",
+    "ann_ivf_recall",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

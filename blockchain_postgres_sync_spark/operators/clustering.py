@@ -63,23 +63,11 @@ def _centroid_ints(s: list[int], n: int) -> list[int]:
     return [_floordiv(2 * sd + n, 2 * n) for sd in s]
 
 
-def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Column:
-    """In-row argmin over a literal centroid array: fold ascending-j with
-    strict < replacement (ties keep the smaller cluster id).  O(k * dim)
-    per row, zero shuffle, zero row expansion."""
-    # ONE parsed SQL literal instead of k*dim F.lit() calls: every lit() is
-    # a py4j round-trip, and at k=8 x dim=64 x (iters+1) assignment builds
-    # that overhead (~1500 JVM calls) dominated the whole training run —
-    # the expr string is a single call and parses JVM-side.
-    cents = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('j', CAST({int(j)} AS INT), 'c', "
-            + "array(" + ",".join(f"{int(c)}L" for c in cv) + "))"
-            for j, cv in cent_ints
-        )
-        + ")"
-    )
+def _fold_argmin(cents: Column, xq: str = "xq") -> Column:
+    """In-row argmin over a centroid array column (array of struct(j, c)
+    in ascending-j order): fold with strict < replacement (ties keep the
+    smaller cluster id).  O(k * dim) per row, zero shuffle, zero row
+    expansion."""
 
     def step(acc: Column, cst: Column) -> Column:
         a = F.aggregate(
@@ -97,6 +85,24 @@ def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Colum
         F.lit(0).cast("int").alias("j"),
     )
     return F.aggregate(cents, init, step)["j"]
+
+
+def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Column:
+    """:func:`_fold_argmin` over the centroids as a SQL literal.  ONE
+    parsed expr string instead of k*dim F.lit() calls: every lit() is a
+    py4j round-trip, and at k=8 x dim=64 x (iters+1) assignment builds
+    that overhead (~1500 JVM calls) dominated the whole training run —
+    the expr string is a single call and parses JVM-side."""
+    cents = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('j', CAST({int(j)} AS INT), 'c', "
+            + "array(" + ",".join(f"{int(c)}L" for c in cv) + "))"
+            for j, cv in cent_ints
+        )
+        + ")"
+    )
+    return _fold_argmin(cents, xq)
 
 
 def quantize_vectors(
@@ -120,6 +126,7 @@ def cluster_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    literal: bool = True,
 ) -> DataFrame:
     """Assign vectors to FIXED learned integer centroids (the serving /
     online leg of :func:`kmeans_train`): quantize + in-row argmin fold,
@@ -128,9 +135,30 @@ def cluster_assign(
     (Spark's unified semantics; parity pinned by
     tests/test_clustering.py::test_streaming_assign_matches_batch).
     ``centroids`` is kmeans_train's ``[(cluster_id, [ints])]`` output.
+
+    ``literal=False`` switches the codebook from a parsed SQL literal to
+    a ONE-ROW broadcast frame attached via crossJoin (the house codebook
+    pattern, see similarity.centroid_assign): the fold is identical, but
+    the centroid data rides the broadcast instead of the expression tree
+    — use it when ``k * dim`` outgrows literal-expression size (~1e5
+    values; the SCALE.md knob).  Bit-identical assignments either way
+    (pinned by test_bcast_assign_matches_literal); the batch plan gains
+    the waived one-row BroadcastNestedLoopJoin, and the streaming path
+    requires ``literal=True`` (stream-side crossJoin is unsupported).
     """
     q = quantize_vectors(vecs, id_col, vec_col, scale)
-    return q.select(F.col(id_col), _assign_col(centroids).alias("cluster"))
+    if literal:
+        return q.select(
+            F.col(id_col), _assign_col(centroids).alias("cluster")
+        )
+    spark = vecs.sparkSession
+    row = spark.createDataFrame(
+        [([(int(j), [int(c) for c in cv]) for j, cv in sorted(centroids)],)],
+        "_cents array<struct<j:int,c:array<bigint>>>",
+    )
+    return q.crossJoin(F.broadcast(row)).select(
+        F.col(id_col), _fold_argmin(F.col("_cents")).alias("cluster")
+    )
 
 
 def kmeans_train(

@@ -2273,6 +2273,39 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality metric: recall@10 of the deterministic-codebook IVF
+    path against the exact brute-force top-10 — the tuning probe for
+    n_centroids/n_probe at scale (run on a sample, read the recall).
+    Join of two bounded per-query rank lists; integer recall_x100."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4
+    ).select("query_id", F.col("neighbor_id").alias("_n"))
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["_n"]),
+        "left",
+    ).select(exact["query_id"], approx["_n"].isNotNull().alias("_hit"))
+    return hit.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        (
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)) * 10
+        )
+        .cast("long")
+        .alias("recall_x100"),
+    )
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2391,6 +2424,7 @@ CATALOG: dict[str, QueryFn] = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "ann_ivf_learned": q_ann_ivf_learned,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -4033,3 +4067,14 @@ ORACLES["ann_ivf_learned"] = _ann_ivf_sql(
     pre_ctes=_KMEANS_CHAIN_8x2 + ",\n    ",
     n_probe=3,
 )
+
+ORACLES["ann_ivf_recall"] = f"""
+    WITH bf AS ({ORACLES["ann_bruteforce"]}),
+    ivf AS ({_ANN_IVF_SQL})
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(i.neighbor_id) * 10 AS BIGINT) AS recall_x100
+    FROM bf b LEFT JOIN ivf i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+"""

@@ -186,3 +186,21 @@ def test_streaming_assign_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bcast_assign_matches_literal(spark):
+    """The broadcast-codebook assignment path (literal=False, the large-k
+    form) must be row-identical to the literal-expression path."""
+    from blockchain_postgres_sync_spark.operators.clustering import (
+        cluster_assign,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, cents = kmeans_train(emb, k=5, iters=1)
+    lit = {(r.vec_id, r.cluster) for r in cluster_assign(emb, cents).collect()}
+    bc = {
+        (r.vec_id, r.cluster)
+        for r in cluster_assign(emb, cents, literal=False).collect()
+    }
+    assert lit == bc and len(lit) == emb.count()
