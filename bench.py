@@ -123,6 +123,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "ann_ivf_learned",
     "ann_ivf_recall",
+    "ann_lsh_recall",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

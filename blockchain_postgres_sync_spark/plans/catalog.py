@@ -2273,21 +2273,17 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
-def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality metric: recall@10 of the deterministic-codebook IVF
-    path against the exact brute-force top-10 — the tuning probe for
-    n_centroids/n_probe at scale (run on a sample, read the recall).
-    Join of two bounded per-query rank lists; integer recall_x100."""
-    emb = _t(spark, sf_dir, "embeddings")
+def _ann_recall(emb: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@10 of an approximate ANN result against the exact
+    brute-force top-10 (both: (query_id, neighbor_id) for queries
+    vec_id < 5).  Join of two bounded per-query rank lists."""
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.brute_force_topk(emb, queries, k=10).select(
         "query_id", "neighbor_id"
     )
-    approx = similarity.ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=4
-    ).select("query_id", F.col("neighbor_id").alias("_n"))
+    approx = approx.select("query_id", F.col("neighbor_id").alias("_n"))
     hit = exact.join(
         approx,
         (exact["query_id"] == approx["query_id"])
@@ -2303,6 +2299,32 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("recall_x100"),
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality metric: recall@10 of the deterministic-codebook IVF
+    path against the exact brute-force top-10 — the tuning probe for
+    n_centroids/n_probe at scale (run on a sample, read the recall).
+    Integer recall_x100."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ann_recall(
+        emb, similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH path vs exact brute force — the
+    bits/multi-probe tuning probe, same shape as ann_ivf_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ann_recall(
+        emb, similarity.lsh_topk(emb, queries, k=10, bits=4, dim=64, seed=42)
     )
 
 
@@ -2425,6 +2447,7 @@ CATALOG: dict[str, QueryFn] = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "ann_ivf_learned": q_ann_ivf_learned,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -4076,5 +4099,16 @@ ORACLES["ann_ivf_recall"] = f"""
            CAST(count(i.neighbor_id) * 10 AS BIGINT) AS recall_x100
     FROM bf b LEFT JOIN ivf i
         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+"""
+
+ORACLES["ann_lsh_recall"] = f"""
+    WITH bf AS ({ORACLES["ann_bruteforce"]}),
+    lsh AS ({ORACLES["ann_lsh"]})
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(l.neighbor_id) * 10 AS BIGINT) AS recall_x100
+    FROM bf b LEFT JOIN lsh l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
 """
