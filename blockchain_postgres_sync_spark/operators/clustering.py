@@ -146,6 +146,9 @@ def cluster_assign(
     the waived one-row BroadcastNestedLoopJoin, and the streaming path
     requires ``literal=True`` (stream-side crossJoin is unsupported).
     """
+    # both paths fold in ascending-j order (the documented
+    # smaller-cluster-id tie-break), independent of the caller's ordering
+    centroids = sorted(centroids)
     q = quantize_vectors(vecs, id_col, vec_col, scale)
     if literal:
         return q.select(
@@ -153,7 +156,7 @@ def cluster_assign(
         )
     spark = vecs.sparkSession
     row = spark.createDataFrame(
-        [([(int(j), [int(c) for c in cv]) for j, cv in sorted(centroids)],)],
+        [([(int(j), [int(c) for c in cv]) for j, cv in centroids],)],
         "_cents array<struct<j:int,c:array<bigint>>>",
     )
     return q.crossJoin(F.broadcast(row)).select(
@@ -180,51 +183,54 @@ def kmeans_train(
     """
     q = quantize_vectors(vecs, id_col, vec_col, scale)
     qp = q.persist(StorageLevel.MEMORY_AND_DISK)
-
-    seed_rows = (
-        qp.orderBy(_hash31(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(k)
-        .select("xq")
-        .collect()
-    )
-    if len(seed_rows) < k:
-        qp.unpersist()
-        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
-    # model state: cluster j -> (component sums S, member count n);
-    # seeds enter as single-member clusters so c_j == the seed vector
-    state: dict[int, tuple[list[int], int]] = {
-        j: (list(r.xq), 1) for j, r in enumerate(seed_rows, start=1)
-    }
-
-    prev_cent: list[tuple[int, list[int]]] | None = None
-    for _ in range(iters):
-        cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
-        if cent == prev_cent:
-            # fixed point: identical integer centroids reproduce the
-            # previous assignment, hence the previous state — every
-            # remaining round is a no-op.  Skipping them is bit-identical
-            # to running iters out (pinned by test_early_stop_parity) and
-            # saves one corpus scan + shuffle per converged round.
-            break
-        prev_cent = cent
-        assigned = qp.select(_assign_col(cent).alias("cl"), "xq")
-        upd = (
-            assigned.select("cl", F.posexplode("xq").alias("dd", "v"))
-            .groupBy("cl", "dd")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    try:
+        seed_rows = (
+            qp.orderBy(_hash31(F.col(id_col)).asc(), F.col(id_col).asc())
+            .limit(k)
+            .select("xq")
             .collect()
         )
-        nxt: dict[int, tuple[list[int], int]] = {}
-        for r in upd:
-            s, n = nxt.setdefault(
-                int(r.cl), ([0] * len(state[1][0]), int(r.n))
-            )
-            s[int(r.dd)] = int(r.s)
-        # empty clusters keep their previous (S, n)
-        state = {j: nxt.get(j, state[j]) for j in state}
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+        # model state: cluster j -> (component sums S, member count n);
+        # seeds enter as single-member clusters so c_j == the seed vector
+        state: dict[int, tuple[list[int], int]] = {
+            j: (list(r.xq), 1) for j, r in enumerate(seed_rows, start=1)
+        }
 
-    final_cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
-    qp.unpersist()
+        prev_cent: list[tuple[int, list[int]]] | None = None
+        for _ in range(iters):
+            cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
+            if cent == prev_cent:
+                # fixed point: identical integer centroids reproduce the
+                # previous assignment, hence the previous state — every
+                # remaining round is a no-op.  Skipping them is
+                # bit-identical to running iters out (pinned by
+                # test_early_stop_parity) and saves one corpus scan +
+                # shuffle per converged round.
+                break
+            prev_cent = cent
+            assigned = qp.select(_assign_col(cent).alias("cl"), "xq")
+            upd = (
+                assigned.select("cl", F.posexplode("xq").alias("dd", "v"))
+                .groupBy("cl", "dd")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            nxt: dict[int, tuple[list[int], int]] = {}
+            for r in upd:
+                s, n = nxt.setdefault(
+                    int(r.cl), ([0] * len(state[1][0]), int(r.n))
+                )
+                s[int(r.dd)] = int(r.s)
+            # empty clusters keep their previous (S, n)
+            state = {j: nxt.get(j, state[j]) for j in state}
+
+        final_cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
+    finally:
+        # a failed collect (executor loss, interrupt) must not leave the
+        # corpus-scale quantized frame pinned in the session cache
+        qp.unpersist()
     # final assignment re-derives the quantization lazily (one scan when
     # the caller evaluates; no persisted state outlives this call)
     return cluster_assign(vecs, final_cent, id_col, vec_col, scale), final_cent

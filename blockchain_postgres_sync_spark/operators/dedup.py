@@ -704,7 +704,9 @@ def soft_dedup_weights(
     the clustered subset when it is small.  Weights are exact integer
     floor-division — no float ratios to drift cross-engine.
 
-    Output: docs columns + (cluster_size, weight_x1000).
+    Output: docs columns + (cluster_size, weight_x{weight_scale}) —
+    the weight column is NAMED after the scale so a non-default scale
+    can't be silently misread as thousandths.
     """
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("_sz")
@@ -714,7 +716,7 @@ def soft_dedup_weights(
         docs.join(labeled, id_col, "left")
         .withColumn("cluster_size", F.coalesce(F.col("_sz"), F.lit(1).cast("long")))
         .withColumn(
-            "weight_x1000",
+            f"weight_x{int(weight_scale)}",
             F.expr(f"CAST({int(weight_scale)} DIV cluster_size AS BIGINT)"),
         )
         .drop("_sz")

@@ -2029,6 +2029,24 @@ def _ann_ivf_sql(cent_cte: str, pre_ctes: str = "", n_probe: int = 4) -> str:
 """
 
 
+#: recursive connected-components closure over a ``pairs`` CTE (id_a, id_b):
+#: symmetric edges -> transitive reachability -> MIN-label clusters.  ONE
+#: definition shared by every cluster-consuming oracle (dedup_clusters,
+#: dedup_kept_corpus, leakage_safe_split, soft_dedup_weights) so a closure
+#: change can never silently diverge one of them.
+_CC_REACH_SQL = """nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)"""
+
+_CC_CLUSTERS_SQL = _CC_REACH_SQL + """,
+        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY id)"""
+
+
 _ANN_IVF_SQL = _ann_ivf_sql(
     "SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16"
 )
@@ -2273,14 +2291,16 @@ def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
-def _ann_recall(emb: DataFrame, approx: DataFrame) -> DataFrame:
-    """Recall@10 of an approximate ANN result against the exact
-    brute-force top-10 (both: (query_id, neighbor_id) for queries
-    vec_id < 5).  Join of two bounded per-query rank lists."""
+def _ann_recall(emb: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact
+    brute-force top-k (both: (query_id, neighbor_id) for queries
+    vec_id < 5).  Join of two bounded per-query rank lists; the
+    denominator is the EXACT list's actual size per query (== k on any
+    corpus with >= k vectors), so a perfect result always reads 100."""
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+    exact = similarity.brute_force_topk(emb, queries, k=k).select(
         "query_id", "neighbor_id"
     )
     approx = approx.select("query_id", F.col("neighbor_id").alias("_n"))
@@ -2290,15 +2310,21 @@ def _ann_recall(emb: DataFrame, approx: DataFrame) -> DataFrame:
         & (exact["neighbor_id"] == approx["_n"]),
         "left",
     ).select(exact["query_id"], approx["_n"].isNotNull().alias("_hit"))
-    return hit.groupBy("query_id").agg(
-        F.sum(F.when(F.col("_hit"), 1).otherwise(0))
-        .cast("long")
-        .alias("hits"),
-        (
-            F.sum(F.when(F.col("_hit"), 1).otherwise(0)) * 10
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+            F.count(F.lit(1)).alias("_n_exact"),
         )
-        .cast("long")
-        .alias("recall_x100"),
+        .select(
+            "query_id",
+            "hits",
+            F.expr("CAST(hits * 100 DIV _n_exact AS BIGINT)").alias(
+                "recall_x100"
+            ),
+        )
     )
 
 
@@ -2714,26 +2740,12 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
-        nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(id, r) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+        {_CC_REACH_SQL}
         SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """,
     "dedup_kept_corpus": f"""
         WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
-        nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(id, r) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-                     FROM reach GROUP BY id)
+        {_CC_CLUSTERS_SQL}
         SELECT d.doc_id, d.source FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
                                WHERE doc_id <> cluster_id)
@@ -3806,15 +3818,7 @@ ORACLES: dict[str, str] = {
     """,
     "leakage_safe_split": f"""
         WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
-        nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(id, r) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-                     FROM reach GROUP BY id),
+        {_CC_CLUSTERS_SQL},
         keyed AS (
             SELECT d.doc_id, d.source, c.cluster_id,
                    {_hex_int_sql(
@@ -4061,15 +4065,7 @@ ORACLES["cluster_balanced_sample"] = _cluster_sample_oracle(
 
 ORACLES["soft_dedup_weights"] = f"""
     WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
-    nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-                 FROM reach GROUP BY id),
+    {_CC_CLUSTERS_SQL},
     sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
               FROM clusters GROUP BY cluster_id),
     labeled AS (SELECT c.doc_id, s.sz FROM clusters c
@@ -4096,7 +4092,7 @@ ORACLES["ann_ivf_recall"] = f"""
     ivf AS ({_ANN_IVF_SQL})
     SELECT b.query_id,
            CAST(count(i.neighbor_id) AS BIGINT) AS hits,
-           CAST(count(i.neighbor_id) * 10 AS BIGINT) AS recall_x100
+           CAST(count(i.neighbor_id) * 100 // count(*) AS BIGINT) AS recall_x100
     FROM bf b LEFT JOIN ivf i
         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
     GROUP BY b.query_id
@@ -4107,7 +4103,7 @@ ORACLES["ann_lsh_recall"] = f"""
     lsh AS ({ORACLES["ann_lsh"]})
     SELECT b.query_id,
            CAST(count(l.neighbor_id) AS BIGINT) AS hits,
-           CAST(count(l.neighbor_id) * 10 AS BIGINT) AS recall_x100
+           CAST(count(l.neighbor_id) * 100 // count(*) AS BIGINT) AS recall_x100
     FROM bf b LEFT JOIN lsh l
         ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
