@@ -124,6 +124,7 @@ HEADLINE = [
     "ann_ivf_learned",
     "ann_ivf_recall",
     "ann_lsh_recall",
+    "kmeans_inertia",
     "decimals_view",
     "ticker_parse_latest",
     "latest_supply",

@@ -63,11 +63,11 @@ def _centroid_ints(s: list[int], n: int) -> list[int]:
     return [_floordiv(2 * sd + n, 2 * n) for sd in s]
 
 
-def _fold_argmin(cents: Column, xq: str = "xq") -> Column:
+def _fold_best(cents: Column, xq: str = "xq") -> Column:
     """In-row argmin over a centroid array column (array of struct(j, c)
     in ascending-j order): fold with strict < replacement (ties keep the
     smaller cluster id).  O(k * dim) per row, zero shuffle, zero row
-    expansion."""
+    expansion.  Returns struct(a = min squared distance, j = argmin)."""
 
     def step(acc: Column, cst: Column) -> Column:
         a = F.aggregate(
@@ -84,16 +84,21 @@ def _fold_argmin(cents: Column, xq: str = "xq") -> Column:
         F.lit((1 << 62)).cast("long").alias("a"),
         F.lit(0).cast("int").alias("j"),
     )
-    return F.aggregate(cents, init, step)["j"]
+    return F.aggregate(cents, init, step)
 
 
-def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Column:
-    """:func:`_fold_argmin` over the centroids as a SQL literal.  ONE
-    parsed expr string instead of k*dim F.lit() calls: every lit() is a
-    py4j round-trip, and at k=8 x dim=64 x (iters+1) assignment builds
-    that overhead (~1500 JVM calls) dominated the whole training run —
-    the expr string is a single call and parses JVM-side."""
-    cents = F.expr(
+def _fold_argmin(cents: Column, xq: str = "xq") -> Column:
+    """Cluster id of :func:`_fold_best`."""
+    return _fold_best(cents, xq)["j"]
+
+
+def _cents_expr(cent_ints: list[tuple[int, list[int]]]) -> Column:
+    """The centroids as ONE parsed SQL literal.  A single expr string
+    instead of k*dim F.lit() calls: every lit() is a py4j round-trip, and
+    at k=8 x dim=64 x (iters+1) assignment builds that overhead (~1500
+    JVM calls) dominated the whole training run — the expr string is one
+    call and parses JVM-side."""
+    return F.expr(
         "array("
         + ",".join(
             f"named_struct('j', CAST({int(j)} AS INT), 'c', "
@@ -102,7 +107,11 @@ def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Colum
         )
         + ")"
     )
-    return _fold_argmin(cents, xq)
+
+
+def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Column:
+    """:func:`_fold_argmin` over the literal centroid array."""
+    return _fold_argmin(_cents_expr(cent_ints), xq)
 
 
 def quantize_vectors(
@@ -171,9 +180,19 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    history: list | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Train k-means for ``iters`` (assign, update) rounds, then run one
     final assignment against the learned centroids.
+
+    Pass a list as ``history`` to receive one ``{"round", "inertia"}``
+    dict per round — the exact integer total within-cluster squared
+    distance under that round's centroids (the elbow-method diagnostic
+    for choosing k).  It rides the SAME per-round shuffle (an extra
+    first-dimension-only sum in the update aggregation), so tracking
+    costs no additional job.  If the fixed-point early stop fires,
+    skipped rounds are padded with the converged value (what running
+    them literally would produce).
 
     Returns ``(assignments, centroids)``: a lazy ``(id_col, cluster)``
     frame (one row per input vector; evaluating it costs one quantize +
@@ -210,13 +229,31 @@ def kmeans_train(
                 # shuffle per converged round.
                 break
             prev_cent = cent
-            assigned = qp.select(_assign_col(cent).alias("cl"), "xq")
+            best = _fold_best(_cents_expr(cent))
+            assigned = qp.select(
+                best["j"].alias("cl"), best["a"].alias("_a"), "xq"
+            )
             upd = (
-                assigned.select("cl", F.posexplode("xq").alias("dd", "v"))
+                assigned.select("cl", "_a", F.posexplode("xq").alias("dd", "v"))
                 .groupBy("cl", "dd")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.sum("v").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                    # per-row min distance, summed once (dd == 0 only):
+                    # the round's inertia contribution of this cluster
+                    F.sum(F.when(F.col("dd") == 0, F.col("_a"))).alias("sa"),
+                )
                 .collect()
             )
+            if history is not None:
+                history.append(
+                    {
+                        "round": len(history) + 1,
+                        "inertia": sum(
+                            int(r.sa) for r in upd if int(r.dd) == 0
+                        ),
+                    }
+                )
             nxt: dict[int, tuple[list[int], int]] = {}
             for r in upd:
                 s, n = nxt.setdefault(
@@ -227,6 +264,15 @@ def kmeans_train(
             state = {j: nxt.get(j, state[j]) for j in state}
 
         final_cent = [(j, _centroid_ints(*state[j])) for j in sorted(state)]
+        # early stop skips rounds whose centroids (hence assignment and
+        # inertia) equal the fixed point — pad so history always has
+        # ``iters`` entries matching a literal full run
+        if history is not None and history and len(history) < iters:
+            last = history[-1]["inertia"]
+            while len(history) < iters:
+                history.append(
+                    {"round": len(history) + 1, "inertia": last}
+                )
     finally:
         # a failed collect (executor loss, interrupt) must not leave the
         # corpus-scale quantized frame pinned in the session cache

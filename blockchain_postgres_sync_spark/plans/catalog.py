@@ -2354,6 +2354,23 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round k-means inertia (exact integer total within-cluster
+    squared distance) — the elbow-method diagnostic for choosing k.
+    Tracking rides the training rounds' own shuffles (no extra jobs);
+    the oracle reads the same totals off the unrolled recurrence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hist: list = []
+    clustering.kmeans_train(
+        emb, k=8, iters=2, id_col="vec_id", vec_col="embedding",
+        history=hist,
+    )
+    return spark.createDataFrame(
+        [(int(h["round"]), int(h["inertia"])) for h in hist],
+        "round int, inertia long",
+    )
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Rounds 3-5 ran
 #: with the original insertion order, giving the first 50 three rounds of
@@ -2474,6 +2491,7 @@ CATALOG: dict[str, QueryFn] = {
     "ann_ivf_learned": q_ann_ivf_learned,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "kmeans_inertia": q_kmeans_inertia,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
@@ -4108,3 +4126,19 @@ ORACLES["ann_lsh_recall"] = f"""
         ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
 """
+
+ORACLES["kmeans_inertia"] = (
+    "WITH "
+    + _KMEANS_CHAIN_8x2
+    + "\n    "
+    + " UNION ALL ".join(
+        f"""
+    SELECT CAST({r} AS INTEGER) AS round, CAST(SUM(m) AS BIGINT) AS inertia
+    FROM (SELECT q.vec_id,
+                 MIN(list_sum(list_transform(generate_series(1, 64),
+                     dd -> (q.xq[dd] - c.ci[dd]) * (q.xq[dd] - c.ci[dd]))))
+                     AS m
+          FROM q, c{r} AS c GROUP BY q.vec_id)"""
+        for r in (1, 2)
+    )
+)

@@ -31,8 +31,9 @@ def _quantize(vec: list[float], scale: int = 1000) -> list[int]:
 
 def _kmeans_py(
     rows: list[tuple[int, list[float]]], k: int, iters: int
-) -> tuple[dict[int, int], dict[int, list[int]]]:
-    """(assignments id->cluster, final integer centroids per cluster)."""
+) -> tuple[dict[int, int], dict[int, list[int]], list[int]]:
+    """(assignments id->cluster, final integer centroids, per-round
+    inertia) — every round run literally (no early stop)."""
     q = {i: _quantize(v) for i, v in rows}
     seed_ids = sorted(q, key=lambda i: (_hash31_py(i), i))[:k]
     state = {j: (list(q[i]), 1) for j, i in enumerate(seed_ids, start=1)}
@@ -49,26 +50,31 @@ def _kmeans_py(
                 (sum((xd - cd) ** 2 for xd, cd in zip(x, c[j])), j)
                 for j in sorted(c)
             )
-            out[i] = best[1]
+            out[i] = (best[1], best[0])
         return out
 
+    inertias = []
     for _ in range(iters):
-        a = assign(cents(state))
+        a2 = assign(cents(state))
+        inertias.append(sum(d for (_, d) in a2.values()))
+        a = {i: j for i, (j, _) in a2.items()}
         nxt: dict[int, tuple[list[int], int]] = {}
         for i, j in a.items():
             s, n = nxt.get(j, ([0] * len(q[i]), 0))
             nxt[j] = ([sd + xd for sd, xd in zip(s, q[i])], n + 1)
         state = {j: nxt.get(j, state[j]) for j in state}
     fc = cents(state)
-    return assign(fc), fc
+    return {i: j for i, (j, _) in assign(fc).items()}, fc, inertias
 
 
 def _run_both(spark, rows, k, iters):
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
     )
+    hist: list = []
     assigned, cent = kmeans_train(
-        df, k=k, iters=iters, id_col="vec_id", vec_col="embedding"
+        df, k=k, iters=iters, id_col="vec_id", vec_col="embedding",
+        history=hist,
     )
     got = {int(r.vec_id): int(r.cluster) for r in assigned.collect()}
     # Spark quantizes the FLOAT column (cast to double first), so the
@@ -76,9 +82,13 @@ def _run_both(spark, rows, k, iters):
     import numpy as np
 
     f32rows = [(i, [float(np.float32(x)) for x in v]) for i, v in rows]
-    want, want_cent = _kmeans_py(f32rows, k, iters)
+    want, want_cent, want_inertia = _kmeans_py(f32rows, k, iters)
     assert got == want
     assert dict(cent) == want_cent
+    # history matches a literal full run round for round (early-stopped
+    # rounds are padded with the converged value)
+    assert [h["inertia"] for h in hist] == want_inertia
+    assert [h["round"] for h in hist] == list(range(1, iters + 1))
 
 
 def test_matches_python_reference_random(spark):
