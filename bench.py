@@ -132,6 +132,8 @@ HEADLINE = [
     "rollback_scd",
     "squash_blocks",
     "squash_repoint",
+    "weighted_sample",
+    "weighted_sample_strata",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

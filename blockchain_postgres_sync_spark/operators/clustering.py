@@ -65,26 +65,38 @@ def _centroid_ints(s: list[int], n: int) -> list[int]:
 
 def _fold_best(cents: Column, xq: str = "xq") -> Column:
     """In-row argmin over a centroid array column (array of struct(j, c)
-    in ascending-j order): fold with strict < replacement (ties keep the
+    in ascending-j order): the fold SEEDS from the first centroid's actual
+    distance and folds the tail with strict < replacement (ties keep the
     smaller cluster id).  O(k * dim) per row, zero shuffle, zero row
-    expansion.  Returns struct(a = min squared distance, j = argmin)."""
+    expansion.  Returns struct(a = min squared distance, j = argmin).
 
-    def step(acc: Column, cst: Column) -> Column:
-        a = F.aggregate(
+    No sentinel: an earlier version seeded with distance 2^62 / cluster 0,
+    which would silently assign a nonexistent cluster 0 if a real squared
+    distance ever reached the sentinel (round-6 advice).  Seeding from a
+    real centroid removes that failure mode entirely; the remaining bound
+    is int64 itself — ``sum_d (xq-c)^2 < 2^63`` needs
+    ``max|xq - c| * sqrt(dim) < 3.0e9``, i.e. quantized magnitudes up to
+    ~4e8 at dim=64 — and ANSI mode (Spark 4 default) turns an overflow
+    beyond that into a loud error, never a wrong assignment.
+    """
+
+    def dist(cst: Column) -> Column:
+        return F.aggregate(
             F.zip_with(F.col(xq), cst["c"], lambda x, c: (x - c) * (x - c)),
             F.lit(0).cast("long"),
             lambda s, v: s + v,
         )
-        better = a < acc["a"]
+
+    def step(acc: Column, cst: Column) -> Column:
+        a = dist(cst)
         return F.when(
-            better, F.struct(a.alias("a"), cst["j"].alias("j"))
+            a < acc["a"], F.struct(a.alias("a"), cst["j"].alias("j"))
         ).otherwise(acc)
 
-    init = F.struct(
-        F.lit((1 << 62)).cast("long").alias("a"),
-        F.lit(0).cast("int").alias("j"),
-    )
-    return F.aggregate(cents, init, step)
+    first = F.element_at(cents, 1)
+    init = F.struct(dist(first).alias("a"), first["j"].alias("j"))
+    rest = F.slice(cents, F.lit(2), F.greatest(F.size(cents) - 1, F.lit(0)))
+    return F.aggregate(rest, init, step)
 
 
 def _fold_argmin(cents: Column, xq: str = "xq") -> Column:
@@ -146,14 +158,15 @@ def cluster_assign(
     ``centroids`` is kmeans_train's ``[(cluster_id, [ints])]`` output.
 
     ``literal=False`` switches the codebook from a parsed SQL literal to
-    a ONE-ROW broadcast frame attached via crossJoin (the house codebook
-    pattern, see similarity.centroid_assign): the fold is identical, but
-    the centroid data rides the broadcast instead of the expression tree
-    — use it when ``k * dim`` outgrows literal-expression size (~1e5
-    values; the SCALE.md knob).  Bit-identical assignments either way
-    (pinned by test_bcast_assign_matches_literal); the batch plan gains
-    the waived one-row BroadcastNestedLoopJoin, and the streaming path
-    requires ``literal=True`` (stream-side crossJoin is unsupported).
+    a ONE-ROW broadcast frame (the house codebook pattern, see
+    similarity.centroid_assign): the fold is identical, but the centroid
+    data rides the broadcast instead of the expression tree — use it when
+    ``k * dim`` outgrows literal-expression size (~1e5 values; the
+    SCALE.md knob).  The attach is a dummy-key stream-static-compatible
+    broadcast EQUI-join (not a crossJoin), so the SAME call serves an
+    unbounded streaming frame with a 64k-centroid codebook — parity
+    pinned by test_streaming_bcast_assign_large_codebook.  Bit-identical
+    assignments either way (test_bcast_assign_matches_literal).
     """
     # both paths fold in ascending-j order (the documented
     # smaller-cluster-id tie-break), independent of the caller's ordering
@@ -165,11 +178,13 @@ def cluster_assign(
         )
     spark = vecs.sparkSession
     row = spark.createDataFrame(
-        [([(int(j), [int(c) for c in cv]) for j, cv in centroids],)],
-        "_cents array<struct<j:int,c:array<bigint>>>",
+        [(1, [(int(j), [int(c) for c in cv]) for j, cv in centroids])],
+        "_k int, _cents array<struct<j:int,c:array<bigint>>>",
     )
-    return q.crossJoin(F.broadcast(row)).select(
-        F.col(id_col), _fold_argmin(F.col("_cents")).alias("cluster")
+    return (
+        q.withColumn("_k", F.lit(1))
+        .join(F.broadcast(row), "_k")
+        .select(F.col(id_col), _fold_argmin(F.col("_cents")).alias("cluster"))
     )
 
 

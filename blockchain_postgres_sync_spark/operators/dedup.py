@@ -280,17 +280,22 @@ def incremental_lsh_matches(
     scored = banded_match_scores(
         inc_banded, index_banded, id_col=id_col, num_hashes=num_hashes
     )
+    # argmax over (agree_x100 DESC, index_id ASC) as a single struct-min:
+    # negate the agreement score (always an internal int), never the id —
+    # a string-typed id corpus must tie-break identically (round-6 advice).
     best = (
         scored.groupBy(id_col)
         .agg(
-            F.max(
-                F.struct(F.col("agree_x100"), (-F.col("index_id")).alias("_ni"))
+            F.min(
+                F.struct(
+                    (-F.col("agree_x100")).alias("_na"), F.col("index_id")
+                )
             ).alias("_best")
         )
         .select(
             id_col,
-            (-F.col("_best._ni")).alias("index_id"),
-            F.col("_best.agree_x100").alias("agree_x100"),
+            F.col("_best.index_id").alias("index_id"),
+            (-F.col("_best._na")).alias("agree_x100"),
         )
     )
     return best.filter(F.col("agree_x100") >= int(min_agree * 100))

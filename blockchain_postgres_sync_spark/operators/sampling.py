@@ -80,6 +80,63 @@ def stratified_quota(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted without-replacement sample of ``n`` rows
+    (priority sampling, Duffield/Lund/Thorup): each row gets priority
+    ``w * 2^31 // (h31(key) + 1)`` — a weight-scaled inverse of its
+    uniform hash draw — and the top ``n`` priorities win.  A row's
+    inclusion probability scales with its weight (the classic
+    ``u^(1/w)`` reservoir key, integerized as ``w / u``), yet the draw is
+    a pure function of (key, weight): reproducible across runs, engines,
+    and repartitioning, exactly like :func:`hash_sample`.
+
+    Integer-exact: ``w`` is read as a BIGINT (callers with fractional
+    weights pre-scale, house x1000 convention), ``h31 + 1`` is in
+    [1, 2^31 - 1], and ``w * 2^31`` stays in int64 for ``w < 2^32``.
+    Ties (equal priority) break by key ascending — total order, no RNG.
+
+    Plan shape: without ``stratum_col`` this is a global top-n —
+    Spark plans ``orderBy(...).limit(n)`` as TakeOrdered (per-partition
+    heap of n + single-reduce merge, NO global sort shuffle), the right
+    100 TB shape for n ≪ corpus.  With ``stratum_col`` it is one window
+    shuffle on the stratum key (same shape as :func:`stratified_quota`).
+    """
+    # exact integer division (SQL DIV; pyspark Column has no floordiv and
+    # float division would lose precision above 2^53)
+    with_p = (
+        df.withColumn(
+            "_wnum",
+            F.col(weight_col).cast("long")
+            * F.lit(int(HASH_SPACE) + 1).cast("long"),
+        )
+        .withColumn(
+            "_hden", _hash31(F.col(key_col)) + F.lit(1).cast("long")
+        )
+        .withColumn("_prio", F.expr("_wnum DIV _hden"))
+        .drop("_wnum", "_hden")
+    )
+    if stratum_col is None:
+        return (
+            with_p.orderBy(F.desc("_prio"), F.asc(key_col))
+            .limit(n)
+            .drop("_prio")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("_prio"), F.asc(key_col)
+    )
+    return (
+        with_p.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk", "_prio")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str = "doc_id",

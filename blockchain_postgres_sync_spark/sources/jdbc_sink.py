@@ -31,17 +31,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _q(ident: str) -> str:
+    """ANSI double-quote an identifier (Postgres, Derby, DuckDB, DB2...).
+
+    Spark's JDBC writer QUOTES column names when it creates the staging
+    table, so staging columns are stored in the DataFrame's EXACT case.
+    The generated merge statements quote identically — the contract is
+    therefore simply "DataFrame column names equal the target table's
+    stored column names", with no dependence on each database's unquoted
+    case-folding direction (round-6 advice: an unquoted merge resolved
+    only when the DataFrame case happened to match the database's fold —
+    UPPERCASE Derby vs lowercase Postgres)."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def upsert_sql(
     table: str,
     staging: str,
     columns: list[str],
     key_cols: list[str],
 ) -> str:
-    """One set-based merge from staging into the target (S5)."""
+    """One set-based merge from staging into the target (S5) — Postgres
+    ``ON CONFLICT`` dialect (pg.rs:721-730); executed live against DuckDB
+    (same syntax) in tests/test_jdbc_sink.py::test_duckdb_upsert_executes.
+    """
     non_keys = [c for c in columns if c not in key_cols]
-    cols = ", ".join(columns)
-    keys = ", ".join(key_cols)
-    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+    cols = ", ".join(_q(c) for c in columns)
+    keys = ", ".join(_q(k) for k in key_cols)
+    sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in non_keys)
     return (
         f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
         f"ON CONFLICT ({keys}) DO UPDATE SET {sets}"
@@ -55,8 +72,8 @@ def insert_if_absent_sql(
     key_cols: list[str],
 ) -> str:
     """First-writer-wins append (S6: asset_origins, waves_data)."""
-    cols = ", ".join(columns)
-    keys = ", ".join(key_cols)
+    cols = ", ".join(_q(c) for c in columns)
+    keys = ", ".join(_q(k) for k in key_cols)
     return (
         f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
         f"ON CONFLICT ({keys}) DO NOTHING"
@@ -74,16 +91,15 @@ def merge_sql(
     ``ON CONFLICT`` isn't available; exercised live against embedded
     Derby in the test suite.
 
-    Identifiers are emitted UNQUOTED (matching the reference's SQL), while
-    Spark's JDBC writer QUOTES column names when creating the staging
-    table — so DataFrame column names must match the database's unquoted
-    case-folding (lowercase for Postgres, UPPERCASE for Derby/DB2) for the
-    merge to resolve them."""
+    Column identifiers are double-quoted to match Spark's JDBC writer
+    (see :func:`_q`): the staging side always resolves, and the target
+    table's stored column names must equal the DataFrame's column names
+    exactly."""
     non_keys = [c for c in columns if c not in key_cols]
-    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
-    cols = ", ".join(columns)
-    vals = ", ".join(f"s.{c}" for c in columns)
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+    sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in non_keys)
+    cols = ", ".join(_q(c) for c in columns)
+    vals = ", ".join(f"s.{_q(c)}" for c in columns)
     return (
         f"MERGE INTO {table} t USING {staging} s ON ({on}) "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
@@ -93,7 +109,7 @@ def merge_sql(
 
 def delete_above_sql(table: str, uid_col: str, boundary: int) -> str:
     """Rollback delete (S7, pg.rs:392-398)."""
-    return f"DELETE FROM {table} WHERE {uid_col} > {int(boundary)}"
+    return f"DELETE FROM {table} WHERE {_q(uid_col)} > {int(boundary)}"
 
 
 def staging_name(table: str, batch_id: int) -> str:

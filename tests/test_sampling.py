@@ -39,6 +39,57 @@ def test_stratified_quota_per_stratum(spark):
     assert sampling.stratified_quota(df, "source", 100).count() == 100
 
 
+def test_weighted_sample_matches_python_reference(spark):
+    """Priority sampling is a pure integer function of (key, weight):
+    replay w * 2^31 // (h31(key) + 1) in Python and compare the top-n
+    membership exactly; repartitioning must not change the draw."""
+    import hashlib
+
+    def h31(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 2147483647
+
+    n_rows, top = 100, 15
+    weights = {i: (i * 37) % 50 + 1 for i in range(n_rows)}
+    df = spark.createDataFrame(
+        [(i, weights[i]) for i in range(n_rows)], "doc_id long, w long"
+    )
+    want = sorted(
+        range(n_rows),
+        key=lambda i: (-(weights[i] * 2147483648 // (h31(i) + 1)), i),
+    )[:top]
+    got = {
+        r.doc_id for r in sampling.weighted_sample(df, "w", top).collect()
+    }
+    assert got == set(want)
+    again = {
+        r.doc_id
+        for r in sampling.weighted_sample(df.repartition(7), "w", top).collect()
+    }
+    assert again == set(want)
+
+
+def test_weighted_sample_weight_bias_and_strata(spark):
+    # weight 1000 vs weight 1: the heavy half must dominate the sample
+    df = spark.createDataFrame(
+        [(i, 1000 if i < 50 else 1) for i in range(100)],
+        "doc_id long, w long",
+    )
+    heavy = sum(
+        1
+        for r in sampling.weighted_sample(df, "w", 20).collect()
+        if r.doc_id < 50
+    )
+    assert heavy >= 18  # ~1000x priority scale, ties essentially impossible
+    # stratified: exact quota per stratum, deterministic membership
+    sdf = df.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    out = sampling.weighted_sample(sdf, "w", 5, stratum_col="src")
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 5, "1": 5}
+
+
 def test_curate_thresholds(spark):
     rows = [
         (1, "one two three four five"),          # 5 tokens < min -> dropped

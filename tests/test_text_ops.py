@@ -415,3 +415,23 @@ def test_incremental_lsh_matches_tiebreak_and_miss(spark):
     assert out[20].index_id == 10 and out[20].agree_x100 == 100
     # nothing in the index shares a band bucket with doc 21
     assert 21 not in out
+
+
+def test_incremental_lsh_matches_string_ids(spark):
+    """The id column is generic: a STRING doc_id corpus must work and
+    tie-break to the lexicographically smallest index id (the round-6
+    advice flagged the old unary-negation tie-break as numeric-only)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    index = spark.createDataFrame(
+        [("idx-b", text), ("idx-a", text), ("other", "one two three four")],
+        "doc_id string, text string",
+    )
+    incoming = spark.createDataFrame(
+        [("new-1", text)], "doc_id string, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_lsh_matches(incoming, index).collect()
+    }
+    assert out["new-1"].index_id == "idx-a"
+    assert out["new-1"].agree_x100 == 100

@@ -24,7 +24,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_rows(cols, rows):
+    """Canonicalize result rows THROUGH PANDAS, mirroring the external
+    driver's gate: the driver builds a pandas frame, sorts columns by name,
+    then multi-column ``sort_values`` before value-hashing.  pandas'
+    multi-key sort factorizes (hashes) every cell — an ArrayType output
+    column therefore raises ``TypeError: unhashable type: 'list'`` in the
+    REAL gate.  Round 6 shipped three such queries green locally because
+    this function sorted pure-Python tuples (lists compare fine); now the
+    sim crashes exactly where the driver does (round-6 verdict item #3).
+
+    The returned value keeps the old deterministic string-tuple form (the
+    pandas sort order itself is irrelevant — only its type constraints are
+    being replicated), so spark-vs-oracle comparison semantics are
+    unchanged for scalar outputs.
+    """
+    import pandas as pd
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    ocols = [cols[i] for i in order]
+    pdf = pd.DataFrame(
+        [tuple(r[i] for i in order) for r in rows], columns=ocols
+    )
+    if len(pdf):
+        # replicate the driver's multi-column sort (factorize path hashes
+        # each cell; unhashable cells raise here, as in the real gate)
+        pdf.sort_values(ocols, kind="stable")
 
     def cv(v):
         if v is None:
