@@ -134,6 +134,10 @@ HEADLINE = [
     "squash_repoint",
     "weighted_sample",
     "weighted_sample_strata",
+    "pq_codebooks",
+    "pq_encode",
+    "ann_pq",
+    "ann_ivfpq",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

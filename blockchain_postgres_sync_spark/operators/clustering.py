@@ -63,12 +63,15 @@ def _centroid_ints(s: list[int], n: int) -> list[int]:
     return [_floordiv(2 * sd + n, 2 * n) for sd in s]
 
 
-def _fold_best(cents: Column, xq: str = "xq") -> Column:
+def _fold_best(cents: Column, xq: str | Column = "xq") -> Column:
     """In-row argmin over a centroid array column (array of struct(j, c)
     in ascending-j order): the fold SEEDS from the first centroid's actual
     distance and folds the tail with strict < replacement (ties keep the
     smaller cluster id).  O(k * dim) per row, zero shuffle, zero row
     expansion.  Returns struct(a = min squared distance, j = argmin).
+    ``xq`` is a column name or a Column (e.g. a staged subvector slice —
+    stage it as a real column first, HOF arguments re-evaluate per fold
+    step).
 
     No sentinel: an earlier version seeded with distance 2^62 / cluster 0,
     which would silently assign a nonexistent cluster 0 if a real squared
@@ -80,9 +83,11 @@ def _fold_best(cents: Column, xq: str = "xq") -> Column:
     beyond that into a loud error, never a wrong assignment.
     """
 
+    xcol = F.col(xq) if isinstance(xq, str) else xq
+
     def dist(cst: Column) -> Column:
         return F.aggregate(
-            F.zip_with(F.col(xq), cst["c"], lambda x, c: (x - c) * (x - c)),
+            F.zip_with(xcol, cst["c"], lambda x, c: (x - c) * (x - c)),
             F.lit(0).cast("long"),
             lambda s, v: s + v,
         )
@@ -99,7 +104,7 @@ def _fold_best(cents: Column, xq: str = "xq") -> Column:
     return F.aggregate(rest, init, step)
 
 
-def _fold_argmin(cents: Column, xq: str = "xq") -> Column:
+def _fold_argmin(cents: Column, xq: str | Column = "xq") -> Column:
     """Cluster id of :func:`_fold_best`."""
     return _fold_best(cents, xq)["j"]
 

@@ -33,7 +33,7 @@ from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
     bpe, clustering, contamination, dedup, encoding, multimodal, packing,
-    sampling, similarity, stats, temporal,
+    pq, sampling, similarity, stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -2425,6 +2425,112 @@ def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PQ model hyperparameters shared by the three pq_* queries and their
+#: oracles: m=4 subspaces over the 64-dim embeddings (16 dims each), k=8
+#: codewords per subspace, one Lloyd round.
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 4, 8, 1, 64
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return emb, books
+
+
+def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization training digest (operators/pq.py::pq_train):
+    per (subspace, code) the member count plus centroid sum/L1 — the same
+    certificate shape as kmeans_train, across all m jointly-trained
+    subspaces.  Per round: ONE m-argmin assignment scan + ONE k*dim-row
+    shuffle (m separate kmeans runs would scan the corpus m times)."""
+    emb, books = _pq_model(spark, sf_dir)
+    dig = spark.createDataFrame(
+        [
+            (s, j, sum(c), sum(abs(v) for v in c))
+            for s in books
+            for j, c in books[s]
+        ],
+        "subspace int, code int, centroid_sum long, centroid_l1 long",
+    )
+    counts = (
+        pq.pq_encode(emb, books)
+        .select(F.posexplode("codes").alias("subspace", "code"))
+        .groupBy(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return counts.join(F.broadcast(dig), ["subspace", "code"]).select(
+        "subspace", "code", "n_points", "centroid_sum", "centroid_l1"
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector compressed to its m per-subspace codes
+    (operators/pq.py::pq_encode) — map-only, the 64x storage reduction
+    that makes a 100 TB embedding corpus ADC-scannable.  Codes serialized
+    to a comma string for the driver gate (_arr_str)."""
+    emb, books = _pq_model(spark, sf_dir)
+    return pq.pq_encode(emb, books).select(
+        "vec_id", _arr_str(F.col("codes")).alias("codes")
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 per query over the PQ-encoded corpus
+    (operators/pq.py::pq_adc_topk): queries vec_id < 5 score every row
+    through per-query (m x k) integer LUTs — m lookups per row, no
+    reconstruction; exact squared distance to each row's codeword
+    reconstruction, ties to the smaller vec_id."""
+    import math
+
+    emb, books = _pq_model(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (
+            int(r.vec_id),
+            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
+        )
+        for r in qrows
+    ]
+    enc = pq.pq_encode(emb, books)
+    return pq.pq_adc_topk(enc, books, queries, topk=10).select(
+        "query_id", "vec_id", "rank", "adc"
+    )
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN (operators/pq.py::ivfpq_topk): coarse k-means cells
+    prune the corpus to n_probe=3 of 8 buckets per query, then PQ ADC
+    scores only those rows — the FAISS-style sub-linear serving
+    composition.  Index built in ONE map-only pass (cell + m codes);
+    the probe restriction is a broadcast equi-join on cell."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = clustering.kmeans_train(emb, k=8, iters=1)
+    books = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    index = pq.ivfpq_index(emb, cents, books)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [
+        (
+            int(r.vec_id),
+            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
+        )
+        for r in qrows
+    ]
+    return pq.ivfpq_topk(
+        index, books, cents, queries, topk=10, n_probe=3
+    ).select("query_id", "vec_id", "rank", "adc")
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Window policy
 #: (round-7, after the round-6 lesson where rotating the whole window at
@@ -2563,6 +2669,10 @@ CATALOG: dict[str, QueryFn] = {
     # -- round-7 additions (enter the gate window next round) -------------
     "weighted_sample": q_weighted_sample,
     "weighted_sample_strata": q_weighted_sample_strata,
+    "pq_codebooks": q_pq_codebooks,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
@@ -4075,7 +4185,13 @@ ORACLES["quality_pr_curve"] = f"""
 """
 
 
-def _kmeans_ctes(k: int, iters: int, dims: int) -> tuple[str, str]:
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    dims: int,
+    vec_expr: str = "embedding",
+    tag: str = "",
+) -> tuple[str, str]:
     """Unrolled Lloyd recurrence mirroring kmeans_train's integer spec:
     quantize -> hash-order seeds -> per round (floor-div re-quantized
     centroids, exact integer argmin assignment, per-dim member sums with
@@ -4083,7 +4199,14 @@ def _kmeans_ctes(k: int, iters: int, dims: int) -> tuple[str, str]:
     arithmetic, so the unroll is bit-exact vs Spark.  Returns
     ``(with_chain, final_assignment_cte)`` so consumers (the digest
     oracle, the cluster-balanced sample oracle) compose their own final
-    SELECT on top."""
+    SELECT on top.
+
+    ``vec_expr`` is the input-vector SQL expression (default the raw
+    embedding; PQ passes a 1-based inclusive slice
+    ``embedding[a:b]``) and ``tag`` suffixes every CTE name so several
+    chains — one per PQ subspace — compose in one WITH (the per-subspace
+    recurrences are independent, so PQ == m tagged copies of this
+    chain)."""
     h31 = _hex_int_sql("md5(CAST(vec_id AS VARCHAR))", 15)
     # exact floor division (a // b with sign-safe floor mod), a = 2*v + n,
     # b = 2*n: DuckDB % truncates like Spark's, so add-then-re-mod makes
@@ -4092,31 +4215,32 @@ def _kmeans_ctes(k: int, iters: int, dims: int) -> tuple[str, str]:
         "CAST(((2*v + n) - ((((2*v + n) % (2*n)) + 2*n) % (2*n)))"
         " // (2*n) AS BIGINT)"
     )
+    t = tag
     parts = [
-        f"""q AS (
+        f"""q{t} AS (
             SELECT vec_id,
-                   list_transform(embedding, x ->
+                   list_transform({vec_expr}, x ->
                        CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
                        AS xq
             FROM embeddings),
-        seeds AS (
+        seeds{t} AS (
             SELECT CAST(row_number() OVER
                        (ORDER BY {h31} % 2147483647, vec_id) AS INTEGER) AS j,
                    xq
-            FROM q
+            FROM q{t}
             QUALIFY row_number() OVER
                 (ORDER BY {h31} % 2147483647, vec_id) <= {k}),
-        st0 AS (SELECT j, xq AS s, CAST(1 AS BIGINT) AS n FROM seeds)"""
+        st0{t} AS (SELECT j, xq AS s, CAST(1 AS BIGINT) AS n FROM seeds{t})"""
     ]
     for r in range(1, iters + 2):  # iters updates + one final assignment
         parts.append(
-            f"""c{r} AS (
-            SELECT j, list_transform(s, v -> {cdiv}) AS ci FROM st{r - 1})"""
+            f"""c{r}{t} AS (
+            SELECT j, list_transform(s, v -> {cdiv}) AS ci FROM st{r - 1}{t})"""
         )
         parts.append(
-            f"""a{r} AS (
+            f"""a{r}{t} AS (
             SELECT q.vec_id, c.j AS cl
-            FROM q, c{r} AS c
+            FROM q{t} AS q, c{r}{t} AS c
             QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
                 list_sum(list_transform(generate_series(1, {dims}),
                     dd -> (q.xq[dd] - c.ci[dd]) * (q.xq[dd] - c.ci[dd]))),
@@ -4124,21 +4248,21 @@ def _kmeans_ctes(k: int, iters: int, dims: int) -> tuple[str, str]:
         )
         if r <= iters:
             parts.append(
-                f"""e{r} AS (
+                f"""e{r}{t} AS (
             SELECT a.cl AS j, g.dd AS dd, CAST(sum(q.xq[g.dd]) AS BIGINT)
                        AS s, CAST(count(*) AS BIGINT) AS n
-            FROM a{r} AS a JOIN q ON a.vec_id = q.vec_id,
+            FROM a{r}{t} AS a JOIN q{t} AS q ON a.vec_id = q.vec_id,
                  unnest(generate_series(1, {dims})) AS g(dd)
             GROUP BY a.cl, g.dd),
-        u{r} AS (
+        u{r}{t} AS (
             SELECT j, list(s ORDER BY dd) AS s, max(n) AS n
-            FROM e{r} GROUP BY j),
-        st{r} AS (
+            FROM e{r}{t} GROUP BY j),
+        st{r}{t} AS (
             SELECT p.j, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
-            FROM st{r - 1} AS p LEFT JOIN u{r} AS u ON p.j = u.j)"""
+            FROM st{r - 1}{t} AS p LEFT JOIN u{r}{t} AS u ON p.j = u.j)"""
             )
     fin = iters + 1
-    return ",\n        ".join(parts), f"a{fin}"
+    return ",\n        ".join(parts), f"a{fin}{t}"
 
 
 def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
@@ -4182,6 +4306,180 @@ def _cluster_sample_oracle(k: int, iters: int, dims: int, quota: int) -> str:
 ORACLES["kmeans_train"] = _kmeans_oracle(k=8, iters=2, dims=64)
 ORACLES["cluster_balanced_sample"] = _cluster_sample_oracle(
     k=8, iters=2, dims=64, quota=10
+)
+
+
+def _pq_chains(m: int, k: int, iters: int, dim: int) -> tuple[str, list[str], list[str]]:
+    """The m independent per-subspace Lloyd chains (tagged copies of
+    _kmeans_ctes over embedding slices) composing one WITH clause.
+    Returns (joined chains, [final assignment CTE per s],
+    [final centroid CTE per s])."""
+    sub = dim // m
+    chains, afins, cfins = [], [], []
+    for s in range(m):
+        chain, afin = _kmeans_ctes(
+            k, iters, sub,
+            vec_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+            tag=f"_p{s}",
+        )
+        chains.append(chain)
+        afins.append(afin)
+        cfins.append(f"c{iters + 1}_p{s}")
+    return ",\n        ".join(chains), afins, cfins
+
+
+def _pq_codebooks_oracle(m: int, k: int, iters: int, dim: int) -> str:
+    chains, afins, cfins = _pq_chains(m, k, iters, dim)
+    legs = [
+        f"""SELECT {s} AS subspace, CAST(a.cl AS INTEGER) AS code,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(list_sum(c.ci)) AS BIGINT) AS centroid_sum,
+               CAST(min(list_sum(list_transform(c.ci, v -> abs(v))))
+                   AS BIGINT) AS centroid_l1
+        FROM {afins[s]} AS a JOIN {cfins[s]} AS c ON a.cl = c.j
+        GROUP BY a.cl"""
+        for s in range(m)
+    ]
+    return "WITH " + chains + "\n        " + "\n        UNION ALL\n        ".join(legs)
+
+
+def _pq_encode_oracle(m: int, k: int, iters: int, dim: int) -> str:
+    chains, afins, _ = _pq_chains(m, k, iters, dim)
+    joins = "".join(
+        f" JOIN {afins[s]} AS a{s} USING (vec_id)" for s in range(1, m)
+    )
+    codes = " || ',' || ".join(
+        f"CAST(a{s}.cl AS VARCHAR)" for s in range(m)
+    )
+    return (
+        "WITH " + chains
+        + f"""
+        SELECT a0.vec_id, {codes} AS codes
+        FROM {afins[0]} AS a0{joins}"""
+    )
+
+
+def _ann_pq_oracle(m: int, k: int, iters: int, dim: int, topk: int) -> str:
+    """ADC == exact squared distance to the codeword reconstruction: per
+    subspace join the vector's assigned code to its codeword and sum the
+    per-dim squared deltas against the quantized query slice."""
+    chains, afins, cfins = _pq_chains(m, k, iters, dim)
+    sub = dim // m
+    recon = ",\n        ".join(
+        f"""recon{s} AS (
+            SELECT a.vec_id, c.ci
+            FROM {afins[s]} AS a JOIN {cfins[s]} AS c ON a.cl = c.j)"""
+        for s in range(m)
+    )
+    joins = "".join(
+        f" JOIN recon{s} AS r{s} ON r0.vec_id = r{s}.vec_id"
+        for s in range(1, m)
+    )
+    dist = " + ".join(
+        f"""list_sum(list_transform(generate_series(1, {sub}),
+            dd -> (qq.qx[{s * sub} + dd] - r{s}.ci[dd])
+                  * (qq.qx[{s * sub} + dd] - r{s}.ci[dd])))"""
+        for s in range(m)
+    )
+    return (
+        "WITH " + chains + ",\n        " + recon
+        + f""",
+        qq AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                       AS qx
+            FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT qq.query_id, r0.vec_id,
+                   CAST({dist} AS BIGINT) AS adc
+            FROM qq, recon0 AS r0{joins})
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc, vec_id) AS INTEGER) AS rank,
+               adc
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, vec_id) <= {topk}"""
+    )
+
+
+ORACLES["pq_codebooks"] = _pq_codebooks_oracle(
+    m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
+)
+ORACLES["pq_encode"] = _pq_encode_oracle(
+    m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
+)
+ORACLES["ann_pq"] = _ann_pq_oracle(
+    m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM, topk=10
+)
+
+
+def _ann_ivfpq_oracle(
+    m: int, k: int, iters: int, dim: int,
+    ivf_k: int, ivf_iters: int, n_probe: int, topk: int,
+) -> str:
+    """IVF+PQ: the coarse-cell chain (one more tagged kmeans recurrence)
+    restricts each query's ADC scan to its n_probe nearest cells; the ADC
+    itself is the ann_pq reconstruction distance."""
+    chains, afins, cfins = _pq_chains(m, k, iters, dim)
+    ivf_chain, ivf_afin = _kmeans_ctes(
+        ivf_k, ivf_iters, dim, tag="_ivf"
+    )
+    ivf_cfin = f"c{ivf_iters + 1}_ivf"
+    sub = dim // m
+    recon = ",\n        ".join(
+        f"""recon{s} AS (
+            SELECT a.vec_id, c.ci
+            FROM {afins[s]} AS a JOIN {cfins[s]} AS c ON a.cl = c.j)"""
+        for s in range(m)
+    )
+    joins = "".join(
+        f" JOIN recon{s} AS r{s} ON r0.vec_id = r{s}.vec_id"
+        for s in range(1, m)
+    )
+    dist = " + ".join(
+        f"""list_sum(list_transform(generate_series(1, {sub}),
+            dd -> (qq.qx[{s * sub} + dd] - r{s}.ci[dd])
+                  * (qq.qx[{s * sub} + dd] - r{s}.ci[dd])))"""
+        for s in range(m)
+    )
+    return (
+        "WITH " + chains + ",\n        " + ivf_chain + ",\n        " + recon
+        + f""",
+        qq AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                       AS qx
+            FROM embeddings WHERE vec_id < 5),
+        probes AS (
+            SELECT qq.query_id, c.j AS cell
+            FROM qq, {ivf_cfin} AS c
+            QUALIFY row_number() OVER (PARTITION BY qq.query_id ORDER BY
+                list_sum(list_transform(generate_series(1, {dim}),
+                    dd -> (qq.qx[dd] - c.ci[dd]) * (qq.qx[dd] - c.ci[dd]))),
+                c.j) <= {n_probe}),
+        scored AS (
+            SELECT qq.query_id, r0.vec_id,
+                   CAST({dist} AS BIGINT) AS adc
+            FROM qq
+            JOIN probes p ON qq.query_id = p.query_id
+            JOIN {ivf_afin} AS cellof ON cellof.cl = p.cell
+            JOIN recon0 AS r0 ON r0.vec_id = cellof.vec_id{joins})
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc, vec_id) AS INTEGER) AS rank,
+               adc
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY adc, vec_id) <= {topk}"""
+    )
+
+
+ORACLES["ann_ivfpq"] = _ann_ivfpq_oracle(
+    m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
+    ivf_k=8, ivf_iters=1, n_probe=3, topk=10,
 )
 
 ORACLES["soft_dedup_weights"] = f"""

@@ -74,6 +74,9 @@ BY_DESIGN = {
         "by design: one-row broadcast codebook attach (no shuffle)",
     ("curated_training_corpus", "BroadcastNestedLoopJoin"):
         "by design: one-row broadcast codebook attach (no shuffle)",
+    ("ann_pq", "BroadcastNestedLoopJoin"):
+        "by design: broadcast per-query ADC LUTs (bounded query batch) "
+        "x encoded corpus — the PQ serving scan",
 }
 GREEN_MARKS = {
     "BroadcastHashJoin": "broadcast joins",
