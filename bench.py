@@ -138,6 +138,8 @@ HEADLINE = [
     "pq_encode",
     "ann_pq",
     "ann_ivfpq",
+    "ann_pq_recall",
+    "pq_reconstruction_error",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -206,6 +206,33 @@ def pq_encode(
     )
 
 
+def pq_reconstruction_error(
+    vecs: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, err_sq): exact integer squared distance between each quantized
+    vector and its PQ codeword reconstruction — the distortion metric
+    that tunes m/k (a compression run reports this next to the recall
+    probe).  Free byproduct of the encode fold: the per-subspace argmin
+    struct already carries the chosen codeword's distance, so the total
+    is the sum of the m fold minima — map-only, zero shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    staged = _staged_slices(q, m, sub)
+    errs = [
+        _fold_best(_cents_expr(sorted(codebooks[s])), F.col(f"_x{s}"))["a"]
+        for s in range(m)
+    ]
+    total = errs[0]
+    for e in errs[1:]:
+        total = total + e
+    return staged.select(F.col(id_col), total.alias("err_sq"))
+
+
 def _adc_lut(query_xq: list[int], codebooks: Codebooks) -> list[list[int]]:
     """Per-subspace distance lookup table for one quantized query: LUT[s][j-1]
     = exact integer squared distance between the query's subspace-s slice

@@ -2531,6 +2531,37 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "adc")
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ ADC scan vs the exact brute-force top-10 — the
+    m/k distortion-vs-recall tuning probe, same shape as ann_ivf_recall."""
+    import math
+
+    emb, books = _pq_model(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [
+        (
+            int(r.vec_id),
+            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
+        )
+        for r in qrows
+    ]
+    approx = pq.pq_adc_topk(
+        pq.pq_encode(emb, books), books, queries, topk=10
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    return _ann_recall(emb, approx)
+
+
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ distortion (operators/pq.py::pq_reconstruction_error):
+    exact integer squared error between each quantized vector and its
+    codeword reconstruction — certifies every row of the compression,
+    map-only."""
+    emb, books = _pq_model(spark, sf_dir)
+    return pq.pq_reconstruction_error(emb, books)
+
+
 #: Ordering note: the external driver's per-round correctness gate compares
 #: only the FIRST 50 entries against DuckDB (frozen cap).  Window policy
 #: (round-7, after the round-6 lesson where rotating the whole window at
@@ -2673,6 +2704,8 @@ CATALOG: dict[str, QueryFn] = {
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
+    "ann_pq_recall": q_ann_pq_recall,
+    "pq_reconstruction_error": q_pq_reconstruction_error,
     # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
@@ -4480,6 +4513,49 @@ def _ann_ivfpq_oracle(
 ORACLES["ann_ivfpq"] = _ann_ivfpq_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
     ivf_k=8, ivf_iters=1, n_probe=3, topk=10,
+)
+
+ORACLES["ann_pq_recall"] = f"""
+    WITH bf AS ({ORACLES["ann_bruteforce"]}),
+    pqr AS ({ORACLES["ann_pq"]})
+    SELECT b.query_id,
+           CAST(count(p.vec_id) AS BIGINT) AS hits,
+           CAST(count(p.vec_id) * 100 // count(*) AS BIGINT) AS recall_x100
+    FROM bf b LEFT JOIN pqr p
+        ON b.query_id = p.query_id AND b.neighbor_id = p.vec_id
+    GROUP BY b.query_id
+"""
+
+
+def _pq_recon_error_oracle(m: int, k: int, iters: int, dim: int) -> str:
+    """Per-subspace MIN codeword distance summed — the argmin tie rule is
+    irrelevant for the minimum itself, so no QUALIFY needed."""
+    chains, _, cfins = _pq_chains(m, k, iters, dim)
+    sub = dim // m
+    errs = ",\n        ".join(
+        f"""err{s} AS (
+            SELECT q.vec_id,
+                   MIN(list_sum(list_transform(generate_series(1, {sub}),
+                       dd -> (q.xq[dd] - c.ci[dd]) * (q.xq[dd] - c.ci[dd]))))
+                       AS e
+            FROM q_p{s} AS q, {cfins[s]} AS c
+            GROUP BY q.vec_id)"""
+        for s in range(m)
+    )
+    joins = "".join(
+        f" JOIN err{s} AS e{s} USING (vec_id)" for s in range(1, m)
+    )
+    total = " + ".join(f"e{s}.e" for s in range(m))
+    return (
+        "WITH " + chains + ",\n        " + errs
+        + f"""
+        SELECT vec_id, CAST({total} AS BIGINT) AS err_sq
+        FROM err0 AS e0{joins}"""
+    )
+
+
+ORACLES["pq_reconstruction_error"] = _pq_recon_error_oracle(
+    m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
 )
 
 ORACLES["soft_dedup_weights"] = f"""

@@ -77,6 +77,9 @@ BY_DESIGN = {
     ("ann_pq", "BroadcastNestedLoopJoin"):
         "by design: broadcast per-query ADC LUTs (bounded query batch) "
         "x encoded corpus — the PQ serving scan",
+    ("ann_pq_recall", "BroadcastNestedLoopJoin"):
+        "by design: brute-force baseline's broadcast query side (bounded "
+        "query sample) + the ADC LUT broadcast; the recall join is equi",
 }
 GREEN_MARKS = {
     "BroadcastHashJoin": "broadcast joins",
