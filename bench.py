@@ -140,6 +140,7 @@ HEADLINE = [
     "ann_ivfpq",
     "ann_pq_recall",
     "pq_reconstruction_error",
+    "bigram_lift",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -200,6 +200,91 @@ def ngram_topk(
     )
 
 
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Collocation extraction: the ``top`` adjacent token bigrams ranked
+    by association strength — the PMI-style phrase detector a tokenizer /
+    vocab pipeline runs to promote multiword units ("new york", "machine
+    learning") before training.
+
+    Integer-exact score: ``lift_x1e9 = c_xy * 1e9 // (c_x * c_y)`` where
+    ``c_xy`` counts the adjacent pair and ``c_x``/``c_y`` the unigrams.
+    True PMI is ``log(p(xy) / (p(x) p(y))) = log(c_xy N^2 / (B c_x c_y))``
+    — the ``N^2 / B`` factor is a corpus CONSTANT and log is monotone, so
+    ranking by ``c_xy / (c_x c_y)`` is rank-equivalent to PMI while every
+    intermediate stays in int64 on any engine (c_xy * 1e9 <= tokens * 1e9;
+    no libm, no bigint promotion).  ``min_pair`` floors the pair count
+    first (PMI's classic rare-pair pathology: a 1-occurrence typo pair
+    scores arbitrarily high).
+
+    Plan shape: TWO map-only corpus scans — the pair side zips the token
+    array with its own tail in-row (adjacent pairs with no positional
+    self-join or window shuffle) into the map-side-combined (x, y) agg;
+    the unigram side is a plain explode+agg (adjacency loses each doc's
+    last token, so the unigram counts can't ride the pair stream; a
+    second linear scan beats a positional shuffle).  The vocabulary-sized
+    unigram frame materializes ONCE (localCheckpoint — it feeds two
+    differently-projected broadcasts, which do not exchange-reuse; the
+    house diamond pattern) and broadcast-joins onto the pair counts for
+    x and y; final global top-k plans as TakeOrdered (per-partition heap,
+    no sort shuffle).  Ties break (lift desc, tok_x asc, tok_y asc) —
+    total order.  Pinned: exactly 2 scans + 1 TakeOrdered
+    (tests/test_plans.py::test_bigram_lift_two_scans_takeordered).
+    """
+    toks = tokens(F.col(text_col))
+    pairs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("tok_x"), F.col("p.y").alias("tok_y"))
+    )
+    pair_counts = (
+        pairs.groupBy("tok_x", "tok_y")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    uni = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("token").alias("tok_x"),
+                                   F.col("c").alias("_cx"))),
+            "tok_x",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("tok_y"),
+                                   F.col("c").alias("_cy"))),
+            "tok_y",
+        )
+        .withColumn("_num", F.col("n_pair") * F.lit(1_000_000_000).cast("long"))
+        .withColumn("_den", F.col("_cx") * F.col("_cy"))
+        .withColumn("lift_x1e9", F.expr("_num DIV _den"))
+    )
+    return (
+        scored.orderBy(
+            F.desc("lift_x1e9"), F.asc("tok_x"), F.asc("tok_y")
+        )
+        .limit(top)
+        .select("tok_x", "tok_y", "n_pair", "lift_x1e9")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2531,6 +2531,16 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "adc")
 
 
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (multiword-unit) extraction: top-100 adjacent bigrams
+    by integer PMI-rank-equivalent lift (operators/stats.py::bigram_lift)
+    — one tokenize scan, in-row pair zip, broadcast unigram lookups,
+    TakeOrdered top-k."""
+    return stats.bigram_lift(
+        _t(spark, sf_dir, "documents"), min_pair=5, top=100
+    )
+
+
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ ADC scan vs the exact brute-force top-10 — the
     m/k distortion-vs-recall tuning probe, same shape as ann_ivf_recall."""
@@ -2706,6 +2716,7 @@ CATALOG: dict[str, QueryFn] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_pq_recall": q_ann_pq_recall,
     "pq_reconstruction_error": q_pq_reconstruction_error,
+    "bigram_lift": q_bigram_lift,
     # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
@@ -4557,6 +4568,26 @@ def _pq_recon_error_oracle(m: int, k: int, iters: int, dim: int) -> str:
 ORACLES["pq_reconstruction_error"] = _pq_recon_error_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
 )
+
+ORACLES["bigram_lift"] = """
+    WITH toks AS (SELECT string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    prs AS (SELECT t[g.i] AS tok_x, t[g.i + 1] AS tok_y
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    pc AS (SELECT tok_x, tok_y, CAST(count(*) AS BIGINT) AS n_pair
+           FROM prs GROUP BY tok_x, tok_y HAVING count(*) >= 5),
+    uni AS (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL),
+    uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM uni GROUP BY token)
+    SELECT pc.tok_x, pc.tok_y, pc.n_pair,
+           CAST(pc.n_pair * 1000000000 // (ux.c * uy.c) AS BIGINT)
+               AS lift_x1e9
+    FROM pc JOIN uc AS ux ON pc.tok_x = ux.token
+            JOIN uc AS uy ON pc.tok_y = uy.token
+    ORDER BY lift_x1e9 DESC, pc.tok_x ASC, pc.tok_y ASC
+    LIMIT 100
+"""
 
 ORACLES["soft_dedup_weights"] = f"""
     WITH RECURSIVE pairs AS ({_MINHASH_SQL}),

@@ -485,3 +485,19 @@ def test_tfidf_vectorize_single_tokenize(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_bigram_lift_two_scans_takeordered(spark):
+    """bigram_lift: exactly two map-only corpus scans (pair zip + unigram
+    explode; the vocab frame is checkpointed so its two broadcast
+    consumers don't re-execute it — was 3 scans) and a TakeOrdered
+    top-k, never a global sort shuffle."""
+    df = CATALOG["bigram_lift"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pair side: the one parquet scan in this plan; unigram side: the
+    # checkpointed vocab frame, materialized once (its own single scan)
+    # and referenced twice as ExistingRDD by the two broadcasts
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "TakeOrdered" in plan, plan

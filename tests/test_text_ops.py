@@ -435,3 +435,25 @@ def test_incremental_lsh_matches_string_ids(spark):
     }
     assert out["new-1"].index_id == "idx-a"
     assert out["new-1"].agree_x100 == 100
+
+
+def test_bigram_lift_hand_computed(spark):
+    """Known corpus: 'a b' occurs 5x adjacent, c_a = c_b = 6 (one extra
+    occurrence each away from the pair), filler tokens keep other pairs
+    under the min_pair floor.  lift = 5 * 1e9 // 36."""
+    from blockchain_postgres_sync_spark.operators.stats import bigram_lift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b f1 a b"),
+            (2, "a b f2 a b"),
+            (3, "a b f3 b a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.tok_x, r.tok_y): (r.n_pair, r.lift_x1e9)
+        for r in bigram_lift(docs, min_pair=5, top=10).collect()
+    }
+    # c_a = c_b = 6; 'a b' adjacent 5x ('b a' in doc 3 breaks the 6th)
+    assert out == {("a", "b"): (5, 5 * 10**9 // 36)}
