@@ -141,6 +141,8 @@ HEADLINE = [
     "ann_pq_recall",
     "pq_reconstruction_error",
     "bigram_lift",
+    "difficulty_buckets",
+    "ann_pq_mrr",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -2531,6 +2531,75 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "adc")
 
 
+def q_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty buckets: per-language ntile(3) over the
+    composite quality score (easy/medium/hard thirds for curriculum-
+    ordered training).  ntile over the TOTAL order (quality_x100 asc,
+    doc_id asc) is deterministic and engine-identical (standard SQL
+    bucket split: first n%3 buckets get the extra row).  One window
+    shuffle on lang; the score itself is in-row."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    qs = T.quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", qs["quality_x100"].alias("quality_x100")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("quality_x100"), F.asc("doc_id")
+    )
+    return scored.withColumn("bucket", F.ntile(3).over(w).cast("int"))
+
+
+def q_ann_pq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank probe of the PQ ADC scan: per query the rank
+    of the FIRST approximate result that belongs to the exact brute-force
+    top-10, as integer rr_x1e6 = 1e6 // rank (0 when no hit) — the
+    ranking-quality companion of the recall@k probes (recall counts hits,
+    MRR rewards putting them first)."""
+    import math
+
+    emb, books = _pq_model(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [
+        (
+            int(r.vec_id),
+            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
+        )
+        for r in qrows
+    ]
+    approx = pq.pq_adc_topk(
+        pq.pq_encode(emb, books), books, queries, topk=10
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    qframe = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, qframe, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    first = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("_fr"))
+    )
+    return (
+        qframe.select("query_id")
+        .join(first, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_fr"), F.lit(0)).cast("int").alias(
+                "first_hit_rank"
+            ),
+            F.when(
+                F.col("_fr").isNotNull(),
+                F.expr("CAST(1000000 DIV _fr AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("rr_x1e6"),
+        )
+    )
+
+
 def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation (multiword-unit) extraction: top-100 adjacent bigrams
     by integer PMI-rank-equivalent lift (operators/stats.py::bigram_lift)
@@ -2717,6 +2786,8 @@ CATALOG: dict[str, QueryFn] = {
     "ann_pq_recall": q_ann_pq_recall,
     "pq_reconstruction_error": q_pq_reconstruction_error,
     "bigram_lift": q_bigram_lift,
+    "difficulty_buckets": q_difficulty_buckets,
+    "ann_pq_mrr": q_ann_pq_mrr,
     # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
@@ -4568,6 +4639,31 @@ def _pq_recon_error_oracle(m: int, k: int, iters: int, dim: int) -> str:
 ORACLES["pq_reconstruction_error"] = _pq_recon_error_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
 )
+
+ORACLES["difficulty_buckets"] = f"""
+    WITH qsc AS ({ORACLES["quality_score"]})
+    SELECT d.doc_id, d.lang, q.quality_x100,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY q.quality_x100 ASC, d.doc_id ASC) AS INTEGER)
+               AS bucket
+    FROM qsc q JOIN documents d USING (doc_id)
+"""
+
+ORACLES["ann_pq_mrr"] = f"""
+    WITH bf AS ({ORACLES["ann_bruteforce"]}),
+    pqr AS ({ORACLES["ann_pq"]}),
+    hit AS (
+        SELECT p.query_id, MIN(p.rank) AS fr
+        FROM pqr p JOIN bf b
+            ON p.query_id = b.query_id AND p.vec_id = b.neighbor_id
+        GROUP BY p.query_id),
+    qs AS (SELECT DISTINCT query_id FROM bf)
+    SELECT qs.query_id,
+           CAST(COALESCE(h.fr, 0) AS INTEGER) AS first_hit_rank,
+           CAST(CASE WHEN h.fr IS NULL THEN 0
+                     ELSE 1000000 // h.fr END AS BIGINT) AS rr_x1e6
+    FROM qs LEFT JOIN hit h USING (query_id)
+"""
 
 ORACLES["bigram_lift"] = """
     WITH toks AS (SELECT string_split(text, ' ') AS t

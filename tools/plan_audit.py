@@ -80,6 +80,9 @@ BY_DESIGN = {
     ("ann_pq_recall", "BroadcastNestedLoopJoin"):
         "by design: brute-force baseline's broadcast query side (bounded "
         "query sample) + the ADC LUT broadcast; the recall join is equi",
+    ("ann_pq_mrr", "BroadcastNestedLoopJoin"):
+        "by design: brute-force baseline's broadcast query side (bounded "
+        "query sample) + the ADC LUT broadcast; the MRR joins are equi",
 }
 GREEN_MARKS = {
     "BroadcastHashJoin": "broadcast joins",
