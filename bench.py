@@ -143,6 +143,7 @@ HEADLINE = [
     "bigram_lift",
     "difficulty_buckets",
     "ann_pq_mrr",
+    "repeated_spans",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

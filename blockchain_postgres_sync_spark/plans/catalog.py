@@ -2531,6 +2531,17 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "adc")
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans at 3-token granularity
+    (operators/dedup.py::repeated_spans — the ExactSubstr dedup leg):
+    maximal token runs whose every 3-gram occurs in >= 2 distinct
+    documents.  One tokenize scan, gram-keyed DF agg + semi-join on the
+    same exchange, gaps-and-islands run merge."""
+    return dedup.repeated_spans(
+        _t(spark, sf_dir, "documents"), k=3, min_docs=2
+    )
+
+
 def q_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum difficulty buckets: per-language ntile(3) over the
     composite quality score (easy/medium/hard thirds for curriculum-
@@ -2788,6 +2799,7 @@ CATALOG: dict[str, QueryFn] = {
     "bigram_lift": q_bigram_lift,
     "difficulty_buckets": q_difficulty_buckets,
     "ann_pq_mrr": q_ann_pq_mrr,
+    "repeated_spans": q_repeated_spans,
     # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
@@ -4639,6 +4651,25 @@ def _pq_recon_error_oracle(m: int, k: int, iters: int, dim: int) -> str:
 ORACLES["pq_reconstruction_error"] = _pq_recon_error_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
 )
+
+ORACLES["repeated_spans"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents
+                  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(t[u.i:u.i + 2], ' ') AS gram
+          FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+    flagged AS (SELECT gram FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT g.doc_id, g.pos FROM g JOIN flagged USING (gram)),
+    runs AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id
+                        ORDER BY pos) AS grp
+             FROM cov)
+    SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) - min(pos) + 3 AS INTEGER) AS span_tokens
+    FROM runs GROUP BY doc_id, grp
+"""
 
 ORACLES["difficulty_buckets"] = f"""
     WITH qsc AS ({ORACLES["quality_score"]})

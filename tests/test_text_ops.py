@@ -457,3 +457,25 @@ def test_bigram_lift_hand_computed(spark):
     }
     # c_a = c_b = 6; 'a b' adjacent 5x ('b a' in doc 3 breaks the 6th)
     assert out == {("a", "b"): (5, 5 * 10**9 // 36)}
+
+
+def test_repeated_spans_hand_computed(spark):
+    """Docs 1 and 2 share the run 'a b c d' (two overlapping 3-grams);
+    doc 3 is disjoint.  The maximal merged span is reported once per doc
+    with 1-based start; short docs (< k tokens) are silent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c d y"),
+            (2, "a b c d z w"),
+            (3, "one two three four five"),
+            (4, "a b"),  # shorter than k: no positions
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in dedup.repeated_spans(docs, k=3, min_docs=2).collect()
+    }
+    # doc 1: grams at pos 2 ('a b c') and 3 ('b c d') covered -> run
+    # [2, 3] -> span_start 2, span_tokens 3 - 2 + 3 = 4
+    assert out == {(1, 2, 4), (2, 1, 4)}
