@@ -144,6 +144,8 @@ HEADLINE = [
     "difficulty_buckets",
     "ann_pq_mrr",
     "repeated_spans",
+    "scrub_repeated_spans",
+    "small_qty_revenue",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

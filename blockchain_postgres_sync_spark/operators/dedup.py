@@ -382,6 +382,59 @@ def repeated_spans(
     )
 
 
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLIED half of :func:`repeated_spans` (the corpus rewritten,
+    as boilerplate_scrub is to chunk_dedup): every non-NULL-text document
+    returned as ``(id, n_tokens, n_removed, clean_text)`` with its
+    cross-document repeated spans cut and the remaining tokens in
+    original order.  Documents shorter than ``k`` tokens (which cannot
+    contain a span) pass through unchanged.
+
+    Plan shape: :func:`repeated_spans`' plan plus one span-list
+    aggregation (a doc's MERGED spans are few — bounded by tokens/k —
+    never the per-position posting) and a left join back to the doc
+    frame; the rebuild is IN-ROW (two-arg ``F.filter`` index lambda
+    against the span list — O(tokens x spans) per row, no explode of the
+    rebuilt corpus)."""
+    spans = repeated_spans(
+        df, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_tokens")).alias("_sp")
+    )
+    docs = df.filter(F.col(text_col).isNotNull())
+    joined = docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_t"),
+        F.coalesce(
+            F.col("_sp"),
+            F.array().cast("array<struct<span_start:int,span_tokens:int>>"),
+        ).alias("_sp"),
+    )
+
+    def outside_spans(tok, i):  # i is F.filter's 0-based index
+        pos = i + 1
+        return ~F.exists(
+            F.col("_sp"),
+            lambda s: (pos >= s["span_start"])
+            & (pos < s["span_start"] + s["span_tokens"]),
+        )
+
+    kept = F.filter(F.col("_t"), outside_spans)
+    return joined.select(
+        id_col,
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def boilerplate_scrub(
     df: DataFrame,
     id_col: str = "doc_id",

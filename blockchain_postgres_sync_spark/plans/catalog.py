@@ -2531,6 +2531,55 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "adc")
 
 
+def q_scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus rewritten with cross-document repeated spans removed
+    (operators/dedup.py::scrub_repeated_spans — the applied half of
+    repeated_spans, certifying every document's rebuilt text)."""
+    return dedup.scrub_repeated_spans(
+        _t(spark, sf_dir, "documents"), k=3, min_docs=2
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery decorrelation (TPC-H Q17 shape): revenue
+    of lineitems whose quantity is below 0.2x their part's average, for
+    one brand's small parts.  The correlated ``avg per partkey`` becomes
+    a per-part aggregate joined back on the SAME key — both sides shuffle
+    on partkey once; the part dim pre-filters via broadcast.  The
+    threshold compares EXACTLY in integers: ``l_qty < 0.2 * (sum/cnt)``
+    is ``qty_c * cnt * 5 < sum_c`` (qty centi-units; no float division
+    anywhere), and revenue sums as decimal, double only at the edge."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 20))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_qc"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+    )
+    sel = li.join(
+        F.broadcast(part.withColumnRenamed("p_partkey", "l_partkey")),
+        "l_partkey",
+    )
+    per_part = sel.groupBy("l_partkey").agg(
+        F.sum("_qc").alias("_sq"), F.count(F.lit(1)).alias("_cnt")
+    )
+    small = sel.join(per_part, "l_partkey").filter(
+        F.col("_qc") * F.col("_cnt") * F.lit(5) < F.col("_sq")
+    )
+    # exact decimal sum; ONE double division at the edge (decimal / 7
+    # would round at Spark's result scale and diverge from the oracle)
+    return small.agg(
+        (F.sum("_price").cast("decimal(38,2)").cast("double") / F.lit(7.0))
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring spans at 3-token granularity
     (operators/dedup.py::repeated_spans — the ExactSubstr dedup leg):
@@ -2800,6 +2849,8 @@ CATALOG: dict[str, QueryFn] = {
     "difficulty_buckets": q_difficulty_buckets,
     "ann_pq_mrr": q_ann_pq_mrr,
     "repeated_spans": q_repeated_spans,
+    "scrub_repeated_spans": q_scrub_repeated_spans,
+    "small_qty_revenue": q_small_qty_revenue,
     # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
@@ -4651,6 +4702,53 @@ def _pq_recon_error_oracle(m: int, k: int, iters: int, dim: int) -> str:
 ORACLES["pq_reconstruction_error"] = _pq_recon_error_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
 )
+
+ORACLES["scrub_repeated_spans"] = """
+    WITH toks3 AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents
+                   WHERE text IS NOT NULL
+                     AND len(string_split(text, ' ')) >= 3),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(t[u.i:u.i + 2], ' ') AS gram
+          FROM toks3, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+    flagged AS (SELECT gram FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT g.doc_id, g.pos FROM g JOIN flagged USING (gram)),
+    covtok AS (SELECT DISTINCT c.doc_id, c.pos + d.d AS j
+               FROM cov c, unnest(generate_series(0, 2)) AS d(d)),
+    alltoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE text IS NOT NULL),
+    pos AS (SELECT doc_id, u.i AS j, t[u.i] AS tok
+            FROM alltoks, unnest(generate_series(1, len(t))) AS u(i)),
+    kept AS (SELECT p.doc_id, p.j, p.tok
+             FROM pos p LEFT JOIN covtok c
+                 ON p.doc_id = c.doc_id AND p.j = c.j
+             WHERE c.j IS NULL)
+    SELECT a.doc_id,
+           CAST(len(a.t) AS BIGINT) AS n_tokens,
+           CAST(len(a.t) - count(k.tok) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.j), '') AS clean_text
+    FROM alltoks a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    GROUP BY a.doc_id, len(a.t)
+"""
+
+ORACLES["small_qty_revenue"] = """
+    WITH sel AS (
+        SELECT l.l_partkey,
+               CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS qc,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13' AND p.p_size <= 20),
+    pp AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sq,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM sel GROUP BY l_partkey)
+    SELECT CAST(CAST(sum(s.price) AS DECIMAL(38,2)) AS DOUBLE) / 7
+               AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM sel s JOIN pp USING (l_partkey)
+    WHERE s.qc * pp.cnt * 5 < pp.sq
+"""
 
 ORACLES["repeated_spans"] = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -479,3 +479,26 @@ def test_repeated_spans_hand_computed(spark):
     # doc 1: grams at pos 2 ('a b c') and 3 ('b c d') covered -> run
     # [2, 3] -> span_start 2, span_tokens 3 - 2 + 3 = 4
     assert out == {(1, 2, 4), (2, 1, 4)}
+
+
+def test_scrub_repeated_spans_hand_computed(spark):
+    """The applied scrub cuts exactly the covered tokens and passes
+    through span-free and short docs unchanged."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c d y"),
+            (2, "a b c d z w"),
+            (3, "one two three four five"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dedup.scrub_repeated_spans(docs, k=3, min_docs=2).collect()
+    }
+    # docs 1/2 share 'a b c d' (covered tokens: 1-4 of the run)
+    assert out[1] == (6, 4, "x y")
+    assert out[2] == (6, 4, "z w")
+    assert out[3] == (5, 0, "one two three four five")
+    assert out[4] == (2, 0, "a b")
