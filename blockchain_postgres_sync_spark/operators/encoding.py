@@ -240,26 +240,31 @@ def tfidf_vectorize(
     containing the term.  Out-of-vocabulary tokens (below ``min_count``)
     are dropped from the vector.
 
-    Plan shape (100 TB): the corpus is tokenized ONCE — a single explode
-    feeds the (doc, token) tf hash-agg (map-side combined), and the two
-    consumers of that pair stream (the per-token statistics and the
-    scored join) read it through Spark's EXCHANGE/STAGE REUSE: both
-    subtrees canonicalize identically, so the shuffle files written by
-    the first execution serve the second for free — the single-compute
-    guarantee of an explicit persist without its materialization cost,
-    with full lineage (recompute on executor loss) intact.  Pinned by
-    tests/test_plans.py::test_tfidf_vectorize_single_tokenize; measured
-    at sf0.1 (fresh sessions, noop sink, min of 3): no-materialization
-    1.55 s == localCheckpoint 1.57 s < MEMORY_AND_DISK persist 1.98 s —
-    the round-6 persist paid ~25% to materialize a frame the shuffle
-    layer was already keeping.  When no vocab is passed, total counts AND
-    document frequencies come from ONE aggregation on the token key and
-    ride through :func:`rank_vocab`'s extra-column passthrough — no
-    separate dfreq aggregation, no vocab-to-dfreq join.  The (token_id,
-    df) model is vocab-sized and joins broadcast by default
-    (``broadcast_model=False`` shuffle-joins past broadcast size); the
-    final per-doc array assembly groups on the id.  Array order is a
-    total (token_id) sort in-row — partitioning-independent.
+    Plan shape: a single explode feeds the (doc, token) tf hash-agg
+    (map-side combined).  The self-built-vocab path tokenizes the corpus
+    in up to THREE runtime stages (rank_vocab's range-partitioner
+    sampling job, its localCheckpoint materialization job — which cuts
+    the model subtree into its own job, defeating cross-job exchange
+    reuse — and the final tf-side scan); each re-run is the map-only
+    tokenize+partial-agg.  Deliberately NOT re-materialized: the A/B at
+    sf0.1 (fresh sessions, noop sink, min of 3) measured
+    no-materialization 1.55 s == localCheckpoint 1.57 s < MEMORY_AND_DISK
+    persist 1.98 s — the round-6 persist paid ~25% to materialize a
+    corpus-scale frame, costing more than the repeated map-only scans it
+    saved, and persisting also traded away lineage-only recovery.  A
+    100 TB caller for whom scans dominate should pass a prebuilt
+    ``vocab=`` (the vocab path tokenizes twice) or persist ``docs``
+    upstream.  The final plan is pinned to exactly one scan + one explode
+    (tests/test_plans.py::test_tfidf_vectorize_single_tokenize) so a NEW
+    in-plan consumer cannot silently add a fourth pass.  When no vocab is
+    passed, total counts AND document frequencies come from ONE
+    aggregation on the token key and ride through :func:`rank_vocab`'s
+    extra-column passthrough — no separate dfreq aggregation, no
+    vocab-to-dfreq join.  The (token_id, df) model is vocab-sized and
+    joins broadcast by default (``broadcast_model=False`` shuffle-joins
+    past broadcast size); the final per-doc array assembly groups on the
+    id.  Array order is a total (token_id) sort in-row —
+    partitioning-independent.
     """
     release_caches()
     pairs = (

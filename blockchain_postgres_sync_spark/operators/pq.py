@@ -319,26 +319,38 @@ def ivfpq_topk(
     ``ann_ivfpq`` vs the exact baseline (same probe semantics as
     similarity.ivf_topk)."""
     spark = index.sparkSession
-    probe_rows = [
-        (int(qid), int(cell), _adc_lut(list(qx), codebooks))
-        for qid, qx in queries
-        for cell in _cell_probes(list(qx), sorted(cents), n_probe)
-    ]
+    # probes and LUTs broadcast SEPARATELY: a (query, cell, lut) row set
+    # would carry n_probe duplicate copies of each query's (m x k) LUT —
+    # at m=16/k=256/n_probe=32 that is 31 redundant 4096-entry arrays per
+    # query in the broadcast.  Each LUT is computed once per query.
     probes = spark.createDataFrame(
-        probe_rows, "query_id long, cell int, lut array<array<bigint>>"
+        [
+            (int(qid), int(cell))
+            for qid, qx in queries
+            for cell in _cell_probes(list(qx), sorted(cents), n_probe)
+        ],
+        "query_id long, cell int",
     )
-    scored = index.join(F.broadcast(probes), "cell").select(
-        "query_id",
-        F.col(id_col),
-        F.aggregate(
-            F.zip_with(
-                F.col("lut"),
-                F.col("codes"),
-                lambda l, c: F.element_at(l, c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        ).alias("adc"),
+    luts = spark.createDataFrame(
+        [(int(qid), _adc_lut(list(qx), codebooks)) for qid, qx in queries],
+        "query_id long, lut array<array<bigint>>",
+    )
+    scored = (
+        index.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("adc"),
+        )
     )
     from pyspark.sql import Window
 

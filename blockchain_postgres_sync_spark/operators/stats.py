@@ -215,11 +215,17 @@ def bigram_lift(
     ``c_xy`` counts the adjacent pair and ``c_x``/``c_y`` the unigrams.
     True PMI is ``log(p(xy) / (p(x) p(y))) = log(c_xy N^2 / (B c_x c_y))``
     — the ``N^2 / B`` factor is a corpus CONSTANT and log is monotone, so
-    ranking by ``c_xy / (c_x c_y)`` is rank-equivalent to PMI while every
-    intermediate stays in int64 on any engine (c_xy * 1e9 <= tokens * 1e9;
-    no libm, no bigint promotion).  ``min_pair`` floors the pair count
-    first (PMI's classic rare-pair pathology: a 1-occurrence typo pair
-    scores arbitrarily high).
+    ranking by ``c_xy / (c_x c_y)`` is rank-equivalent to PMI with no
+    libm and no bigint promotion.  The division runs as TWO chained floor
+    divisions (``// c_x // c_y`` — value-identical to dividing by the
+    product, since ``floor(floor(x/a)/b) == floor(x/(ab))`` for positive
+    integers) so the unbounded ``c_x * c_y`` product never materializes:
+    two 3e9-occurrence stopwords would overflow it in int64 at corpus
+    scale.  Remaining int64 bound: ``c_xy * 1e9 < 2^63`` i.e. pair count
+    < 9.2e9 — a pair more frequent than that is a stop-pair any pipeline
+    pre-filters (and ANSI mode errors loudly rather than mis-scoring).
+    ``min_pair`` floors the pair count first (PMI's classic rare-pair
+    pathology: a 1-occurrence typo pair scores arbitrarily high).
 
     Plan shape: TWO map-only corpus scans — the pair side zips the token
     array with its own tail in-row (adjacent pairs with no positional
@@ -273,8 +279,7 @@ def bigram_lift(
             "tok_y",
         )
         .withColumn("_num", F.col("n_pair") * F.lit(1_000_000_000).cast("long"))
-        .withColumn("_den", F.col("_cx") * F.col("_cy"))
-        .withColumn("lift_x1e9", F.expr("_num DIV _den"))
+        .withColumn("lift_x1e9", F.expr("_num DIV _cx DIV _cy"))
     )
     return (
         scored.orderBy(

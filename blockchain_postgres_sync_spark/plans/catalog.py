@@ -2437,6 +2437,24 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     return emb, books
 
 
+def _pq_query_batch(emb: DataFrame) -> list[tuple[int, list[int]]]:
+    """The bounded query sample (vec_id < 5) quantized driver-side with
+    the house x1000 round-half-up rule — ONE definition for every pq_*
+    query (quantize_vectors' spec; the collected values already carry
+    Spark's float32-to-double rounding)."""
+    import math
+
+    return [
+        (
+            int(r.vec_id),
+            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
+        )
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
 def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization training digest (operators/pq.py::pq_train):
     per (subspace, code) the member count plus centroid sum/L1 — the same
@@ -2483,23 +2501,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     through per-query (m x k) integer LUTs — m lookups per row, no
     reconstruction; exact squared distance to each row's codeword
     reconstruction, ties to the smaller vec_id."""
-    import math
-
     emb, books = _pq_model(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    queries = [
-        (
-            int(r.vec_id),
-            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
-        )
-        for r in qrows
-    ]
     enc = pq.pq_encode(emb, books)
-    return pq.pq_adc_topk(enc, books, queries, topk=10).select(
+    return pq.pq_adc_topk(enc, books, _pq_query_batch(emb), topk=10).select(
         "query_id", "vec_id", "rank", "adc"
     )
 
@@ -2510,24 +2514,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores only those rows — the FAISS-style sub-linear serving
     composition.  Index built in ONE map-only pass (cell + m codes);
     the probe restriction is a broadcast equi-join on cell."""
-    import math
-
-    emb = _t(spark, sf_dir, "embeddings")
+    emb, books = _pq_model(spark, sf_dir)
     _, cents = clustering.kmeans_train(emb, k=8, iters=1)
-    books = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     index = pq.ivfpq_index(emb, cents, books)
-    qrows = (
-        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )
-    queries = [
-        (
-            int(r.vec_id),
-            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
-        )
-        for r in qrows
-    ]
     return pq.ivfpq_topk(
-        index, books, cents, queries, topk=10, n_probe=3
+        index, books, cents, _pq_query_batch(emb), topk=10, n_probe=3
     ).select("query_id", "vec_id", "rank", "adc")
 
 
@@ -2615,21 +2606,9 @@ def q_ann_pq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10, as integer rr_x1e6 = 1e6 // rank (0 when no hit) — the
     ranking-quality companion of the recall@k probes (recall counts hits,
     MRR rewards putting them first)."""
-    import math
-
     emb, books = _pq_model(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )
-    queries = [
-        (
-            int(r.vec_id),
-            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
-        )
-        for r in qrows
-    ]
     approx = pq.pq_adc_topk(
-        pq.pq_encode(emb, books), books, queries, topk=10
+        pq.pq_encode(emb, books), books, _pq_query_batch(emb), topk=10
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     qframe = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2673,21 +2652,9 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ ADC scan vs the exact brute-force top-10 — the
     m/k distortion-vs-recall tuning probe, same shape as ann_ivf_recall."""
-    import math
-
     emb, books = _pq_model(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    )
-    queries = [
-        (
-            int(r.vec_id),
-            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding],
-        )
-        for r in qrows
-    ]
     approx = pq.pq_adc_topk(
-        pq.pq_encode(emb, books), books, queries, topk=10
+        pq.pq_encode(emb, books), books, _pq_query_batch(emb), topk=10
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
     return _ann_recall(emb, approx)
 
@@ -4806,7 +4773,7 @@ ORACLES["bigram_lift"] = """
     uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
            FROM uni GROUP BY token)
     SELECT pc.tok_x, pc.tok_y, pc.n_pair,
-           CAST(pc.n_pair * 1000000000 // (ux.c * uy.c) AS BIGINT)
+           CAST(pc.n_pair * 1000000000 // ux.c // uy.c AS BIGINT)
                AS lift_x1e9
     FROM pc JOIN uc AS ux ON pc.tok_x = ux.token
             JOIN uc AS uy ON pc.tok_y = uy.token

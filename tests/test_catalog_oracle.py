@@ -70,7 +70,11 @@ def test_gate_window_outputs_are_pandas_canonicalizable(spark):
     output columns raise `unhashable type: 'list'` and record `err`
     (CORRECTNESS_r06: token_encode / embedding_quantize /
     tfidf_vectorize).  Pin: no gate-window query emits a non-hashable
-    column type.  Schema-only — nothing is executed."""
+    column type.  Only the output SCHEMA is inspected, but building the
+    window's DataFrames is not free: training-style queries
+    (kmeans_train, ann_ivf_learned, cluster_balanced_sample, pq_*) run
+    their driver-side model-fitting jobs during query construction, so
+    this test launches real Spark jobs — expected, not a regression."""
     from pyspark.sql.types import ArrayType, MapType
 
     window = list(CATALOG)[:GATE_WINDOW]

@@ -467,14 +467,13 @@ def test_kmeans_assignment_is_map_only(spark):
 
 
 def test_tfidf_vectorize_single_tokenize(spark):
-    """tfidf_vectorize has TWO consumers of the (doc, token) tf stream
-    (per-token stats and the scored join) but must tokenize the corpus
-    ONCE: the subtrees canonicalize identically, so the tokenize+agg
-    shuffle is stage-reused.  Pinned on the EXECUTED plan (AQE final):
-    exactly one Generate (the explode) and one parquet scan — a second
-    one means reuse broke and the corpus is tokenized twice (this
-    replaced the round-6 explicit persist, which cost ~25% at bench to
-    materialize what the shuffle layer already kept)."""
+    """Pin the FINAL-plan shape of tfidf_vectorize: exactly one parquet
+    scan and one Generate (explode) in the AQE executed plan.  This does
+    NOT mean the corpus tokenizes once overall — rank_vocab's sampling
+    and checkpoint jobs re-tokenize in their own stages (a measured,
+    documented trade: see the operator docstring; no-materialization
+    beat persist at bench).  What the pin prevents is a NEW in-plan
+    consumer silently adding a further tokenize pass to the final job."""
     from blockchain_postgres_sync_spark.operators.encoding import (
         tfidf_vectorize,
     )
