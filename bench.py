@@ -139,6 +139,7 @@ HEADLINE = [
     "ann_pq",
     "ann_ivfpq",
     "ann_pq_recall",
+    "ann_ivfpq_recall",
     "pq_reconstruction_error",
     "bigram_lift",
     "difficulty_buckets",

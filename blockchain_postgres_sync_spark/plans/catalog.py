@@ -2659,6 +2659,20 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(emb, approx)
 
 
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF+PQ path vs the exact brute-force top-10 — the
+    end-to-end probe for the composed index (coarse-cell pruning losses +
+    PQ distortion together), the number an n_probe/m/k tuning sweep
+    reads."""
+    emb, books = _pq_model(spark, sf_dir)
+    _, cents = clustering.kmeans_train(emb, k=8, iters=1)
+    index = pq.ivfpq_index(emb, cents, books)
+    approx = pq.ivfpq_topk(
+        index, books, cents, _pq_query_batch(emb), topk=10, n_probe=3
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    return _ann_recall(emb, approx)
+
+
 def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ distortion (operators/pq.py::pq_reconstruction_error):
     exact integer squared error between each quantized vector and its
@@ -2811,6 +2825,7 @@ CATALOG: dict[str, QueryFn] = {
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "pq_reconstruction_error": q_pq_reconstruction_error,
     "bigram_lift": q_bigram_lift,
     "difficulty_buckets": q_difficulty_buckets,
@@ -4626,6 +4641,17 @@ ORACLES["ann_ivfpq"] = _ann_ivfpq_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
     ivf_k=8, ivf_iters=1, n_probe=3, topk=10,
 )
+
+ORACLES["ann_ivfpq_recall"] = f"""
+    WITH bf AS ({ORACLES["ann_bruteforce"]}),
+    ivfpq AS ({ORACLES["ann_ivfpq"]})
+    SELECT b.query_id,
+           CAST(count(p.vec_id) AS BIGINT) AS hits,
+           CAST(count(p.vec_id) * 100 // count(*) AS BIGINT) AS recall_x100
+    FROM bf b LEFT JOIN ivfpq p
+        ON b.query_id = p.query_id AND b.neighbor_id = p.vec_id
+    GROUP BY b.query_id
+"""
 
 ORACLES["ann_pq_recall"] = f"""
     WITH bf AS ({ORACLES["ann_bruteforce"]}),
