@@ -83,6 +83,9 @@ BY_DESIGN = {
     ("ann_pq_mrr", "BroadcastNestedLoopJoin"):
         "by design: brute-force baseline's broadcast query side (bounded "
         "query sample) + the ADC LUT broadcast; the MRR joins are equi",
+    ("ann_ivfpq_recall", "BroadcastNestedLoopJoin"):
+        "by design: brute-force baseline's broadcast query side (bounded "
+        "query sample); every IVF+PQ-side join is equi",
 }
 GREEN_MARKS = {
     "BroadcastHashJoin": "broadcast joins",
