@@ -141,6 +141,7 @@ HEADLINE = [
     "ann_pq_recall",
     "ann_ivfpq_recall",
     "pq_reconstruction_error",
+    "bpe_encode_pieces",
     "bigram_lift",
     "difficulty_buckets",
     "ann_pq_mrr",

@@ -2230,10 +2230,37 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table, 10 steps (operators/bpe.py::bpe_train).
-    Inherently iterative — no single-statement SQL oracle exists
-    (ROWS_ONLY_QUERIES); semantics are pinned against a pure-Python BPE
-    reference in tests/test_bpe.py."""
+    Upgraded from rows-only in round 7: every step of the driver-side
+    iterative loop is deterministic integer/string work (pair counts,
+    (count desc, left, right) argmax, one-pass merge rewrite), so the
+    recurrence unrolls to a DuckDB CTE chain exactly like kmeans_train's
+    — the whole learned table hash-checks.  Semantics also pinned against
+    a pure-Python BPE reference in tests/test_bpe.py."""
     return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def q_bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmented with the learned merge table
+    (operators/bpe.py::bpe_encode_dict): per document the BPE pieces in
+    order, comma-serialized for the gate.  Dictionary form — the merge
+    fold runs once per DISTINCT word (vocab-sized), documents reassemble
+    by join (17.4 s -> 6.3 s at sf0.1 including the 10-round training;
+    row-parity pinned by test_bpe_encode_dict_matches_rowwise).
+    Train->encode round-trips, so the oracle reads each word's final
+    segmentation straight off the unrolled train chain's last word
+    table."""
+    docs = _t(spark, sf_dir, "documents")
+    table = bpe.bpe_train(docs, n_merges=10)
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(table.collect(), key=lambda r: r["step"])
+    ]
+    out = bpe.bpe_encode_dict(docs, merges)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("pieces"), ",").alias("pieces"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+    )
 
 
 def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,6 +2854,7 @@ CATALOG: dict[str, QueryFn] = {
     "ann_pq_recall": q_ann_pq_recall,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "pq_reconstruction_error": q_pq_reconstruction_error,
+    "bpe_encode_pieces": q_bpe_encode_pieces,
     "bigram_lift": q_bigram_lift,
     "difficulty_buckets": q_difficulty_buckets,
     "ann_pq_mrr": q_ann_pq_mrr,
@@ -2841,9 +2869,11 @@ CATALOG: dict[str, QueryFn] = {
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
 #: check for these; each must carry a pytest pinning its semantics instead —
-#: see the query docstring for the test reference).
+#: see the query docstring for the test reference).  bpe_train_merges left
+#: this set in round 7: its recurrence unrolls to SQL (see
+#: _bpe_train_oracle) like kmeans_train's did in round 6.
 ROWS_ONLY_QUERIES: frozenset[str] = frozenset(
-    {"pack_greedy", "pack_greedy_sharded", "bpe_train_merges"}
+    {"pack_greedy", "pack_greedy_sharded"}
 )
 
 #: Shared CTE chain for the nearest-centroid oracle: exact quantized label
@@ -4641,6 +4671,83 @@ ORACLES["ann_ivfpq"] = _ann_ivfpq_oracle(
     m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
     ivf_k=8, ivf_iters=1, n_probe=3, topk=10,
 )
+
+def _bpe_chain(n_merges: int) -> str:
+    """Unrolled BPE-train recurrence mirroring bpe.bpe_train: per round a
+    frequency-weighted adjacent-pair count over the word table, the
+    (count desc, left, right) argmax, and a one-pass merge rewrite.  The
+    merge pass folds with a PLAIN LIST accumulator — state = emitted ++
+    [pending], treating the last element as the pending symbol, which is
+    exactly the classic (pend, out) scan because ``merged = left||right``
+    can never equal ``left``, so a just-merged emission never falsely
+    re-matches.  (DuckDB 1.0's list_reduce mis-executes folds whose
+    accumulator is a STRUCT containing a LIST — it applies only the final
+    two steps — so the struct form is unusable.)  The LEFT JOIN keeps the
+    chain total when a round finds no pair (w passes through)."""
+    parts = ["""w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+               string_split(word, '') AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word != ''
+        GROUP BY word)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+        SELECT s[u.i] AS pleft, s[u.i + 1] AS pright,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM w{r - 1}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+        GROUP BY 1, 2)""")
+        parts.append(f"""m{r} AS (
+        SELECT pleft, pright, cnt FROM p{r}
+        ORDER BY cnt DESC, pleft ASC, pright ASC LIMIT 1)""")
+        parts.append(f"""w{r} AS (
+        SELECT w.word, w.freq,
+               CASE WHEN m.pleft IS NULL THEN w.s
+                    ELSE list_reduce(
+                   list_transform(w.s, e -> [e]),
+                   (acc, e) -> CASE
+                       WHEN acc[-1] = m.pleft AND e[1] = m.pright
+                           THEN list_append(
+                               acc[1:len(acc) - 1], m.pleft || m.pright)
+                       ELSE list_append(acc, e[1])
+                   END) END AS s
+        FROM w{r - 1} AS w LEFT JOIN m{r} AS m ON TRUE)""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    legs = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r - 1} AS BIGINT) AS step, pleft AS "left",
+               pright AS "right", cnt AS pair_count FROM m{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + _bpe_chain(n_merges) + "\n    " + legs
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode == the train chain's FINAL word segmentation flattened back
+    over each document's token sequence (train->encode round-trip)."""
+    return ("WITH " + _bpe_chain(n_merges) + f""",
+    docw AS (
+        SELECT doc_id, u.i AS pos, t[u.i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+             unnest(generate_series(1, len(t))) AS u(i)
+        WHERE t[u.i] != ''),
+    segs AS (
+        SELECT d.doc_id,
+               flatten(list(w.s ORDER BY d.pos)) AS pieces
+        FROM docw d JOIN w{n_merges} AS w USING (word)
+        GROUP BY d.doc_id)
+    SELECT b.doc_id,
+           COALESCE(array_to_string(s.pieces, ','), '') AS pieces,
+           CAST(COALESCE(len(s.pieces), 0) AS BIGINT) AS n_pieces
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) b
+    LEFT JOIN segs s USING (doc_id)""")
+
+
+ORACLES["bpe_train_merges"] = _bpe_train_oracle(10)
+ORACLES["bpe_encode_pieces"] = _bpe_encode_oracle(10)
 
 ORACLES["ann_ivfpq_recall"] = f"""
     WITH bf AS ({ORACLES["ann_bruteforce"]}),

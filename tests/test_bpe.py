@@ -249,3 +249,24 @@ def test_bpe_encode_property(spark, texts):
     for i, t in enumerate(texts):
         assert enc[i] == _py_encode(t, table), f"doc {i}"
         assert "".join(enc[i]) == t.replace(" ", "")
+
+
+def test_bpe_encode_dict_matches_rowwise(spark, docs):
+    """The dictionary (per-distinct-word) segmentation is row-identical to
+    the per-occurrence fold form — BPE segmentation is a pure function of
+    the word, so the two forms must agree on every document, including
+    empty-piece edge cases."""
+    table = bpe.bpe_train(docs, n_merges=6)
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(table.collect(), key=lambda r: r["step"])
+    ]
+    a = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    b = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_encode_dict(docs, merges).collect()
+    }
+    assert a == b
