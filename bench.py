@@ -130,6 +130,7 @@ HEADLINE = [
     "latest_supply",
     "order_json",
     "rollback_scd",
+    "rollback_candles",
     "squash_blocks",
     "squash_repoint",
     "weighted_sample",
@@ -161,8 +162,65 @@ REF_SURFACE = [
     "tumbling_window_5m", "pairs_view", "json_field_agg",
     "asset_name_search", "snapshot_diff", "integrity_audit",
     "decimals_view", "ticker_parse_latest", "latest_supply", "order_json",
-    "rollback_scd", "squash_blocks", "squash_repoint",
+    "rollback_scd", "rollback_candles", "squash_blocks", "squash_repoint",
 ]
+
+
+def serve_benchmarks(spark, sf_dir: str, runs: int = 3) -> dict:
+    """Pre-trained-model SERVING legs (train/serve split, round-7 verdict
+    item #5): the PQ / IVFPQ / kmeans HEADLINE rows train their model
+    in-query — a sequence of tiny driver-coordinated jobs whose per-job
+    floor dominates at 500 training vectors and says nothing about the
+    serving plan a 100 TB deployment actually runs.  Here the codebooks /
+    centroids are trained ONCE outside the timed region, the encoded
+    corpus and IVF+PQ index are materialized to parquet (the stored-index
+    shape), and the timed work is exactly the serving plan: map-only
+    encode / distortion, stored-codes scan + broadcast-LUT ADC, probed-
+    cell equi-join, stateless centroid assign.  No DuckDB twin — the
+    BASELINE.md oracle numbers for these queries include training; serve
+    rows are tracked round-over-round (see BASELINE.md note)."""
+    import shutil
+    import tempfile
+
+    from blockchain_postgres_sync_spark.operators import clustering, pq
+    from blockchain_postgres_sync_spark.plans.catalog import (
+        _PQ_ITERS, _PQ_K, _PQ_M, _pq_query_batch, _t,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    _, cents = clustering.kmeans_train(emb, k=8, iters=1)
+    queries = _pq_query_batch(emb)
+    work = tempfile.mkdtemp(prefix="serve_bench_")
+    enc_path = os.path.join(work, "encoded")
+    idx_path = os.path.join(work, "index")
+    pq.pq_encode(emb, books).write.parquet(enc_path)
+    pq.ivfpq_index(emb, cents, books).write.parquet(idx_path)
+
+    legs = {
+        "pq_encode_serve": lambda: pq.pq_encode(emb, books),
+        "pq_distortion_serve": lambda: pq.pq_reconstruction_error(
+            emb, books
+        ),
+        "ann_pq_serve": lambda: pq.pq_adc_topk(
+            spark.read.parquet(enc_path), books, queries, topk=10
+        ),
+        "ann_ivfpq_serve": lambda: pq.ivfpq_topk(
+            spark.read.parquet(idx_path), books, cents, queries,
+            topk=10, n_probe=3,
+        ),
+        "kmeans_assign_serve": lambda: clustering.cluster_assign(
+            emb, cents
+        ),
+    }
+    best = {n: float("inf") for n in legs}
+    for _ in range(runs):
+        for n, fn in legs.items():
+            t0 = time.time()
+            fn().write.mode("overwrite").format("noop").save()
+            best[n] = min(best[n], time.time() - t0)
+    shutil.rmtree(work, ignore_errors=True)
+    return {n: round(v, 3) for n, v in best.items()}
 
 
 def stream_throughput(spark, sf_dir: str) -> dict:
@@ -294,6 +352,9 @@ def main() -> None:
         spark._jvm.System.gc()
     timings = {name: round(v, 3) for name, v in best.items()}
 
+    # train/serve split: serving legs over pre-trained models
+    serve = serve_benchmarks(spark, sf_dir, runs=runs)
+
     # streaming path: synthesized updates from sf0.01's events table (fixed
     # size so the number is comparable across rounds regardless of bench SF)
     stream = stream_throughput(spark, "/root/testdata/sf0.01")
@@ -304,6 +365,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "serve": serve,
         "stream": stream,
         "sf": sf,
         "runs_per_query": runs,
@@ -324,6 +386,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "stream": stream,
+        "serve": serve,
         "headline": {k: timings[k] for k in REF_SURFACE if k in timings},
         "full_queries_in": "BENCH_LOCAL.json",
     }))

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    hashed_token_shingles, token_shingles, tokenset_fingerprint,
+    hashed_token_shingles, token_shingles, tokens, tokenset_fingerprint,
 )
 from ..functions.vectors import dot, norm
 
@@ -344,10 +344,12 @@ def repeated_spans(
 
     # hashed_token_shingles pads docs shorter than k with a single
     # whole-text entry, so a doc that cannot contain a k-token span is
-    # dropped up front (a pushdown-friendly filter, not a join)
+    # dropped up front (a pushdown-friendly filter, not a join).
+    # tokens() — NOT a literal split — keeps this length check coupled to
+    # the tokenization hashed_token_shingles derives gram positions from.
     docs = df.filter(
         F.col(text_col).isNotNull()
-        & (F.size(F.split(F.col(text_col), " ")) >= k)
+        & (F.size(tokens(F.col(text_col))) >= k)
     )
     grams = (
         docs.select(
@@ -409,9 +411,11 @@ def scrub_repeated_spans(
         F.collect_list(F.struct("span_start", "span_tokens")).alias("_sp")
     )
     docs = df.filter(F.col(text_col).isNotNull())
+    # tokens() keeps the rebuilt token array position-aligned with the
+    # shingle source (hashed_token_shingles tokenizes via tokens() too)
     joined = docs.join(per_doc, id_col, "left").select(
         F.col(id_col),
-        F.split(F.col(text_col), " ").alias("_t"),
+        tokens(F.col(text_col)).alias("_t"),
         F.coalesce(
             F.col("_sp"),
             F.array().cast("array<struct<span_start:int,span_tokens:int>>"),

@@ -189,8 +189,12 @@ def shard_streams(
     ``max_stream_rows`` into ``ceil(n / max_stream_rows)`` hash shards
     (streams under the budget keep one shard).
 
-    The shard of a row is ``pmod(hash(id), n_shards)`` — deterministic,
-    uniform, and independent of row order, so a shard is a fixed subset of
+    The shard of a row is ``h31(id) % n_shards`` (the house md5-derived
+    31-bit hash, :func:`..operators.sampling._hash31`) — deterministic,
+    uniform, independent of row order, AND cross-engine exact (any engine
+    that can md5 reproduces the shard split bit-for-bit, which is what
+    lets ``pack_greedy_sharded`` carry a full DuckDB hash-check oracle
+    instead of a rows-only check), so a shard is a fixed subset of
     its stream and any per-stream computation that is valid on a stream is
     valid on a shard (packing a shard is still valid packing).  The
     per-stream counts are a one-aggregate dimension (|streams| rows) that
@@ -201,11 +205,14 @@ def shard_streams(
     """
     if max_stream_rows < 1:
         raise ValueError(f"max_stream_rows must be >= 1, got {max_stream_rows}")
+    from .sampling import _hash31
+
     counts = df.groupBy(stream_col).agg(F.count("*").alias("_n"))
     n_shards = F.ceil(F.col("_n") / F.lit(float(max_stream_rows))).cast("int")
     shards = counts.select(stream_col, n_shards.alias("_n_shards"))
     return df.join(F.broadcast(shards), stream_col).withColumn(
-        "_shard", F.pmod(F.hash(F.col(id_col)), F.col("_n_shards")).cast("int")
+        "_shard",
+        F.pmod(_hash31(F.col(id_col)), F.col("_n_shards")).cast("int"),
     ).drop("_n_shards")
 
 

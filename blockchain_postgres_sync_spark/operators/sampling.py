@@ -99,6 +99,9 @@ def weighted_sample(
     Integer-exact: ``w`` is read as a BIGINT (callers with fractional
     weights pre-scale, house x1000 convention), ``h31 + 1`` is in
     [1, 2^31 - 1], and ``w * 2^31`` stays in int64 for ``w < 2^32``.
+    That bound is ENFORCED in-row via ``raise_error`` (not left to the
+    session's ANSI flag: a non-ANSI session would silently wrap the
+    priority negative and corrupt the sample with no signal).
     Ties (equal priority) break by key ascending — total order, no RNG.
 
     Plan shape: without ``stratum_col`` this is a global top-n —
@@ -109,11 +112,23 @@ def weighted_sample(
     """
     # exact integer division (SQL DIV; pyspark Column has no floordiv and
     # float division would lose precision above 2^53)
+    _w = F.col(weight_col).cast("long")
+    _w_checked = F.when(
+        (_w >= 0) & (_w < F.lit(1 << 32).cast("long")), _w
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: {weight_col}="),
+                _w.cast("string"),
+                F.lit(" outside [0, 2^32) — priority w * 2^31 would "
+                      "overflow int64; pre-scale the weight column"),
+            )
+        )
+    )
     with_p = (
         df.withColumn(
             "_wnum",
-            F.col(weight_col).cast("long")
-            * F.lit(int(HASH_SPACE) + 1).cast("long"),
+            _w_checked * F.lit(int(HASH_SPACE) + 1).cast("long"),
         )
         .withColumn(
             "_hden", _hash31(F.col(key_col)) + F.lit(1).cast("long")

@@ -205,6 +205,7 @@ def bigram_lift(
     text_col: str = "text",
     min_pair: int = 5,
     top: int = 100,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Collocation extraction: the ``top`` adjacent token bigrams ranked
     by association strength — the PMI-style phrase detector a tokenizer /
@@ -240,6 +241,13 @@ def bigram_lift(
     no sort shuffle).  Ties break (lift desc, tok_x asc, tok_y asc) —
     total order.  Pinned: exactly 2 scans + 1 TakeOrdered
     (tests/test_plans.py::test_bigram_lift_two_scans_takeordered).
+
+    ``broadcast_vocab``: the unigram frame is VOCABULARY-sized, not
+    corpus-sized, but an open-web vocabulary (URLs, code tokens) can
+    still exceed broadcastable size — pass ``broadcast_vocab=False`` to
+    let the x/y lookups run as shuffle hash joins instead of pinning a
+    driver-side broadcast (the same knob as ``bpe_encode_dict`` /
+    ``unigram_logprob``'s ``broadcast_model``; see SCALE.md).
     """
     toks = tokens(F.col(text_col))
     pairs = (
@@ -267,15 +275,16 @@ def bigram_lift(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
+    _bx = F.broadcast if broadcast_vocab else (lambda f: f)
     scored = (
         pair_counts.join(
-            F.broadcast(uni.select(F.col("token").alias("tok_x"),
-                                   F.col("c").alias("_cx"))),
+            _bx(uni.select(F.col("token").alias("tok_x"),
+                           F.col("c").alias("_cx"))),
             "tok_x",
         )
         .join(
-            F.broadcast(uni.select(F.col("token").alias("tok_y"),
-                                   F.col("c").alias("_cy"))),
+            _bx(uni.select(F.col("token").alias("tok_y"),
+                           F.col("c").alias("_cy"))),
             "tok_y",
         )
         .withColumn("_num", F.col("n_pair") * F.lit(1_000_000_000).cast("long"))

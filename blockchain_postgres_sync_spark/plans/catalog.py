@@ -1040,6 +1040,48 @@ def q_rollback_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollback_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 candle repair (pg.rs:817-838 via mod.rs:794-863): rolling back to
+    a boundary block uid deletes the trade tail, and candles are re-derived
+    ONLY from the first affected minute — ``min(time_stamp)`` of the
+    deleted trades, minute-truncated (the watermark ``apply_rollback``
+    returns) — while every minute below the watermark keeps its
+    pre-rollback candle row untouched.
+
+    The returned plan is literally that patch: pre-rollback candles
+    filtered to ``< watermark`` UNION a recompute of survivors ``>=
+    watermark`` (two scans by design — the first stands in for the
+    STORED candles table the pipeline reads, streaming/pipeline.py:219).
+    The oracle is the one-shot recompute over survivors, so the hash check
+    certifies the A4 watermark invariant: patch == full recompute.
+    Boundary is the same deterministic function of the data as
+    ``rollback_scd`` (block_uid = uid DIV 10; boundary = 70% of max)."""
+    trades = _trades(spark, sf_dir)
+    max_id = trades.agg(F.max("uid")).collect()[0][0]
+    boundary = (int(max_id) // 10) * 7 // 10
+    blk = F.expr("uid DIV 10")
+    wm = (
+        trades.filter(blk > boundary)
+        .agg(F.date_trunc("minute", F.min("time_stamp")).alias("m"))
+        .collect()[0]["m"]
+    )
+    old = minute_candles(trades, fixedpoint_frac=2)
+    survivors = trades.filter(blk <= boundary)
+    if wm is None:  # nothing deleted: patch is a no-op
+        patched = old
+    else:
+        redo = minute_candles(
+            survivors.filter(
+                F.date_trunc("minute", F.col("time_stamp")) >= F.lit(wm)
+            ),
+            fixedpoint_frac=2,
+        )
+        patched = old.filter(F.col("time_start") < F.lit(wm)).unionByName(
+            redo
+        )
+    return _candles_final(patched, with_interval=False)
+
+
 #: events → blocks_microblocks-shaped ledger: 30% of rows are "microblocks"
 #: (NULL time_stamp), ids are synthetic.
 def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,9 +1284,10 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit bin packing (documents never split) — the reset-on-overflow
     recurrence is not windowable SQL, so this runs as an applyInPandas scan
-    per language stream; correctness is pinned by
-    tests/test_packing.py::test_pack_greedy_matches_reference (driver check
-    is rows-only by design)."""
+    per language stream.  Hash-checked since round 8: the recurrence FOLDS
+    per stream, and the oracle replays it via list_reduce with the (bin,
+    fill) state as the tail of one plain BIGINT list (see ORACLES); also
+    pinned by tests/test_packing.py::test_pack_greedy_matches_reference."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return packing.pack_greedy(docs, budget=64)
 
@@ -1276,8 +1319,9 @@ def q_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense per stream (operators/packing.py::pack_greedy_sharded).  The
     small budget forces real multi-shard execution on the test corpus;
     invariants pinned by tests/test_packing.py::
-    test_pack_greedy_sharded_skewed_stream_invariants (rows-only driver
-    check, same as pack_greedy — sequential recurrence)."""
+    test_pack_greedy_sharded_skewed_stream_invariants.  Hash-checked since
+    round 8: the md5-h31 shard split is cross-engine exact and each
+    (stream, shard) replays the same list_reduce fold as pack_greedy."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return packing.pack_greedy_sharded(docs, budget=64, max_stream_rows=64)
 
@@ -2610,21 +2654,90 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum difficulty buckets: per-language ntile(3) over the
-    composite quality score (easy/medium/hard thirds for curriculum-
-    ordered training).  ntile over the TOTAL order (quality_x100 asc,
-    doc_id asc) is deterministic and engine-identical (standard SQL
-    bucket split: first n%3 buckets get the extra row).  One window
-    shuffle on lang; the score itself is in-row."""
+    """Curriculum difficulty buckets: per-language thirds of the composite
+    quality score (easy/medium/hard for curriculum-ordered training),
+    with exact ntile(3)-over-(quality_x100, doc_id) semantics.
+
+    Scale shape (round-8 rewrite of the per-lang ``ntile`` window, which
+    hash-routed each language — ~60% of a web corpus for the dominant one
+    — to a single sorting task): ``quality_x100`` is integer-bounded
+    0..100 by construction, so per-(lang, score) hash-agg counts form a
+    BOUNDED frame (#langs x 101 rows max).  Tercile cut RANKS and
+    exclusive cumulative counts are derived on that frame (windows over
+    distinct scores, not corpus rows — the score_auc trick,
+    operators/stats.py:524), broadcast back onto the corpus, and the
+    bucket resolves from the broadcast columns alone for every score
+    group that sits inside one tercile.  Only groups that STRADDLE a cut
+    rank — at most two per language — consult the within-group doc_id
+    rank.  The rank window partitions by (lang, quality_x100): 101x
+    finer keys than the old per-lang sort, over 3 narrow columns instead
+    of the text corpus, in the SAME plan (coalesce, not a union — a
+    clean/straddle branch split re-scans and re-scores the corpus per
+    branch, the round-4 diamond lesson).  Net: ONE wide scan, one
+    narrow-row shuffle, zero corpus-keyed skew.  Oracle-identical to
+    ntile(3): first n%3 buckets get the extra row."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     qs = T.quality_score(F.col("text"))
     scored = docs.select(
         "doc_id", "lang", qs["quality_x100"].alias("quality_x100")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.asc("quality_x100"), F.asc("doc_id")
+    counts = scored.groupBy("lang", "quality_x100").agg(
+        F.count(F.lit(1)).alias("_c")
     )
-    return scored.withColumn("bucket", F.ntile(3).over(w).cast("int"))
+    wl = Window.partitionBy("lang").orderBy("quality_x100")
+    bounds = counts.select(
+        "lang",
+        "quality_x100",
+        "_c",
+        (F.sum("_c").over(wl) - F.col("_c")).alias("_lo"),
+        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
+    )
+    # ntile(3) cut ranks: bucket b holds floor(n/3) rows plus one extra
+    # for the first n%3 buckets -> cuts at c1 and c2 (1-based ranks).
+    bounds = bounds.withColumn(
+        "_c1", F.expr("_n DIV 3 + CASE WHEN _n % 3 >= 1 THEN 1 ELSE 0 END")
+    ).withColumn(
+        "_c2",
+        F.expr("_c1 + _n DIV 3 + CASE WHEN _n % 3 >= 2 THEN 1 ELSE 0 END"),
+    )
+    grp = bounds.select(
+        "lang",
+        "quality_x100",
+        "_lo",
+        "_c1",
+        "_c2",
+        # whole-group bucket when the (lang, score) run sits inside one
+        # tercile; NULL marks the <=2 straddling groups per language
+        F.when(F.col("_lo") + F.col("_c") <= F.col("_c1"), F.lit(1))
+        .when(
+            (F.col("_lo") >= F.col("_c1"))
+            & (F.col("_lo") + F.col("_c") <= F.col("_c2")),
+            F.lit(2),
+        )
+        .when(F.col("_lo") >= F.col("_c2"), F.lit(3))
+        .alias("_gb"),
+    )
+    # shuffle the 3 narrow columns BEFORE the broadcast join so the rank
+    # window rides this exchange instead of re-shuffling the joined
+    # (wider) rows afterwards — A/B 2.4 vs 3.7 s at sf0.1
+    assigned = scored.repartition("lang", "quality_x100").join(
+        F.broadcast(grp), ["lang", "quality_x100"]
+    )
+    wg = Window.partitionBy("lang", "quality_x100").orderBy("doc_id")
+    rank = F.col("_lo") + F.row_number().over(wg)
+    return assigned.select(
+        "doc_id",
+        "lang",
+        "quality_x100",
+        F.coalesce(
+            F.col("_gb"),
+            F.when(rank <= F.col("_c1"), F.lit(1))
+            .when(rank <= F.col("_c2"), F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
 
 
 def q_ann_pq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2719,16 +2832,22 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:    rollback/squash/views — the pg.rs:660-815 / mod.rs:583-767 surface)
 #:    stays pinned in the window every round.
 #: 2. The remaining ~40 slots rotate through queries with the least driver
-#:    signal (round 7: the round-6 additions, the r5 media/temporal set,
-#:    and the three array-output queries re-entering after their
-#:    stringification fix).
+#:    signal (round 8: the 17 round-7 additions — PQ/IVFPQ family, BPE
+#:    train+encode, weighted sampling, bigram_lift, difficulty_buckets,
+#:    repeated/scrubbed spans, small_qty_revenue — plus the two
+#:    newly-hash-checkable pack_greedy queries, the new rollback_candles,
+#:    the 14 reference-surface queries last green in round 5, and six
+#:    r6-green refreshers; no query's driver signal should age past ~2
+#:    rounds — the rotation schedule lives in COVERAGE.md).
 #: 3. ROWS_ONLY_QUERIES (no SQL oracle — the driver can only record
 #:    `err: no_oracle` for them) and raw-array-output projections are
-#:    NEVER placed in the first 50.
+#:    NEVER placed in the first 50 (the set is EMPTY since round 8, but
+#:    the rule stays for future additions).
 #:
 #: Rotated-out queries keep full coverage via tools/driver_sim.py (sf0.01,
 #: both TZs) and tests/test_catalog_oracle.py (sf0.001), run every round.
 CATALOG: dict[str, QueryFn] = {
+    # ==== ROUND-8 GATE WINDOW (first 50) =================================
     # -- permanent reference-surface core (pinned every round) -----------
     "candles_1m": q_candles_1m,
     "candles_cascade": q_candles_cascade,
@@ -2740,58 +2859,53 @@ CATALOG: dict[str, QueryFn] = {
     "squash_blocks": q_squash_blocks,
     "deterministic_uid": q_deterministic_uid,
     "lookup_join": q_lookup_join,
-    # -- round-6 additions: never driver-checked until now ---------------
-    "kmeans_train": q_kmeans_train,
-    "kmeans_inertia": q_kmeans_inertia,
-    "soft_dedup_weights": q_soft_dedup_weights,
-    "cluster_balanced_sample": q_cluster_balanced_sample,
-    "ann_ivf_learned": q_ann_ivf_learned,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "bpe_merge_pairs": q_bpe_merge_pairs,
-    "quality_auc": q_quality_auc,
-    "quality_pr_curve": q_quality_pr_curve,
-    "dsir_weights": q_dsir_weights,
-    # -- round-5 additions: never driver-checked until now ---------------
-    "leakage_safe_split": q_leakage_safe_split,
-    "mixture_plan": q_mixture_plan,
-    "dedup_incremental": q_dedup_incremental,
-    "boilerplate_scrub": q_boilerplate_scrub,
-    "asof_quotes": q_asof_quotes,
-    "session_windows": q_session_windows,
-    "twap": q_twap,
-    "media_image_features": q_media_image_features,
-    "media_audio_features": q_media_audio_features,
-    "media_frame_sample": q_media_frame_sample,
-    "media_image_real": q_media_image_real,
-    "media_audio_real": q_media_audio_real,
-    # -- array-output queries re-entering after stringification (r6 errs)
-    "token_encode": q_token_encode,
-    "embedding_quantize": q_embedding_quantize,
-    "tfidf_vectorize": q_tfidf_vectorize,
-    # -- r3-r5 driver-green, refreshing signal this round -----------------
-    "dedup_exact": q_dedup_exact,
-    "dedup_tokenset": q_dedup_tokenset,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_kept_corpus": q_dedup_kept_corpus,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_bruteforce": q_ann_bruteforce,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "label_centroids": q_label_centroids,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_repetition": q_text_repetition,
-    "pii_scrub": q_pii_scrub,
-    # ==== end of driver gate window (first 50) ==========================
-    # -- driver-green in round 6 ------------------------------------------
+    # -- round-8 addition (T3 candle repair, new this round) --------------
+    "rollback_candles": q_rollback_candles,
+    # -- upgraded rows-only -> hash-checked in round 8 ---------------------
+    "pack_greedy": q_pack_greedy,
+    "pack_greedy_sharded": q_pack_greedy_sharded,
+    # -- round-7 additions: first external driver signal ------------------
+    "weighted_sample": q_weighted_sample,
+    "weighted_sample_strata": q_weighted_sample_strata,
+    "pq_codebooks": q_pq_codebooks,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
+    "ann_pq_recall": q_ann_pq_recall,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_pq_mrr": q_ann_pq_mrr,
+    "pq_reconstruction_error": q_pq_reconstruction_error,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_pieces": q_bpe_encode_pieces,
+    "bigram_lift": q_bigram_lift,
+    "difficulty_buckets": q_difficulty_buckets,
+    "repeated_spans": q_repeated_spans,
+    "scrub_repeated_spans": q_scrub_repeated_spans,
+    "small_qty_revenue": q_small_qty_revenue,
+    # -- reference-surface refresh (last driver-green round 5) ------------
+    "decimals_view": q_decimals_view,
+    "ticker_parse_latest": q_ticker_parse_latest,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "regional_revenue": q_regional_revenue,
+    "tumbling_window_5m": q_tumbling_window_5m,
+    "latest_supply": q_latest_supply,
+    "json_field_agg": q_json_field_agg,
+    "order_json": q_order_json,
+    "asset_name_search": q_asset_name_search,
+    "text_stats": q_text_stats,
+    "pairs_view": q_pairs_view,
+    "corpus_cardinality": q_corpus_cardinality,
+    "squash_repoint": q_squash_repoint,
+    # -- r6-green refreshers (oldest of the round-6 block) -----------------
     "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
     "corpus_stats": q_corpus_stats,
     "ngram_topk": q_ngram_topk,
     "session_attribution": q_session_attribution,
     "doc_chunks": q_doc_chunks,
+    # ==== end of driver gate window (first 50) ==========================
+    # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
     "doc_chunks_strided": q_doc_chunks_strided,
     "pack_concat": q_pack_concat,
     "salient_terms": q_salient_terms,
@@ -2829,52 +2943,59 @@ CATALOG: dict[str, QueryFn] = {
     "contamination": q_contamination,
     "shingle_novelty": q_shingle_novelty,
     "dedup_clusters": q_dedup_clusters,
-    # -- driver-green in rounds 3-5 ---------------------------------------
-    "decimals_view": q_decimals_view,
-    "ticker_parse_latest": q_ticker_parse_latest,
-    "pricing_summary": q_pricing_summary,
-    "top_orders": q_top_orders,
-    "regional_revenue": q_regional_revenue,
-    "tumbling_window_5m": q_tumbling_window_5m,
-    "latest_supply": q_latest_supply,
-    "json_field_agg": q_json_field_agg,
-    "order_json": q_order_json,
-    "asset_name_search": q_asset_name_search,
-    "text_stats": q_text_stats,
-    "pairs_view": q_pairs_view,
-    "corpus_cardinality": q_corpus_cardinality,
-    "squash_repoint": q_squash_repoint,
-    # -- round-7 additions (enter the gate window next round) -------------
-    "weighted_sample": q_weighted_sample,
-    "weighted_sample_strata": q_weighted_sample_strata,
-    "pq_codebooks": q_pq_codebooks,
-    "pq_encode": q_pq_encode,
-    "ann_pq": q_ann_pq,
-    "ann_ivfpq": q_ann_ivfpq,
-    "ann_pq_recall": q_ann_pq_recall,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    "pq_reconstruction_error": q_pq_reconstruction_error,
-    "bpe_encode_pieces": q_bpe_encode_pieces,
-    "bigram_lift": q_bigram_lift,
-    "difficulty_buckets": q_difficulty_buckets,
-    "ann_pq_mrr": q_ann_pq_mrr,
-    "repeated_spans": q_repeated_spans,
-    "scrub_repeated_spans": q_scrub_repeated_spans,
-    "small_qty_revenue": q_small_qty_revenue,
-    # -- rows-only (no SQL oracle; pytest-pinned; NEVER in the window) ----
-    "pack_greedy": q_pack_greedy,
-    "pack_greedy_sharded": q_pack_greedy_sharded,
-    "bpe_train_merges": q_bpe_train_merges,
+    # -- driver-green in round 7 (freshest signal, rotated out) -----------
+    "kmeans_train": q_kmeans_train,
+    "kmeans_inertia": q_kmeans_inertia,
+    "soft_dedup_weights": q_soft_dedup_weights,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "ann_ivf_learned": q_ann_ivf_learned,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "quality_auc": q_quality_auc,
+    "quality_pr_curve": q_quality_pr_curve,
+    "dsir_weights": q_dsir_weights,
+    "leakage_safe_split": q_leakage_safe_split,
+    "mixture_plan": q_mixture_plan,
+    "dedup_incremental": q_dedup_incremental,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "asof_quotes": q_asof_quotes,
+    "session_windows": q_session_windows,
+    "twap": q_twap,
+    "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
+    "media_image_real": q_media_image_real,
+    "media_audio_real": q_media_audio_real,
+    "token_encode": q_token_encode,
+    "embedding_quantize": q_embedding_quantize,
+    "tfidf_vectorize": q_tfidf_vectorize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_tokenset": q_dedup_tokenset,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_kept_corpus": q_dedup_kept_corpus,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "label_centroids": q_label_centroids,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only
 #: check for these; each must carry a pytest pinning its semantics instead —
-#: see the query docstring for the test reference).  bpe_train_merges left
-#: this set in round 7: its recurrence unrolls to SQL (see
-#: _bpe_train_oracle) like kmeans_train's did in round 6.
-ROWS_ONLY_QUERIES: frozenset[str] = frozenset(
-    {"pack_greedy", "pack_greedy_sharded"}
-)
+#: see the query docstring for the test reference).  EMPTY since round 8:
+#: bpe_train_merges left in round 7 (recurrence unrolled to CTEs like
+#: kmeans_train's in round 6), pack_greedy{,_sharded} in round 8 (next-fit
+#: state folds through a plain-list list_reduce accumulator — the
+#: bpe_train_merges DuckDB-bug workaround; the sharded form additionally
+#: switched shard_streams to the cross-engine md5 h31 hash).  Every catalog
+#: query now carries a full DuckDB hash-check oracle.
+ROWS_ONLY_QUERIES: frozenset[str] = frozenset()
 
 #: Shared CTE chain for the nearest-centroid oracle: exact quantized label
 #: centroids (mirrors the label_centroids oracle) -> per-label double arrays
@@ -2922,6 +3043,18 @@ _CENTROID_ASSIGN_SQL = """
 ORACLES: dict[str, str] = {
     "candles_1m": f"WITH trades AS ({_TRADES_SQL}), c AS ({_C1M_SQL}) "
                   f"SELECT {_CANDLE_OUT} FROM c",
+    # rollback_candles: the oracle is the ONE-SHOT recompute over surviving
+    # trades — the engine's watermark patch (old < wm UNION redo >= wm)
+    # must hash-match it exactly (A4 invariant).
+    "rollback_candles": f"""
+        WITH trades_all AS ({_TRADES_SQL}),
+        b AS (SELECT (max(uid) // 10) * 7 // 10 AS boundary
+              FROM trades_all),
+        trades AS (SELECT t.* FROM trades_all t, b
+                   WHERE t.uid // 10 <= b.boundary),
+        c AS ({_C1M_SQL})
+        SELECT {_CANDLE_OUT} FROM c
+    """,
     "candles_cascade": _cascade_oracle_sql(),
     "scd2_chain": f"""
         SELECT CAST(user_id AS BIGINT) AS asset_id,
@@ -3463,6 +3596,86 @@ ORACLES: dict[str, str] = {
              UNNEST(generate_series(
                  0, CAST(greatest(ceil((len(t) - 16) / 8.0) + 1, 1)
                      AS BIGINT) - 1)) AS u(i)
+    """,
+    # next-fit packing: the reset-on-overflow recurrence has no window
+    # form, but it FOLDS — per stream, list_reduce over the doc_id-ordered
+    # token counts with the (bin, fill) state encoded as the tail of one
+    # PLAIN BIGINT list [0,0, b0,f0, b1,f1, ...] (DuckDB 1.0 silently
+    # mis-executes struct-with-list accumulators — the bpe_train_merges
+    # workaround, see that oracle).  Each doc then reads its (bin, fill)
+    # pair back by its within-stream rank.  Upgraded from rows-only in
+    # round 8.
+    "pack_greedy": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS rk
+            FROM documents WHERE text IS NOT NULL),
+        folded AS (
+            SELECT lang,
+                   list_reduce(
+                       [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]] ||
+                       list_transform(list(n_tokens ORDER BY doc_id),
+                                      c -> [c]),
+                       (acc, x) -> acc ||
+                           [CASE WHEN acc[-1] > 0 AND acc[-1] + x[1] > 64
+                                 THEN acc[-2] + 1 ELSE acc[-2] END,
+                            CASE WHEN acc[-1] > 0 AND acc[-1] + x[1] > 64
+                                 THEN x[1] ELSE acc[-1] + x[1] END]
+                   ) AS st
+            FROM d GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_tokens,
+               f.st[2 * d.rk + 1] AS bin_id,
+               f.st[2 * d.rk + 2] AS bin_fill
+        FROM d JOIN folded f USING (lang)
+    """,
+    # sharded next-fit: same fold per (stream, shard); the shard split is
+    # the house md5-derived h31 (cross-engine exact — the reason
+    # shard_streams does NOT use Spark's murmur3 F.hash), offsets are the
+    # running sum of lower shards' bin counts (st[-2] + 1 = last bin id
+    # + 1 = the shard's bin count, read straight off the fold state).
+    "pack_greedy_sharded": f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   {_hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 15)}
+                       % 2147483647 AS h31
+            FROM documents WHERE text IS NOT NULL),
+        ns AS (SELECT lang, CAST(ceil(count(*) / 64.0) AS INT) AS n_shards
+               FROM base GROUP BY lang),
+        d AS (
+            SELECT b.doc_id, b.lang, b.n_tokens,
+                   CAST(b.h31 % ns.n_shards AS INT) AS shard,
+                   row_number() OVER (
+                       PARTITION BY b.lang, b.h31 % ns.n_shards
+                       ORDER BY b.doc_id) AS rk
+            FROM base b JOIN ns USING (lang)),
+        folded AS (
+            SELECT lang, shard,
+                   list_reduce(
+                       [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]] ||
+                       list_transform(list(n_tokens ORDER BY doc_id),
+                                      c -> [c]),
+                       (acc, x) -> acc ||
+                           [CASE WHEN acc[-1] > 0 AND acc[-1] + x[1] > 64
+                                 THEN acc[-2] + 1 ELSE acc[-2] END,
+                            CASE WHEN acc[-1] > 0 AND acc[-1] + x[1] > 64
+                                 THEN x[1] ELSE acc[-1] + x[1] END]
+                   ) AS st
+            FROM d GROUP BY lang, shard),
+        offs AS (
+            SELECT lang, shard,
+                   COALESCE(SUM(st[-2] + 1) OVER (
+                       PARTITION BY lang ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+            FROM folded)
+        SELECT d.doc_id, d.lang, d.n_tokens,
+               CAST(f.st[2 * d.rk + 1] + o.off AS BIGINT) AS bin_id,
+               f.st[2 * d.rk + 2] AS bin_fill
+        FROM d JOIN folded f USING (lang, shard)
+             JOIN offs o USING (lang, shard)
     """,
     "pack_concat": """
         WITH s AS (SELECT doc_id, lang,

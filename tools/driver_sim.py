@@ -96,6 +96,10 @@ def main():
           f"({time.time() - t0:.1f}s)", flush=True)
 
     qs, orc = E.queries(), E.oracle_sql()
+    only = os.environ.get("DRIVER_SIM_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
     failures = []
     for name in sorted(qs):
         t0 = time.time()
