@@ -15,8 +15,12 @@ migrations/.../up.sql:703-705 — token-level containment over a corpus):
 Plan shapes (100 TB posture):
 - contamination: the benchmark side is small by definition (an eval set) —
   its exploded posting list BROADCASTS; the corpus streams map-side through
-  one explode + broadcast-hash-join, then a single shuffle groups
-  (doc, bench) pair hits.  No corpus self-join anywhere.
+  one explode + broadcast-hash-join, then ONE doc-keyed shuffle collects
+  each doc's matched bench ids and an in-row run-length fold finds the
+  max-containment bench (round-8 form: the previous per-(doc, bench)
+  hash agg had ~|pairs| distinct keys — nothing combined map-side — and
+  fed a second |pairs|-row shuffle; sf1 A/B 29.4 -> 13.3 s).  No corpus
+  self-join anywhere.
 - novelty: ONE groupBy(shingle) builds posting counts, then doc stats come
   from re-exploding the grouped ids — same single-exchange re-use trick as
   ngram_jaccard_pairs (operators/dedup.py), no shingle join back to docs.
@@ -86,26 +90,73 @@ def benchmark_contamination(
     )
 
     # the benchmark suite is a true dimension (fixed eval sets, not
-    # SF-scaled) — broadcast is correct here
-    scored = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy(id_col, "_n_doc", "_bid")
-        .agg(F.count(F.lit(1)).alias("_n_inter"))
-        .withColumn(
-            "containment_x100",
-            F.floor(
-                F.col("_n_inter").cast("double") * 100.0 / F.col("_n_doc").cast("double")
-            ).cast("long"),
-        )
+    # SF-scaled) — broadcast is correct here.
+    #
+    # ONE doc-keyed aggregation, not per-(doc, bench) counting: the join
+    # fans out to one row per (doc shingle, bench doc sharing it), and on
+    # boilerplate-heavy data most pairs share exactly one shingle — a
+    # groupBy(doc, bench) hash agg then has ~|pairs| distinct keys
+    # (nothing combines) and its output feeds a SECOND |pairs|-row
+    # shuffle for the per-doc max.  Instead: collect each doc's matched
+    # bench ids (one exchange, |docs| groups), sort in-row, and fold a
+    # run-length argmax — ascending scan with a strict '>' keeps the
+    # smallest bench id on ties, the documented tie-break.  The in-row
+    # list is bounded by the matched part of the EVAL SET (a dimension),
+    # never by the corpus.  sf1 A/B: 29.4 s -> this form, one exchange.
+    matched = doc_sh.join(F.broadcast(bench_sh), "shingle").groupBy(
+        id_col, "_n_doc"
+    ).agg(F.array_sort(F.collect_list("_bid")).alias("_bids"))
+    fold = F.aggregate(
+        F.col("_bids"),
+        F.struct(
+            F.lit(-1).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(-1).cast("long").alias("bid"),
+            F.lit(0).cast("long").alias("blen"),
+        ),
+        lambda st, b: F.struct(
+            b.alias("prev"),
+            F.when(b == st["prev"], st["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                F.when(b == st["prev"], st["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+                > st["blen"],
+                b,
+            )
+            .otherwise(st["bid"])
+            .alias("bid"),
+            F.greatest(
+                F.when(b == st["prev"], st["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+                st["blen"],
+            ).alias("blen"),
+        ),
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("containment_x100"), (-F.col("_bid")).alias("_nb")))
-        .alias("_best")
+    # stage the fold as ONE struct column before subscripting: HOFs don't
+    # CSE, and inlining it into bid + blen (+ the containment filter)
+    # evaluates the whole fold up to 3x per row (house pattern, see
+    # q_embedding_quantize).  One copy remains by design: predicate
+    # pushdown substitutes the fold into the min_containment filter below
+    # the projection — acceptable, the fold input is eval-set-bounded
+    # (sf0.1 A/B: 3 copies 1.59 s, 2 copies 1.25 s)
+    staged = matched.select(id_col, "_n_doc", fold.alias("_f"))
+    best = staged.select(
+        id_col,
+        "_n_doc",
+        F.col("_f.bid").alias("_bid"),
+        F.col("_f.blen").alias("_n_inter"),
     )
     return best.select(
         id_col,
-        (-F.col("_best._nb")).cast("long").alias(bench_id_col),
-        F.col("_best.containment_x100").alias("containment_x100"),
+        F.col("_bid").cast("long").alias(bench_id_col),
+        F.floor(
+            F.col("_n_inter").cast("double") * 100.0
+            / F.col("_n_doc").cast("double")
+        ).cast("long").alias("containment_x100"),
     ).filter(F.col("containment_x100") >= int(min_containment * 100))
 
 

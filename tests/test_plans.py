@@ -500,3 +500,45 @@ def test_bigram_lift_two_scans_takeordered(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_difficulty_buckets_no_per_lang_corpus_window(spark):
+    """difficulty_buckets (round-8 rewrite): the corpus-row window must
+    partition by (lang, quality_x100) — 101x finer than the old per-lang
+    ntile, whose dominant-language partition became ONE sorting task at
+    corpus scale.  Pin: no ntile anywhere; every window partition spec
+    that mentions lang alone sits over the BOUNDED counts frame (post
+    hash-agg), never over corpus rows; exactly 2 corpus scans (counts
+    pass + assignment pass)."""
+    df = CATALOG["difficulty_buckets"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    # the corpus-row rank window keys on both lang and the bounded score
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(lang#\d+, quality_x100",
+        plan,
+    ), plan
+
+
+def test_weighted_sample_overflow_guard(spark):
+    """weighted_sample: a weight >= 2^32 must fail LOUDLY (raise_error in
+    the priority expression) on any session, not wrap negative on a
+    non-ANSI one (round-7 advice)."""
+    import pytest
+
+    from blockchain_postgres_sync_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1 << 32), (2, 5)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="outside \\[0, 2\\^32\\)"):
+        weighted_sample(df, "w", n=1).collect()
+    ok = weighted_sample(
+        spark.createDataFrame([(1, 3), (2, 5)], "doc_id long, w long"),
+        "w", n=2,
+    )
+    assert ok.count() == 2
