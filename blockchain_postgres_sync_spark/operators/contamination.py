@@ -14,13 +14,16 @@ migrations/.../up.sql:703-705 — token-level containment over a corpus):
 
 Plan shapes (100 TB posture):
 - contamination: the benchmark side is small by definition (an eval set) —
-  its exploded posting list BROADCASTS; the corpus streams map-side through
-  one explode + broadcast-hash-join, then ONE doc-keyed shuffle collects
-  each doc's matched bench ids and an in-row run-length fold finds the
-  max-containment bench (round-8 form: the previous per-(doc, bench)
-  hash agg had ~|pairs| distinct keys — nothing combined map-side — and
-  fed a second |pairs|-row shuffle; sf1 A/B 29.4 -> 13.3 s).  No corpus
-  self-join anywhere.
+  its posting list (one row per shingle carrying the ARRAY of bench ids)
+  BROADCASTS; the corpus streams map-side through one explode +
+  broadcast-hash-join, then ONE doc-keyed shuffle collects each doc's
+  matched bench-id arrays (flattened + sorted in-row) and an in-row
+  run-length fold finds the max-containment bench (round-8 forms: the
+  per-(doc, bench) hash agg had ~|pairs| distinct keys — nothing combined
+  map-side — and fed a second |pairs|-row shuffle, sf1 A/B 29.4 -> 13.3 s;
+  carrying bench-id ARRAYS through the join instead of exploded bench rows
+  cut the shuffle row count ~12x on a dense shingle space, 12.7 -> 9.2 s).
+  No corpus self-join anywhere.
 - novelty: ONE groupBy(shingle) builds posting counts, then doc stats come
   from re-exploding the grouped ids — same single-exchange re-use trick as
   ngram_jaccard_pairs (operators/dedup.py), no shingle join back to docs.
@@ -73,6 +76,13 @@ def benchmark_contamination(
         benchmark.select(F.col(bench_id_col).alias("_bid"), text_col),
         "_bid", text_col, shingle_size,
     )
+    # one broadcast row per shingle carrying ALL bench ids that contain it:
+    # the corpus join then fans out per (doc shingle, shingle) instead of
+    # per (doc shingle, bench doc) — ~12x fewer shuffle rows on a dense
+    # shingle space (sf1 A/B: 12.7 -> 9.2 s), same bytes, flattened in-row
+    bench_posts = bench_sh.groupBy("shingle").agg(
+        F.collect_list("_bid").alias("_bids_arr")
+    )
     # per-doc shingle count computed IN-ROW before the explode and carried
     # through the postings join — a separate (doc_id, _n_doc) frame would be
     # corpus-sized, and broadcasting it is a driver-collect of every
@@ -103,9 +113,9 @@ def benchmark_contamination(
     # smallest bench id on ties, the documented tie-break.  The in-row
     # list is bounded by the matched part of the EVAL SET (a dimension),
     # never by the corpus.  sf1 A/B: 29.4 s -> this form, one exchange.
-    matched = doc_sh.join(F.broadcast(bench_sh), "shingle").groupBy(
+    matched = doc_sh.join(F.broadcast(bench_posts), "shingle").groupBy(
         id_col, "_n_doc"
-    ).agg(F.array_sort(F.collect_list("_bid")).alias("_bids"))
+    ).agg(F.array_sort(F.flatten(F.collect_list("_bids_arr"))).alias("_bids"))
     fold = F.aggregate(
         F.col("_bids"),
         F.struct(
