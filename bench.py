@@ -149,6 +149,10 @@ HEADLINE = [
     "repeated_spans",
     "scrub_repeated_spans",
     "small_qty_revenue",
+    "pagerank_sim",
+    "cdc_chunks",
+    "cdc_dedup",
+    "quantile_summary",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -296,3 +296,75 @@ def normalize_text(text: Column) -> Column:
     cleaned = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
     collapsed = F.regexp_replace(cleaned, "[ \\t\\n\\r]+", " ")
     return F.lower(F.trim(collapsed))
+
+
+#: content-defined chunking: rolling window width (tokens) and boundary
+#: modulus — a boundary closes a chunk when the window hash % CDC_MOD == 0,
+#: giving ~CDC_MOD-token expected chunks
+CDC_WINDOW = 3
+CDC_MOD = 16
+
+
+def cdc_chunk_spans(text: Column, mod: int = CDC_MOD) -> Column:
+    """Content-defined chunk spans: ``array<struct<start:int,len:int>>``
+    (1-based token positions) cut where a rolling 3-token polynomial hash
+    hits ``0 (mod mod)`` — the FastCDC/rsync idea at token granularity.
+
+    Unlike fixed-stride chunking (``doc_chunks``), CDC boundaries are a
+    function of CONTENT: inserting one token early in a document shifts
+    every fixed-stride chunk but only the one CDC chunk containing the
+    edit, so chunk-digest dedup keeps matching everything downstream —
+    the property that makes CDC the standard for large-corpus substring
+    dedup and delta storage.
+
+    Integer-exact and engine-reproducible: token hash = first 8 md5 hex
+    chars as int (the :func:`rolling_fingerprint` convention), window
+    hash = ``((h1*31 + h2) % FP_MOD * 31 + h3) % FP_MOD``.  The final
+    token always closes the last chunk; docs shorter than the window are
+    one chunk.  In-row, zero shuffle.
+    """
+    t = tokens(text)
+    th = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+    n = F.size(t)
+    z1 = F.zip_with(
+        th,
+        F.slice(th, 2, F.greatest(n - 1, F.lit(1))),
+        lambda a, b: (a * FP_BASE + b) % FP_MOD,
+    )
+    z2 = F.zip_with(
+        z1,
+        F.slice(th, 3, F.greatest(n - 2, F.lit(1))),
+        lambda a, b: (a * FP_BASE + b) % FP_MOD,
+    )
+    # z2 entry j (1-based) covers tokens j..j+2 -> boundary AFTER token
+    # j+2 when the hash divides; the final position never opens a new
+    # (empty) chunk, and zip_with's null tail (slice shorter than z1) is
+    # filtered with the boundary predicate itself
+    bounds = F.filter(
+        F.transform(
+            z2,
+            lambda w, j: F.when(
+                (w % mod == 0) & ((j + F.lit(3)) < n), j + F.lit(3)
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    ends = F.concat(bounds, F.array(n))
+    starts = F.zip_with(
+        F.concat(F.array(F.lit(0)), ends),
+        ends,
+        lambda prev, e: F.when(e.isNotNull(), prev + 1),
+    )
+    return F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                s.cast("int").alias("start"),
+                (e - s + 1).cast("int").alias("len"),
+            ),
+        ),
+        lambda sp: sp["start"].isNotNull(),
+    )

@@ -665,3 +665,63 @@ def threshold_sweep(
             ),
         ).alias(f"recall_x{scale}"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p95", 19, 20),
+    ),
+) -> DataFrame:
+    """EXACT per-group percentiles of a bounded-domain integer column —
+    ``percentile_disc`` semantics (smallest value whose cumulative count
+    reaches ``ceil(q * n)``), all integer arithmetic so the result is
+    bit-identical across engines.  ``quantiles`` entries are
+    ``(label, num, den)`` fractions; the rank is ``ceil(num*n/den) =
+    (num*n + den - 1) div den``.
+
+    This is the scale-safe exact form (the difficulty_buckets /
+    score_auc trick): approxQuantile trades accuracy and a per-group
+    sort trades a skewed-window single task — instead ONE hash
+    aggregation on (group, value) crosses the shuffle, and the cumulative
+    window runs over the DISTINCT-VALUE frame, bounded by the value
+    domain, not the corpus.  NULL values carry no rank evidence and are
+    excluded.
+
+    Returns one row per group: ``group_cols + n_rows + one column per
+    quantile label``.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = counts.select(
+        *gcols,
+        F.col(value_col),
+        F.sum("_c").over(w.orderBy(F.asc(value_col))).alias("_cum"),
+        F.sum("_c").over(w).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n_rows")]
+    for label, num, den in quantiles:
+        # integer ceil via (num*n + den - 1) div den, computed exactly
+        rank = F.expr(f"(({num} * _n) + {den - 1}) div {den}")
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= rank, F.col(value_col))
+            ).cast("long").alias(label)
+        )
+    return cum.groupBy(*gcols).agg(*aggs)

@@ -32,8 +32,8 @@ from ..sources.tables import load_table
 from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
-    bpe, clustering, contamination, dedup, encoding, multimodal, packing,
-    pq, sampling, similarity, stats, temporal,
+    bpe, clustering, contamination, dedup, encoding, graph, multimodal,
+    packing, pq, sampling, similarity, stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -2846,6 +2846,85 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: Rotated-out queries keep full coverage via tools/driver_sim.py (sf0.01,
 #: both TZs) and tests/test_catalog_oracle.py (sf0.001), run every round.
+
+
+def q_pagerank_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (4 iterations, damping 0.85 in micros) over
+    the MinHash-LSH near-duplicate graph (operators/graph.py::pagerank):
+    rank documents by centrality INSIDE the redundancy neighborhood —
+    the canonical-copy / repetition-weight signal.  Oracle = the same
+    recurrence unrolled to a DuckDB CTE chain (the bpe_train_merges
+    technique); every division is integer, so results hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=12, shingle_size=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    return graph.pagerank(pairs, iters=4).select(
+        F.col("node").cast("long").alias("doc_id"),
+        "degree",
+        "pagerank_x1e6",
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (functions/text.py::cdc_chunk_spans):
+    token-level FastCDC — boundaries where a rolling 3-token polynomial
+    hash divides, so an edit shifts ONE chunk instead of every downstream
+    fixed-stride chunk.  Map-only, zero shuffle; chunk digests feed
+    chunk-level dedup (cdc_dedup)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = docs.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("_t"),
+        T.cdc_chunk_spans(F.col("text")).alias("_sp"),
+    )
+    return staged.select(
+        "doc_id", "_t", F.posexplode("_sp").alias("_i", "_s")
+    ).select(
+        "doc_id",
+        (F.col("_i") + 1).cast("long").alias("chunk_idx"),
+        F.col("_s.len").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_s.start"), F.col("_s.len")), " "
+            )
+        ).alias("digest"),
+    )
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over the CDC chunks: every chunk digest occurring
+    more than once, with occurrence/document counts and the keeper
+    (smallest doc id).  ONE hash aggregation on the digest — the
+    boundary-shift-resistant complement of chunk_dedup's fixed strides."""
+    chunks = q_cdc_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "digest",
+            F.col("n_occurrences").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("keep_doc").cast("long"),
+        )
+    )
+
+
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p25/p50/p75/p95 of n_chars,
+    percentile_disc semantics) via the bounded-domain counts trick
+    (operators/stats.py::exact_quantiles) — no approxQuantile, no per-group
+    sort; the window runs over the distinct-value frame only."""
+    docs = _t(spark, sf_dir, "documents")
+    return stats.exact_quantiles(docs, "n_chars", ["lang"]).select(
+        "lang", "n_rows", "p25", "p50", "p75", "p95"
+    )
+
+
 CATALOG: dict[str, QueryFn] = {
     # ==== ROUND-8 GATE WINDOW (first 50) =================================
     # -- permanent reference-surface core (pinned every round) -----------
@@ -2897,15 +2976,20 @@ CATALOG: dict[str, QueryFn] = {
     "pairs_view": q_pairs_view,
     "corpus_cardinality": q_corpus_cardinality,
     "squash_repoint": q_squash_repoint,
+    # -- round-8 additions (never driver-checked -> window priority) ------
+    "pagerank_sim": q_pagerank_sim,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dedup": q_cdc_dedup,
+    "quantile_summary": q_quantile_summary,
     # -- r6-green refreshers (oldest of the round-6 block) -----------------
     "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
+    # ==== end of driver gate window (first 50) ==========================
+    # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
     "corpus_stats": q_corpus_stats,
     "ngram_topk": q_ngram_topk,
     "session_attribution": q_session_attribution,
     "doc_chunks": q_doc_chunks,
-    # ==== end of driver gate window (first 50) ==========================
-    # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
     "doc_chunks_strided": q_doc_chunks_strided,
     "pack_concat": q_pack_concat,
     "salient_terms": q_salient_terms,
@@ -5188,3 +5272,111 @@ ORACLES["kmeans_inertia"] = (
         for r in (1, 2)
     )
 )
+
+
+def _pagerank_sql(iters: int = 4) -> str:
+    """The pagerank() recurrence unrolled to a CTE chain (integer division
+    throughout — DuckDB `//` == Spark `div` on non-negative BIGINTs)."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    pr{k} AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (850000 * sum(p.pr // d.deg)) // 1000000
+                    AS BIGINT) AS pr
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)""")
+        prev = f"pr{k}"
+    return f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    {",".join(steps)}
+    SELECT p.node AS doc_id, d.deg AS degree, p.pr AS pagerank_x1e6
+    FROM {prev} p JOIN deg d ON d.src = p.node
+"""
+
+
+ORACLES["pagerank_sim"] = _pagerank_sql(4)
+
+#: CDC window hash mirrors functions/text.py::cdc_chunk_spans —
+#: ((h[i-2]*31 + h[i-1]) % FP_MOD * 31 + h[i]) % FP_MOD, boundary after
+#: token i when that hash % CDC_MOD == 0 and i < n
+_CDC_CHUNKS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+    th AS (
+        SELECT doc_id, t, len(t) AS n,
+               list_transform(t, x -> {_hex_int_sql('md5(x)', 8)}) AS h
+        FROM toks),
+    bnd AS (
+        SELECT doc_id, t, n,
+               list_append(
+                   list_filter(
+                       list_transform(generate_series(3, n), i ->
+                           CASE WHEN ((((h[CAST(i AS INT) - 2] * {T.FP_BASE}
+                                         + h[CAST(i AS INT) - 1])
+                                        % {T.FP_MOD}) * {T.FP_BASE}
+                                       + h[CAST(i AS INT)]) % {T.FP_MOD})
+                                     % {T.CDC_MOD} = 0
+                                     AND i < n
+                                THEN i END),
+                       x -> x IS NOT NULL),
+                   n) AS ends
+        FROM th),
+    chunks AS (
+        SELECT doc_id, t,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(ends[CAST(k AS INT)] AS BIGINT) AS e,
+               CAST(CASE WHEN k = 1 THEN 1
+                         ELSE ends[CAST(k AS INT) - 1] + 1 END AS BIGINT) AS s
+        FROM bnd, LATERAL unnest(generate_series(1, len(ends))) u(k))
+    SELECT doc_id, chunk_idx,
+           CAST(e - s + 1 AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[CAST(s AS INT):CAST(e AS INT)], ' '))
+               AS digest
+    FROM chunks
+"""
+
+ORACLES["cdc_chunks"] = _CDC_CHUNKS_SQL
+
+ORACLES["cdc_dedup"] = f"""
+    WITH chunk_rows AS ({_CDC_CHUNKS_SQL})
+    SELECT digest,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM chunk_rows
+    GROUP BY digest
+    HAVING count(*) >= 2
+"""
+
+ORACLES["quantile_summary"] = """
+    WITH counts AS (
+        SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY lang, n_chars),
+    cum AS (
+        SELECT lang, n_chars,
+               sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM counts)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN cum >= (1 * n + 3) // 4 THEN n_chars END)
+                AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cum >= (1 * n + 1) // 2 THEN n_chars END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN n_chars END)
+                AS BIGINT) AS p75,
+           CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN n_chars END)
+                AS BIGINT) AS p95
+    FROM cum GROUP BY lang
+"""

@@ -1,0 +1,116 @@
+"""Unit tests for operators/graph.py (integer PageRank) and the new
+round-8 in-row primitives (CDC chunk spans, exact quantiles).
+
+The catalog oracle test covers the full queries against DuckDB; these pin
+the SEMANTICS on hand-computable inputs so a refactor that still happens
+to hash-match a synthetic corpus can't silently change meaning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blockchain_postgres_sync_spark.functions import text as T
+from blockchain_postgres_sync_spark.operators import stats
+from blockchain_postgres_sync_spark.operators.graph import pagerank
+
+
+def test_pagerank_star_graph_exact(spark):
+    # star: 1 is the hub, 2..4 leaves.  Hand-unrolled two iterations:
+    #   iter1: hub  = 150000 + 850000*(3 * (1e6 div 1)) div 1e6 = 2700000
+    #          leaf = 150000 + 850000*(1e6 div 3)       div 1e6 =  433333
+    #   iter2: hub  = 150000 + 850000*(3 * 433333)      div 1e6 = 1254999
+    #          leaf = 150000 + 850000*(2700000 div 3)   div 1e6 =  915000
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r["node"]: (r["degree"], r["pagerank_x1e6"])
+        for r in pagerank(pairs, iters=2).collect()
+    }
+    assert out[1] == (3, 1254999)
+    assert out[2] == out[3] == out[4] == (1, 915000)
+
+
+def test_pagerank_mass_is_conserved_approximately(spark):
+    # a 4-cycle is regular: every node keeps exactly the initial score
+    # (pr div deg is exact for deg=2 and 1e6 halves cleanly)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "id_a long, id_b long"
+    )
+    rows = pagerank(pairs, iters=3).collect()
+    assert {r["pagerank_x1e6"] for r in rows} == {1_000_000}
+    assert {r["degree"] for r in rows} == {2}
+
+
+def _digests(spark, text: str) -> list[str]:
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    staged = df.select(
+        T.tokens(F.col("text")).alias("_t"),
+        T.cdc_chunk_spans(F.col("text")).alias("_sp"),
+    )
+    row = staged.select(
+        F.transform(
+            "_sp",
+            lambda s: F.md5(
+                F.array_join(F.slice(F.col("_t"), s["start"], s["len"]), " ")
+            ),
+        ).alias("d")
+    ).collect()[0]
+    return row["d"]
+
+
+def test_cdc_chunks_edit_locality(spark):
+    # the CDC property fixed-stride chunking lacks: a one-token insertion
+    # near the front re-digests only the chunk(s) whose 3-token boundary
+    # windows see the edit; every later chunk digest survives verbatim
+    base_tokens = [f"w{i}" for i in range(400)]
+    base = " ".join(base_tokens)
+    edited = " ".join(base_tokens[:3] + ["INSERTED"] + base_tokens[3:])
+    d0, d1 = _digests(spark, base), _digests(spark, edited)
+    assert len(d0) > 5  # the corpus actually chunks
+    # every original chunk beyond the edit neighborhood is refound
+    surviving = set(d0) & set(d1)
+    assert len(surviving) >= len(d0) - 2
+
+
+def test_cdc_chunks_cover_and_partition(spark):
+    # spans partition 1..n: contiguous, non-overlapping, full coverage
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 13}" for i in range(100)))],
+        "doc_id long, text string",
+    )
+    spans = df.select(
+        T.cdc_chunk_spans(F.col("text")).alias("sp")
+    ).collect()[0]["sp"]
+    pos = 1
+    for s in spans:
+        assert s["start"] == pos
+        assert s["len"] >= 1
+        pos += s["len"]
+    assert pos - 1 == 100
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    assert _digests(spark, "only two") == [
+        __import__("hashlib").md5(b"only two").hexdigest()
+    ]
+
+
+def test_exact_quantiles_disc_semantics(spark):
+    # 1..10 in one group: percentile_disc picks the smallest value whose
+    # cumulative count reaches ceil(q*n): p25->3, p50->5, p75->8, p95->10
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 11)], "lang string, v long"
+    )
+    row = stats.exact_quantiles(df, "v", ["lang"]).collect()[0]
+    assert (row["n_rows"], row["p25"], row["p50"], row["p75"], row["p95"]) \
+        == (10, 3, 5, 8, 10)
+
+
+def test_exact_quantiles_ties_and_nulls(spark):
+    # ties collapse into one (group, value) count row; nulls are excluded
+    data = [("g", 1)] * 5 + [("g", 2)] * 5 + [("g", None)]
+    df = spark.createDataFrame(data, "lang string, v long")
+    row = stats.exact_quantiles(df, "v", ["lang"]).collect()[0]
+    assert (row["n_rows"], row["p25"], row["p50"], row["p95"]) == (10, 1, 1, 2)
