@@ -153,6 +153,7 @@ HEADLINE = [
     "cdc_chunks",
     "cdc_dedup",
     "quantile_summary",
+    "bloom_prefilter",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

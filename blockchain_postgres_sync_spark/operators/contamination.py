@@ -31,10 +31,10 @@ Plan shapes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hashed_token_shingles
+from ..functions.text import hashed_token_shingles, token_shingles
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -333,4 +333,133 @@ def source_overlap(
                 / F.least("n_docs_a", "n_docs_b").cast("double")
             ).cast("long").alias("rate_x1m"),
         )
+    )
+
+
+#: Bloom layout: 63 usable bits per 64-bit word (DuckDB's BIGINT << refuses
+#: the sign bit, and 63-bit words keep every shift cross-engine-exact), so
+#: BLOOM_WORDS * 63 positions total.
+BLOOM_WORDS = 1040
+BLOOM_BITS = BLOOM_WORDS * 63  # 65520
+
+
+def _bloom_positions(shingle: Column) -> tuple[Column, Column]:
+    """Two bit positions per shingle from independent md5 slices (the
+    k=2 double-hash family), both in [0, BLOOM_BITS)."""
+    h = F.md5(shingle)
+    p1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS
+    p2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % BLOOM_BITS
+    return p1, p2
+
+
+def bloom_bitmap(
+    benchmark: DataFrame,
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """The benchmark's shingle set folded into a fixed-size Bloom bitmap:
+    ``(word int, bits long)`` — at most :data:`BLOOM_WORDS` rows REGARDLESS
+    of eval-suite size.  This is the 100 TB decontamination prefilter: the
+    posting-list broadcast of :func:`benchmark_contamination` grows with
+    the eval suite, but a bitmap broadcast is ~8 KB forever, and the
+    membership probe is two broadcast-hash-joins + bit tests, map-only.
+    """
+    sh = benchmark.filter(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.array_distinct(token_shingles(F.col(text_col), shingle_size))
+        ).alias("shingle")
+    )
+    p1, p2 = _bloom_positions(F.col("shingle"))
+    pos = sh.select(F.explode(F.array(p1, p2)).alias("pos"))
+    # SQL shiftleft: the scalar-API form requires a literal shift count
+    return pos.groupBy(
+        (F.col("pos") / 63).cast("int").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+        ).alias("bits")
+    )
+
+
+def bloom_prefilter(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct shingles MAY belong to
+    the benchmark (both Bloom bits set) — the cheap first pass that lets
+    the exact containment join (:func:`benchmark_contamination`) run on
+    the flagged sliver only.  False positives are deterministic given the
+    bit math (identical across engines), false negatives impossible.
+
+    Returns ``(id_col, n_shingles, n_maybe, maybe_x100)`` for every
+    non-NULL-text document.
+
+    Plan shape: corpus shingles explode once, two broadcast equi-joins
+    against the <= BLOOM_WORDS-row bitmap (map-side), one doc-keyed
+    partial-agg count — no posting-list shuffle, no corpus self-join, and
+    the broadcast is eval-suite-size-INDEPENDENT.
+    """
+    words = bloom_bitmap(
+        benchmark, bench_id_col=bench_id_col, text_col=text_col,
+        shingle_size=shingle_size,
+    )
+    sh = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_shingles(F.col(text_col), shingle_size))
+        ).alias("shingle"),
+    )
+    p1, p2 = _bloom_positions(F.col("shingle"))
+    staged = sh.select(id_col, p1.alias("_p1"), p2.alias("_p2"))
+    probed = staged.select(
+        id_col,
+        (F.col("_p1") / 63).cast("int").alias("_w1"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p1 % 63 AS INT))").alias(
+            "_b1"
+        ),
+        (F.col("_p2") / 63).cast("int").alias("_w2"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p2 % 63 AS INT))").alias(
+            "_b2"
+        ),
+    )
+    w1 = words.select(F.col("word").alias("_w1"), F.col("bits").alias("_bits1"))
+    w2 = words.select(F.col("word").alias("_w2"), F.col("bits").alias("_bits2"))
+    hit = (
+        probed.join(F.broadcast(w1), "_w1", "left")
+        .join(F.broadcast(w2), "_w2", "left")
+        .select(
+            id_col,
+            (
+                (
+                    F.coalesce(F.col("_bits1"), F.lit(0)).bitwiseAND(
+                        F.col("_b1")
+                    )
+                    != 0
+                )
+                & (
+                    F.coalesce(F.col("_bits2"), F.lit(0)).bitwiseAND(
+                        F.col("_b2")
+                    )
+                    != 0
+                )
+            ).cast("long").alias("_hit"),
+        )
+    )
+    out = hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("_hit").alias("n_maybe"),
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_maybe",
+        F.floor(
+            F.col("n_maybe").cast("double") * 100.0
+            / F.col("n_shingles").cast("double")
+        ).cast("long").alias("maybe_x100"),
     )

@@ -2914,6 +2914,21 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap decontamination prefilter
+    (operators/contamination.py::bloom_prefilter): the benchmark's shingle
+    set folds into a fixed ~8 KB bitmap (eval-suite-size-INDEPENDENT
+    broadcast — the 100 TB prefilter before the exact containment join);
+    membership is two broadcast joins + bit tests, map-only.  False
+    positives are deterministic bit math, identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination.bloom_prefilter(corpus, bench, shingle_size=3)
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length percentiles (p25/p50/p75/p95 of n_chars,
     percentile_disc semantics) via the bounded-domain counts trick
@@ -2981,11 +2996,12 @@ CATALOG: dict[str, QueryFn] = {
     "cdc_chunks": q_cdc_chunks,
     "cdc_dedup": q_cdc_dedup,
     "quantile_summary": q_quantile_summary,
-    # -- r6-green refreshers (oldest of the round-6 block) -----------------
+    "bloom_prefilter": q_bloom_prefilter,
+    # -- r6-green refresher (oldest of the round-6 block) -----------------
     "stratified_sample": q_stratified_sample,
-    "corpus_curation": q_corpus_curation,
     # ==== end of driver gate window (first 50) ==========================
     # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
+    "corpus_curation": q_corpus_curation,
     "corpus_stats": q_corpus_stats,
     "ngram_topk": q_ngram_topk,
     "session_attribution": q_session_attribution,
@@ -5379,4 +5395,43 @@ ORACLES["quantile_summary"] = """
            CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN n_chars END)
                 AS BIGINT) AS p95
     FROM cum GROUP BY lang
+"""
+
+
+#: Bloom prefilter oracle — same 63-bit-word bitmap, double-hash positions
+#: from md5 hex slices (chars 1-8 and 9-16), identical bit math
+_B_P1 = f"({_hex_int_sql('md5(shingle)', 8)}) % {contamination.BLOOM_BITS}"
+_B_P2 = (
+    f"({_hex_int_sql('substr(md5(shingle), 9, 8)', 8)})"
+    f" % {contamination.BLOOM_BITS}"
+)
+
+ORACLES["bloom_prefilter"] = f"""
+    WITH {_SHINGLES_SQL},
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    bpos AS (SELECT {_B_P1} AS p FROM bsh
+             UNION ALL SELECT {_B_P2} AS p FROM bsh),
+    words AS (
+        SELECT CAST(p // 63 AS INT) AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+        FROM bpos GROUP BY CAST(p // 63 AS INT)),
+    csh AS (
+        SELECT doc_id, {_B_P1} AS p1, {_B_P2} AS p2
+        FROM sh WHERE doc_id % 20 <> 0),
+    hit AS (
+        SELECT c.doc_id,
+               CASE WHEN (COALESCE(w1.bits, 0)
+                          & (CAST(1 AS BIGINT) << CAST(c.p1 % 63 AS INT))) <> 0
+                     AND (COALESCE(w2.bits, 0)
+                          & (CAST(1 AS BIGINT) << CAST(c.p2 % 63 AS INT))) <> 0
+                    THEN 1 ELSE 0 END AS h
+        FROM csh c
+        LEFT JOIN words w1 ON w1.w = CAST(c.p1 // 63 AS INT)
+        LEFT JOIN words w2 ON w2.w = CAST(c.p2 // 63 AS INT))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(h) AS BIGINT) AS n_maybe,
+           CAST(floor(CAST(sum(h) AS DOUBLE) * 100.0
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS maybe_x100
+    FROM hit GROUP BY doc_id
 """

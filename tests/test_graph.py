@@ -114,3 +114,41 @@ def test_exact_quantiles_ties_and_nulls(spark):
     df = spark.createDataFrame(data, "lang string, v long")
     row = stats.exact_quantiles(df, "v", ["lang"]).collect()[0]
     assert (row["n_rows"], row["p25"], row["p50"], row["p95"]) == (10, 1, 1, 2)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from blockchain_postgres_sync_spark.operators import contamination as C
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # exact bench copy
+            (11, "qq ww ee rr tt yy uu ii oo pp"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.bloom_prefilter(corpus, bench).collect()
+    }
+    # a verbatim benchmark copy can NEVER pass the prefilter unflagged
+    assert out[10]["maybe_x100"] == 100
+    assert out[10]["n_maybe"] == out[10]["n_shingles"]
+    assert out[11]["n_shingles"] == 8
+
+
+def test_bloom_bitmap_is_bounded(spark):
+    from blockchain_postgres_sync_spark.operators import contamination as C
+
+    bench = spark.range(200).select(
+        F.col("id").alias("bench_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"t{i}_"), F.col("id")) for i in range(12)],
+        ).alias("text"),
+    )
+    bitmap = C.bloom_bitmap(bench)
+    assert bitmap.count() <= C.BLOOM_WORDS
