@@ -154,6 +154,7 @@ HEADLINE = [
     "cdc_dedup",
     "quantile_summary",
     "bloom_prefilter",
+    "cms_heavy_hitters",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -613,6 +613,14 @@ def ngram_jaccard_pairs(
     expandable = grouped.filter(F.size("docs") >= 2)
     if max_postings is not None:
         expandable = expandable.filter(F.size("docs") <= max_postings)
+    # AllPairs-style length filter, map-side BEFORE the pair shuffle: a
+    # pair's best-achievable Jaccard is min/max of the two sizes (perfect
+    # containment), so 100*min < T*(n_a+n_b-min) can never pass the final
+    # threshold — dropping every expansion row of such a pair changes
+    # nothing downstream but prunes the shuffle/agg on length-skewed
+    # corpora (floor(p/q) >= T <=> p >= T*q for non-negative integers)
+    thr = int(threshold * 100)
+    _m = F.least(F.col("a.n_sh"), F.col("b.n_sh"))
     scored = (
         expandable.select(F.posexplode("docs").alias("_i", "a"), "docs")
         .select(
@@ -620,6 +628,10 @@ def ngram_jaccard_pairs(
             F.explode(
                 F.slice("docs", F.col("_i") + 2, F.size("docs"))
             ).alias("b"),
+        )
+        .filter(
+            F.lit(100) * _m
+            >= F.lit(thr) * (F.col("a.n_sh") + F.col("b.n_sh") - _m)
         )
         .groupBy(
             F.col("a.id").alias("id_a"),

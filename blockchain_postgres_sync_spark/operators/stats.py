@@ -20,7 +20,7 @@ like char counts are small) and rank over the compressed histogram.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count, token_shingles, tokens
@@ -725,3 +725,85 @@ def exact_quantiles(
             ).cast("long").alias(label)
         )
     return cum.groupBy(*gcols).agg(*aggs)
+
+
+#: count-min sketch geometry: CMS_DEPTH independent hash rows of CMS_WIDTH
+#: counters.  Width 512 keeps the whole sketch at 3*512 longs (~12 KB) —
+#: broadcastable forever, like the bloom bitmap.
+CMS_DEPTH = 3
+CMS_WIDTH = 512
+
+
+def _cms_col(token: Column, row: int) -> Column:
+    """Counter column for ``token`` in sketch row ``row``: an md5 slice
+    (8 hex chars starting at 1/9/17 for rows 0/1/2) mod width — the same
+    engine-reproducible double-hash family as the bloom bitmap."""
+    return (
+        F.conv(F.substring(F.md5(token), 1 + 8 * row, 8), 16, 10)
+        .cast("long") % CMS_WIDTH
+    )
+
+
+def cms_build(
+    df: DataFrame, token_col: str = "token", weight_col: str | None = None
+) -> DataFrame:
+    """Count-min sketch of a token stream: ``(row, col, cnt)`` — at most
+    ``CMS_DEPTH * CMS_WIDTH`` rows REGARDLESS of vocabulary size.  The
+    streaming-friendly heavy-hitter summary: cells merge by addition, so
+    partial sketches from any partitioning/micro-batching combine exactly.
+
+    Plan shape: one in-row expansion to CMS_DEPTH cells per token and ONE
+    bounded hash aggregation (<= depth*width distinct keys — everything
+    combines map-side); the corpus never shuffles.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(F.col(token_col), r).alias("col"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_c"),
+        w.alias("_w"),
+    )
+    return cells.groupBy(
+        F.col("_c.row").alias("row"), F.col("_c.col").alias("col")
+    ).agg(F.sum("_w").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, queries: DataFrame, token_col: str = "token"
+) -> DataFrame:
+    """Point-estimate each query token against a built sketch:
+    ``min`` over the token's CMS_DEPTH cells — the classic upper-bound
+    estimator (never under-counts; over-counts only by hash collisions,
+    deterministically reproducible here).
+
+    Plan shape: queries expand in-row to their depth cells, one broadcast
+    equi-join against the <= depth*width-row sketch, one per-token min —
+    all bounded by the QUERY list, not the corpus.
+    """
+    probes = queries.select(
+        F.col(token_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(F.col(token_col), r).alias("col"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_c"),
+    ).select(token_col, F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )

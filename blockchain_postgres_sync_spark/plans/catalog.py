@@ -2929,6 +2929,44 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination.bloom_prefilter(corpus, bench, shingle_size=3)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with exact verification
+    (operators/stats.py::cms_build/cms_estimate): the corpus token stream
+    folds into a fixed 3x512-cell sketch (~12 KB broadcast, vocabulary-
+    size-INDEPENDENT — the streaming heavy-hitter summary whose cells
+    merge by addition across micro-batches), then the exact top-20 tokens
+    are point-estimated against it.  Output carries the exact count, the
+    sketch estimate, and the deterministic overcount — the sketch-error
+    report, never an under-count.  Both passes are map-side-combined
+    bounded aggregations; at scale the sketch rides the same scan as any
+    token pass."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    sketch = stats.cms_build(toks)
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    # unpartitioned window over the VOCABULARY frame only (the
+    # rank_vocab / score_auc bounded-domain trade)
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("token").asc())
+    top = (
+        exact.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .select("token", "exact_count")
+    )
+    est = stats.cms_estimate(sketch, top.select("token"))
+    return top.join(est, "token").select(
+        "token",
+        F.col("exact_count").cast("long"),
+        F.col("cms_count").cast("long"),
+        (F.col("cms_count") - F.col("exact_count")).cast("long").alias(
+            "overcount"
+        ),
+    )
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length percentiles (p25/p50/p75/p95 of n_chars,
     percentile_disc semantics) via the bounded-domain counts trick
@@ -2997,10 +3035,10 @@ CATALOG: dict[str, QueryFn] = {
     "cdc_dedup": q_cdc_dedup,
     "quantile_summary": q_quantile_summary,
     "bloom_prefilter": q_bloom_prefilter,
-    # -- r6-green refresher (oldest of the round-6 block) -----------------
-    "stratified_sample": q_stratified_sample,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     # ==== end of driver gate window (first 50) ==========================
     # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
+    "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
     "corpus_stats": q_corpus_stats,
     "ngram_topk": q_ngram_topk,
@@ -5434,4 +5472,48 @@ ORACLES["bloom_prefilter"] = f"""
            CAST(floor(CAST(sum(h) AS DOUBLE) * 100.0
                       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS maybe_x100
     FROM hit GROUP BY doc_id
+"""
+
+
+def _cms_col_sql(token_expr: str, row: int) -> str:
+    """DuckDB counter column mirroring operators.stats._cms_col."""
+    return (
+        f"({_hex_int_sql(f'substr(md5({token_expr}), {1 + 8 * row}, 8)', 8)})"
+        f" % {stats.CMS_WIDTH}"
+    )
+
+
+ORACLES["cms_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL),
+    exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY token),
+    top AS (
+        SELECT token, exact_count FROM exact
+        ORDER BY exact_count DESC, token ASC LIMIT 20),
+    cells AS (
+        SELECT 0 AS r, {_cms_col_sql('token', 0)} AS col,
+               CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 2
+        UNION ALL
+        SELECT 1, {_cms_col_sql('token', 1)}, CAST(count(*) AS BIGINT)
+        FROM toks GROUP BY 2
+        UNION ALL
+        SELECT 2, {_cms_col_sql('token', 2)}, CAST(count(*) AS BIGINT)
+        FROM toks GROUP BY 2),
+    probes AS (
+        SELECT token, 0 AS r, {_cms_col_sql('token', 0)} AS col FROM top
+        UNION ALL
+        SELECT token, 1, {_cms_col_sql('token', 1)} FROM top
+        UNION ALL
+        SELECT token, 2, {_cms_col_sql('token', 2)} FROM top),
+    est AS (
+        SELECT p.token, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+        FROM probes p
+        LEFT JOIN cells c ON c.r = p.r AND c.col = p.col
+        GROUP BY p.token)
+    SELECT t.token, t.exact_count, e.cms_count,
+           CAST(e.cms_count - t.exact_count AS BIGINT) AS overcount
+    FROM top t JOIN est e ON e.token = t.token
 """

@@ -152,3 +152,31 @@ def test_bloom_bitmap_is_bounded(spark):
     )
     bitmap = C.bloom_bitmap(bench)
     assert bitmap.count() <= C.BLOOM_WORDS
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from blockchain_postgres_sync_spark.operators import stats as S
+
+    toks = spark.createDataFrame(
+        [(t,) for t in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]],
+        "token string",
+    )
+    sketch = S.cms_build(toks)
+    assert sketch.count() <= S.CMS_DEPTH * S.CMS_WIDTH
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)],
+                              "token string")
+    est = {r["token"]: r["cms_count"]
+           for r in S.cms_estimate(sketch, q).collect()}
+    # upper-bound estimator: never below the true count
+    for tok, true in [("a", 50), ("b", 20), ("c", 5), ("d", 1), ("zz", 0)]:
+        assert est[tok] >= true
+    # cells merge by addition: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = S.cms_build(toks.filter(F.col("token").isin("a", "c")))
+    h2 = S.cms_build(toks.filter(~F.col("token").isin("a", "c")))
+    merged = (
+        h1.unionAll(h2).groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert got == full
