@@ -155,6 +155,7 @@ HEADLINE = [
     "quantile_summary",
     "bloom_prefilter",
     "cms_heavy_hitters",
+    "zorder_layout",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

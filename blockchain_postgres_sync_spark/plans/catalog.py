@@ -32,8 +32,8 @@ from ..sources.tables import load_table
 from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
-    bpe, clustering, contamination, dedup, encoding, graph, multimodal,
-    packing, pq, sampling, similarity, stats, temporal,
+    bpe, clustering, contamination, dedup, encoding, graph, layout,
+    multimodal, packing, pq, sampling, similarity, stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -2929,6 +2929,31 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination.bloom_prefilter(corpus, bench, shingle_size=3)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over two document dimensions
+    (operators/layout.py::zorder_key): interleaving (n_chars, doc_id) bits
+    gives the single sort key whose range-partitioned layout keeps BOTH
+    columns' per-file min/max ranges narrow — the Delta/Iceberg ZORDER BY
+    primitive as a pure Catalyst expression.  The query emits the key and
+    its 256-way range bucket; map-only, zero shuffle (the consuming
+    writer's repartitionByRange pays the layout sort)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    zk = layout.zorder_key(
+        F.col("n_chars") % (1 << layout.ZORDER_BITS),
+        F.col("doc_id") % (1 << layout.ZORDER_BITS),
+    )
+    staged = docs.select("doc_id", zk.alias("zkey"))
+    return staged.select(
+        "doc_id",
+        "zkey",
+        F.expr(
+            f"zkey div {1 << (2 * layout.ZORDER_BITS - 8)}"
+        ).cast("long").alias("z_bucket"),
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with exact verification
     (operators/stats.py::cms_build/cms_estimate): the corpus token stream
@@ -3037,6 +3062,9 @@ CATALOG: dict[str, QueryFn] = {
     "bloom_prefilter": q_bloom_prefilter,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     # ==== end of driver gate window (first 50) ==========================
+    # (zorder_layout is a round-8 addition past the cutoff: covered by
+    # the in-repo oracle + driver_sim until the round-9 rotation)
+    "zorder_layout": q_zorder_layout,
     # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
     "stratified_sample": q_stratified_sample,
     "corpus_curation": q_corpus_curation,
@@ -5516,4 +5544,18 @@ ORACLES["cms_heavy_hitters"] = f"""
     SELECT t.token, t.exact_count, e.cms_count,
            CAST(e.cms_count - t.exact_count AS BIGINT) AS overcount
     FROM top t JOIN est e ON e.token = t.token
+"""
+
+
+ORACLES["zorder_layout"] = f"""
+    WITH staged AS (
+        SELECT doc_id,
+               {layout.zorder_key_sql(
+                   f'(n_chars % {1 << layout.ZORDER_BITS})',
+                   f'(doc_id % {1 << layout.ZORDER_BITS})')} AS zkey
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT doc_id, CAST(zkey AS BIGINT) AS zkey,
+           CAST(zkey // {1 << (2 * layout.ZORDER_BITS - 8)} AS BIGINT)
+               AS z_bucket
+    FROM staged
 """

@@ -180,3 +180,43 @@ def test_cms_never_undercounts_and_merges(spark):
     full = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
     got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
     assert got == full
+
+
+def test_zorder_improves_minmax_pruning(spark):
+    """The point of Z-order: range-bucketing by the interleaved key keeps
+    BOTH dimensions' per-bucket min/max ranges narrow, where single-column
+    sorting leaves the other dimension full-width (so min/max file pruning
+    on it skips nothing)."""
+    from blockchain_postgres_sync_spark.operators import layout as L
+
+    n, buckets = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 4096).alias("x"),
+        (F.col("id") * 40503 % 4096).alias("y"),
+    )
+    zk = L.zorder_key(F.col("x"), F.col("y"), bits=12)
+    # bucket by z-key range vs by x alone (ntile = range partitioner stand-in)
+    from pyspark.sql import Window
+
+    def avg_y_span(bucket_col):
+        spans = (
+            df.withColumn("_b", bucket_col)
+            .groupBy("_b")
+            .agg((F.max("y") - F.min("y")).alias("span"))
+            .agg(F.avg("span").alias("s"))
+            .collect()[0]["s"]
+        )
+        return spans
+
+    z_b = F.ntile(buckets).over(Window.orderBy(zk))
+    x_b = F.ntile(buckets).over(Window.orderBy(F.col("x")))
+    y_span_z = avg_y_span(z_b)
+    y_span_x = avg_y_span(x_b)
+    # under x-sort, y stays ~full-range per bucket; z-order at least halves it
+    assert y_span_z < y_span_x / 2
+    # and the key math itself: interleave of known values
+    row = spark.range(1).select(
+        L.zorder_key(F.lit(0b101), F.lit(0b011), bits=3).alias("k")
+    ).collect()[0]
+    # a=101 -> bits at odd positions: 1_0_1_ -> 100010; b=011 -> _0_1_1 -> 000101
+    assert row["k"] == 0b100111
