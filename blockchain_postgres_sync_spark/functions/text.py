@@ -305,43 +305,41 @@ CDC_WINDOW = 3
 CDC_MOD = 16
 
 
-def cdc_chunk_spans(text: Column, mod: int = CDC_MOD) -> Column:
-    """Content-defined chunk spans: ``array<struct<start:int,len:int>>``
-    (1-based token positions) cut where a rolling 3-token polynomial hash
-    hits ``0 (mod mod)`` — the FastCDC/rsync idea at token granularity.
-
-    Unlike fixed-stride chunking (``doc_chunks``), CDC boundaries are a
-    function of CONTENT: inserting one token early in a document shifts
-    every fixed-stride chunk but only the one CDC chunk containing the
-    edit, so chunk-digest dedup keeps matching everything downstream —
-    the property that makes CDC the standard for large-corpus substring
-    dedup and delta storage.
-
-    Integer-exact and engine-reproducible: token hash = first 8 md5 hex
-    chars as int (the :func:`rolling_fingerprint` convention), window
-    hash = ``((h1*31 + h2) % FP_MOD * 31 + h3) % FP_MOD``.  The final
-    token always closes the last chunk; docs shorter than the window are
-    one chunk.  In-row, zero shuffle.
-    """
-    t = tokens(text)
-    th = F.transform(
+def cdc_token_hashes(t: Column) -> Column:
+    """Per-token md5-int hashes (the :func:`rolling_fingerprint`
+    convention) for CDC.  EXPENSIVE (one md5 per token): callers composing
+    further CDC stages must stage the result as a named column so the
+    downstream multi-reference stages read the materialized array instead
+    of re-running the hashing (HOFs don't CSE; see ``q_cdc_chunks``)."""
+    return F.transform(
         t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
     )
-    n = F.size(t)
+
+
+def cdc_window_hashes(th: Column) -> Column:
+    """Rolling 3-token window hashes from STAGED token hashes: entry j
+    (1-based) covers tokens j..j+2, value ``((h_j*31 + h_{j+1}) % FP_MOD
+    * 31 + h_{j+2}) % FP_MOD``.  References ``th`` three times — pass a
+    materialized column, never the raw :func:`cdc_token_hashes` tree."""
+    n = F.size(th)
     z1 = F.zip_with(
         th,
         F.slice(th, 2, F.greatest(n - 1, F.lit(1))),
         lambda a, b: (a * FP_BASE + b) % FP_MOD,
     )
-    z2 = F.zip_with(
+    return F.zip_with(
         z1,
         F.slice(th, 3, F.greatest(n - 2, F.lit(1))),
         lambda a, b: (a * FP_BASE + b) % FP_MOD,
     )
-    # z2 entry j (1-based) covers tokens j..j+2 -> boundary AFTER token
-    # j+2 when the hash divides; the final position never opens a new
-    # (empty) chunk, and zip_with's null tail (slice shorter than z1) is
-    # filtered with the boundary predicate itself
+
+
+def cdc_ends(z2: Column, n: Column, mod: int = CDC_MOD) -> Column:
+    """Chunk END positions (1-based, ascending, always terminated by
+    ``n``): boundary after token j+2 when window hash j divides; the
+    final position never opens a new (empty) chunk, and zip_with's null
+    tail (the slice shorter than z1) is filtered by the boundary
+    predicate itself."""
     bounds = F.filter(
         F.transform(
             z2,
@@ -351,7 +349,12 @@ def cdc_chunk_spans(text: Column, mod: int = CDC_MOD) -> Column:
         ),
         lambda v: v.isNotNull(),
     )
-    ends = F.concat(bounds, F.array(n))
+    return F.concat(bounds, F.array(n))
+
+
+def cdc_spans_from_ends(ends: Column) -> Column:
+    """(start, len) spans from STAGED end positions (referenced three
+    times — pass a materialized column)."""
     starts = F.zip_with(
         F.concat(F.array(F.lit(0)), ends),
         ends,
@@ -368,3 +371,33 @@ def cdc_chunk_spans(text: Column, mod: int = CDC_MOD) -> Column:
         ),
         lambda sp: sp["start"].isNotNull(),
     )
+
+
+def cdc_chunk_spans(text: Column, mod: int = CDC_MOD) -> Column:
+    """Content-defined chunk spans: ``array<struct<start:int,len:int>>``
+    (1-based token positions) cut where a rolling 3-token polynomial hash
+    hits ``0 (mod mod)`` — the FastCDC/rsync idea at token granularity.
+
+    Unlike fixed-stride chunking (``doc_chunks``), CDC boundaries are a
+    function of CONTENT: inserting one token early in a document shifts
+    every fixed-stride chunk but only the one CDC chunk containing the
+    edit, so chunk-digest dedup keeps matching everything downstream —
+    the property that makes CDC the standard for large-corpus substring
+    dedup and delta storage.
+
+    Integer-exact and engine-reproducible: token hash = first 8 md5 hex
+    chars as int (the :func:`rolling_fingerprint` convention).  The final
+    token always closes the last chunk; docs shorter than the window are
+    one chunk.  In-row, zero shuffle.
+
+    SINGLE-EXPRESSION convenience form: the stages reference each other
+    multiple times and HOFs don't CSE, so this tree re-evaluates the
+    md5 hashing ~8x per row — fine for tests and small frames.  The hot
+    path (``q_cdc_chunks``) stages :func:`cdc_token_hashes` →
+    :func:`cdc_window_hashes` → :func:`cdc_ends` →
+    :func:`cdc_spans_from_ends` as named columns across projections
+    instead (sf1 A/B: 22.4 s for this form's spans vs ~2.5 s staged).
+    """
+    t = tokens(text)
+    th = cdc_token_hashes(t)
+    return cdc_spans_from_ends(cdc_ends(cdc_window_hashes(th), F.size(t), mod))

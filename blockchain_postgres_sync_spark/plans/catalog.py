@@ -2872,22 +2872,59 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-stride chunk.  Map-only, zero shuffle; chunk digests feed
     chunk-level dedup (cdc_dedup)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    staged = docs.select(
-        "doc_id",
-        T.tokens(F.col("text")).alias("_t"),
-        T.cdc_chunk_spans(F.col("text")).alias("_sp"),
+    # STAGED CDC pipeline: each stage lands in a named column before the
+    # next consumes it, because cdc_window_hashes / cdc_spans_from_ends
+    # reference their input 3x and HOFs don't CSE — the one-expression
+    # cdc_chunk_spans form re-runs the per-token md5 ~8x per row
+    # (sf1 A/B: 48.8 s -> this form; chunk digests are also built IN-ROW
+    # before the explode so no chunk row carries the token array)
+    s_tok = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("_t")
     )
-    return staged.select(
-        "doc_id", "_t", F.posexplode("_sp").alias("_i", "_s")
+    s_th = s_tok.select(
+        "doc_id", "_t", T.cdc_token_hashes(F.col("_t")).alias("_th")
+    )
+    s_z2 = s_th.select(
+        "doc_id", "_t", T.cdc_window_hashes(F.col("_th")).alias("_z2")
+    )
+    s_ends = s_z2.select(
+        "doc_id",
+        "_t",
+        T.cdc_ends(F.col("_z2"), F.size("_t")).alias("_ends"),
+    )
+    staged = s_ends.select(
+        "doc_id",
+        "_t",
+        T.cdc_spans_from_ends(F.col("_ends")).alias("_sp"),
+    )
+    chunked = staged.select(
+        "doc_id",
+        F.transform(
+            "_sp",
+            lambda s: F.struct(
+                s["len"].cast("long").alias("n_tokens"),
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("_t"), s["start"], s["len"]), " "
+                    )
+                ).alias("digest"),
+            ),
+        ).alias("_ch"),
+    )
+    # posexplode_OUTER, deliberately: InferFiltersFromGenerate adds
+    # `size(input) > 0` for inner generators and predicate pushdown then
+    # INLINES the whole staged CDC chain into one scan-level monster
+    # predicate (~27 md5-chain copies; measured 41 s vs 7 s at sf1).
+    # Outer generators are exempt from that inference, and the span list
+    # is never empty (every non-null-text doc has >= 1 chunk), so outer
+    # and inner explode are row-identical here.
+    return chunked.select(
+        "doc_id", F.posexplode_outer("_ch").alias("_i", "_c")
     ).select(
         "doc_id",
         (F.col("_i") + 1).cast("long").alias("chunk_idx"),
-        F.col("_s.len").cast("long").alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.slice(F.col("_t"), F.col("_s.start"), F.col("_s.len")), " "
-            )
-        ).alias("digest"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+        F.col("_c.digest").alias("digest"),
     )
 
 

@@ -50,6 +50,9 @@ SCALE_SET = [
     "quality_auc", "difficulty_buckets", "bigram_lift",
     "pack_concat", "pack_greedy", "doc_chunks",
     "ann_lsh", "ann_ivf", "bpe_encode_pieces",
+    # round-8 additions
+    "pagerank_sim", "cdc_chunks", "cdc_dedup", "bloom_prefilter",
+    "cms_heavy_hitters", "quantile_summary", "zorder_layout",
 ]
 
 _DUCK_WORKER = r"""
