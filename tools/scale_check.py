@@ -125,6 +125,14 @@ def spark_times(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     best = {n: float("inf") for n in names}
     for _ in range(2):
         for n in names:
+            # measurement isolation: a predecessor's dead shuffle/agg
+            # buffers (e.g. ngram_jaccard's ~95M-pair hash agg at sf1)
+            # otherwise tax the NEXT query's HOF-heavy stages 2-4x
+            # (measured: contamination 18.4 s after jaccard without the
+            # gc, 10.9 s with it) — per-query gc makes the number a
+            # property of the PLAN, not of sweep ordering
+            gc.collect()
+            spark._jvm.System.gc()
             t0 = time.time()
             CATALOG[n](spark, sf_dir).write.mode("overwrite").format(
                 "noop").save()
@@ -132,8 +140,6 @@ def spark_times(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
             print(f"spark {n} @ {sf_dir}: {round(time.time() - t0, 3)}",
                   flush=True)
         encoding.release_caches()
-        gc.collect()
-        spark._jvm.System.gc()
     return {n: round(v, 3) for n, v in best.items()}
 
 
