@@ -458,8 +458,8 @@ def bloom_prefilter(
         id_col,
         "n_shingles",
         "n_maybe",
-        F.floor(
-            F.col("n_maybe").cast("double") * 100.0
-            / F.col("n_shingles").cast("double")
-        ).cast("long").alias("maybe_x100"),
+        # integer-exact, matching the module's convention (no float64
+        # round-trip; 100 * n_maybe <= 100 * n_shingles, far from 2^63)
+        F.expr("(100 * n_maybe) div n_shingles")
+        .cast("long").alias("maybe_x100"),
     )

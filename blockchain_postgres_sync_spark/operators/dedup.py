@@ -135,10 +135,16 @@ def lsh_candidate_pairs(
     )
     # sorted postings + slice expansion emit ordered pairs directly
     # (n(n-1)/2 rows, no n^2-then-filter pass) — same trick as
-    # ngram_jaccard_pairs; ids within a bucket are distinct because each
-    # doc contributes one row per band and band ids salt the bucket hash
+    # ngram_jaccard_pairs.  array_distinct on the SORTED posting (still
+    # sorted: distinct keeps first occurrences) restores the old
+    # id_a < id_b guard's defense against duplicate ids — a caller
+    # passing a signatures frame with repeated ids would otherwise emit
+    # (a, a) self-pairs from the slice expansion; for distinct ids it is
+    # an in-row no-op
     grouped = banded.groupBy("bucket").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+        F.array_distinct(
+            F.array_sort(F.collect_list(F.col(id_col)))
+        ).alias("ids")
     )
     return (
         grouped.filter(F.size("ids") >= 2)
@@ -480,7 +486,9 @@ def boilerplate_scrub(
     one corpus-sized row; the hot-span dim is count-only.
     """
     w = span_tokens
-    toks = F.split(F.col(text_col), " ")
+    # tokens() — the module's ONE tokenizer (keeps span indexing coupled
+    # to the tokenization every other dedup operator derives from)
+    toks = tokens(F.col(text_col))
     n_full = F.floor(F.size(toks) / w).cast("int")
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
@@ -660,7 +668,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
     )
     # 60-bit value from the first 15 hex chars of md5 — fits a long exactly.
     # Bit votes are 60 parallel sum-aggregates over the token rows (map-side

@@ -78,12 +78,12 @@ def pagerank(
         F.lit(PR_SCALE).cast("long").alias("pr"),
     )
     base = PR_SCALE - PR_DAMPING_X1E6
-    for _ in range(iters):
+    for i in range(iters):
         contrib = edges_deg.join(
             pr, edges_deg["src"] == pr["node"]
         ).select(
             F.col("dst"),
-            F.expr(f"pr div deg").alias("c"),
+            F.expr("pr div deg").alias("c"),
         )
         pr = contrib.groupBy("dst").agg(
             (
@@ -91,6 +91,12 @@ def pagerank(
                 + F.expr(f"{PR_DAMPING_X1E6} * sum(c) div {PR_SCALE}")
             ).alias("pr")
         ).select(F.col("dst").alias("node"), "pr")
+        # the rank frame's lineage nests one join+agg per iteration and
+        # optimizer/analysis cost grows superlinearly with it; truncate
+        # every 4 iterations so large `iters` stays plan-bounded (a |V|-row
+        # frame, cheap to materialize; no-op for the default iters=4)
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint(eager=False)
     return (
         pr.join(deg, pr["node"] == deg["src"])
         .select(

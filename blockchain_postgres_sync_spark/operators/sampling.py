@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_ratios, token_shingles
+from ..functions.text import quality_ratios, token_count, token_shingles
 
 #: same 31-bit space as the minhash family: md5 → 60-bit int → mod p keeps
 #: every intermediate in exact BIGINT range in any engine.
@@ -248,7 +248,7 @@ def mixture_plan(
         .groupBy(F.col(source_col).alias("source"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col(text_col), " "))).cast("long")
+            F.sum(token_count(F.col(text_col))).cast("long")
             .alias("n_tokens"),
         )
         # feeds BOTH the plan rows and the source-count total: without

@@ -696,8 +696,6 @@ def exact_quantiles(
     Returns one row per group: ``group_cols + n_rows + one column per
     quantile label``.
     """
-    from pyspark.sql import Window
-
     gcols = list(group_cols or [])
     counts = (
         df.filter(F.col(value_col).isNotNull())
@@ -734,14 +732,23 @@ CMS_DEPTH = 3
 CMS_WIDTH = 512
 
 
-def _cms_col(token: Column, row: int) -> Column:
-    """Counter column for ``token`` in sketch row ``row``: an md5 slice
-    (8 hex chars starting at 1/9/17 for rows 0/1/2) mod width — the same
-    engine-reproducible double-hash family as the bloom bitmap."""
+def _cms_col_from_md5(md5_col: Column, row: int) -> Column:
+    """Counter column derived from a PRE-STAGED md5 hex column: an 8-hex
+    slice (offset 1/9/17 for rows 0/1/2) mod width.  Callers stage
+    ``F.md5(token)`` ONCE per row and slice it three times — md5 is not
+    ``isCheap`` so CollapseProject keeps the staging projection intact
+    (the cdc_chunks staging lesson applied to the sketch)."""
     return (
-        F.conv(F.substring(F.md5(token), 1 + 8 * row, 8), 16, 10)
+        F.conv(F.substring(md5_col, 1 + 8 * row, 8), 16, 10)
         .cast("long") % CMS_WIDTH
     )
+
+
+def _cms_col(token: Column, row: int) -> Column:
+    """Counter column for ``token`` in sketch row ``row`` — the
+    one-expression form (mirrored by the DuckDB oracle); hot paths use
+    :func:`_cms_col_from_md5` over a staged hash instead."""
+    return _cms_col_from_md5(F.md5(token), row)
 
 
 def cms_build(
@@ -757,19 +764,25 @@ def cms_build(
     combines map-side); the corpus never shuffles.
     """
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    cells = df.select(
-        F.explode(
+    # md5 evaluated ONCE per token row; the three sketch rows slice it.
+    # explode_OUTER: InferFiltersFromGenerate would add size(arr) > 0 for
+    # an inner explode and predicate pushdown would inline the staged md5
+    # into the scan predicate (the cdc_chunks trap); the array is a
+    # literal 3-struct, never empty, so outer == inner row-for-row.
+    staged = df.select(F.md5(F.col(token_col)).alias("_h"), w.alias("_w"))
+    cells = staged.select(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        _cms_col(F.col(token_col), r).alias("col"),
+                        _cms_col_from_md5(F.col("_h"), r).alias("col"),
                     )
                     for r in range(CMS_DEPTH)
                 ]
             )
         ).alias("_c"),
-        w.alias("_w"),
+        F.col("_w"),
     )
     return cells.groupBy(
         F.col("_c.row").alias("row"), F.col("_c.col").alias("col")
@@ -789,13 +802,15 @@ def cms_estimate(
     all bounded by the QUERY list, not the corpus.
     """
     probes = queries.select(
+        F.col(token_col), F.md5(F.col(token_col)).alias("_h")
+    ).select(
         F.col(token_col),
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        _cms_col(F.col(token_col), r).alias("col"),
+                        _cms_col_from_md5(F.col("_h"), r).alias("col"),
                     )
                     for r in range(CMS_DEPTH)
                 ]

@@ -3041,7 +3041,7 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG: dict[str, QueryFn] = {
-    # ==== ROUND-8 GATE WINDOW (first 50) =================================
+    # ==== ROUND-9 GATE WINDOW (first 50) =================================
     # -- permanent reference-surface core (pinned every round) -----------
     "candles_1m": q_candles_1m,
     "candles_cascade": q_candles_cascade,
@@ -3053,12 +3053,62 @@ CATALOG: dict[str, QueryFn] = {
     "squash_blocks": q_squash_blocks,
     "deterministic_uid": q_deterministic_uid,
     "lookup_join": q_lookup_join,
-    # -- round-8 addition (T3 candle repair, new this round) --------------
+    # -- round-8 addition that sat past the r8 cutoff: the only query
+    #    with zero driver signal ever -> first slot after the core --------
+    "zorder_layout": q_zorder_layout,
+    # -- r6-green block rotation (last driver-green round 6, 3 rounds
+    #    stale; leads with the two operators REWRITTEN in round 8 whose
+    #    last driver check predates the rewrite) --------------------------
+    "contamination": q_contamination,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "shingle_novelty": q_shingle_novelty,
+    "stratified_sample": q_stratified_sample,
+    "corpus_curation": q_corpus_curation,
+    "corpus_stats": q_corpus_stats,
+    "ngram_topk": q_ngram_topk,
+    "session_attribution": q_session_attribution,
+    "doc_chunks": q_doc_chunks,
+    "doc_chunks_strided": q_doc_chunks_strided,
+    "pack_concat": q_pack_concat,
+    "salient_terms": q_salient_terms,
+    "dataset_split": q_dataset_split,
+    "split_decontamination": q_split_decontamination,
+    "event_rollup": q_event_rollup,
+    "top_docs_per_source": q_top_docs_per_source,
+    "sliding_window_rate": q_sliding_window_rate,
+    "unigram_logprob": q_unigram_logprob,
+    "order_priority_exists": q_order_priority_exists,
+    "centroid_assign": q_centroid_assign,
+    "label_confusion": q_label_confusion,
+    "brand_revenue_salted": q_brand_revenue_salted,
+    "snapshot_diff": q_snapshot_diff,
+    "quality_score": q_quality_score,
+    "curated_training_corpus": q_curated_training_corpus,
+    "bigram_logprob": q_bigram_logprob,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "tfidf_rerank": q_tfidf_rerank,
+    "daily_anomalies": q_daily_anomalies,
+    "source_overlap": q_source_overlap,
+    "chunk_dedup": q_chunk_dedup,
+    "lang_mismatch": q_lang_mismatch,
+    "embedding_outliers": q_embedding_outliers,
+    "label_purity": q_label_purity,
+    "integrity_audit": q_integrity_audit,
+    "token_vocab": q_token_vocab,
+    # ==== end of driver gate window (first 50) ==========================
+    # -- r6-green remainder (4 simple map-only scans deferred to the
+    #    round-10 window; in-repo oracle + driver_sim coverage meanwhile) --
+    "length_histogram": q_length_histogram,
+    "quality_gate_pct": q_quality_gate_pct,
+    "char_entropy": q_char_entropy,
+    "normalize_text": q_normalize_text,
+    # -- driver-green in round 8 (freshest signal, rotated out) -----------
     "rollback_candles": q_rollback_candles,
-    # -- upgraded rows-only -> hash-checked in round 8 ---------------------
     "pack_greedy": q_pack_greedy,
     "pack_greedy_sharded": q_pack_greedy_sharded,
-    # -- round-7 additions: first external driver signal ------------------
     "weighted_sample": q_weighted_sample,
     "weighted_sample_strata": q_weighted_sample_strata,
     "pq_codebooks": q_pq_codebooks,
@@ -3076,7 +3126,6 @@ CATALOG: dict[str, QueryFn] = {
     "repeated_spans": q_repeated_spans,
     "scrub_repeated_spans": q_scrub_repeated_spans,
     "small_qty_revenue": q_small_qty_revenue,
-    # -- reference-surface refresh (last driver-green round 5) ------------
     "decimals_view": q_decimals_view,
     "ticker_parse_latest": q_ticker_parse_latest,
     "pricing_summary": q_pricing_summary,
@@ -3091,62 +3140,13 @@ CATALOG: dict[str, QueryFn] = {
     "pairs_view": q_pairs_view,
     "corpus_cardinality": q_corpus_cardinality,
     "squash_repoint": q_squash_repoint,
-    # -- round-8 additions (never driver-checked -> window priority) ------
     "pagerank_sim": q_pagerank_sim,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dedup": q_cdc_dedup,
     "quantile_summary": q_quantile_summary,
     "bloom_prefilter": q_bloom_prefilter,
     "cms_heavy_hitters": q_cms_heavy_hitters,
-    # ==== end of driver gate window (first 50) ==========================
-    # (zorder_layout is a round-8 addition past the cutoff: covered by
-    # the in-repo oracle + driver_sim until the round-9 rotation)
-    "zorder_layout": q_zorder_layout,
-    # -- driver-green in round 6 (rotate into the window rounds 9-10) -----
-    "stratified_sample": q_stratified_sample,
-    "corpus_curation": q_corpus_curation,
-    "corpus_stats": q_corpus_stats,
-    "ngram_topk": q_ngram_topk,
-    "session_attribution": q_session_attribution,
-    "doc_chunks": q_doc_chunks,
-    "doc_chunks_strided": q_doc_chunks_strided,
-    "pack_concat": q_pack_concat,
-    "salient_terms": q_salient_terms,
-    "length_histogram": q_length_histogram,
-    "dataset_split": q_dataset_split,
-    "quality_gate_pct": q_quality_gate_pct,
-    "char_entropy": q_char_entropy,
-    "split_decontamination": q_split_decontamination,
-    "event_rollup": q_event_rollup,
-    "top_docs_per_source": q_top_docs_per_source,
-    "sliding_window_rate": q_sliding_window_rate,
-    "unigram_logprob": q_unigram_logprob,
-    "order_priority_exists": q_order_priority_exists,
-    "centroid_assign": q_centroid_assign,
-    "label_confusion": q_label_confusion,
-    "semantic_dedup": q_semantic_dedup,
-    "brand_revenue_salted": q_brand_revenue_salted,
-    "snapshot_diff": q_snapshot_diff,
-    "quality_score": q_quality_score,
-    "normalize_text": q_normalize_text,
-    "curated_training_corpus": q_curated_training_corpus,
-    "bigram_logprob": q_bigram_logprob,
-    "event_funnel": q_event_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "tfidf_rerank": q_tfidf_rerank,
-    "daily_anomalies": q_daily_anomalies,
-    "source_overlap": q_source_overlap,
-    "chunk_dedup": q_chunk_dedup,
-    "lang_mismatch": q_lang_mismatch,
-    "embedding_outliers": q_embedding_outliers,
-    "label_purity": q_label_purity,
-    "integrity_audit": q_integrity_audit,
-    "token_vocab": q_token_vocab,
-    "ngram_jaccard": q_ngram_jaccard,
-    "contamination": q_contamination,
-    "shingle_novelty": q_shingle_novelty,
-    "dedup_clusters": q_dedup_clusters,
-    # -- driver-green in round 7 (freshest signal, rotated out) -----------
+    # -- driver-green in round 7 (rotate back in rounds 10-11) ------------
     "kmeans_train": q_kmeans_train,
     "kmeans_inertia": q_kmeans_inertia,
     "soft_dedup_weights": q_soft_dedup_weights,
@@ -5534,8 +5534,7 @@ ORACLES["bloom_prefilter"] = f"""
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(h) AS BIGINT) AS n_maybe,
-           CAST(floor(CAST(sum(h) AS DOUBLE) * 100.0
-                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS maybe_x100
+           CAST((100 * sum(h)) // count(*) AS BIGINT) AS maybe_x100
     FROM hit GROUP BY doc_id
 """
 
