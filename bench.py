@@ -230,7 +230,9 @@ def serve_benchmarks(spark, sf_dir: str, runs: int = 3) -> dict:
     return {n: round(v, 3) for n, v in best.items()}
 
 
-def stream_throughput(spark, sf_dir: str) -> dict:
+def stream_throughput(
+    spark, sf_dir: str, n_events: int = 10_000, per_block: int = 200
+) -> dict:
     """End-to-end streaming-pipeline throughput: synthesize block updates
     from the events table (same mapping as the analytical `_trades`), drain
     them through run_stream (startup ladder + squash + SCD + candle
@@ -247,11 +249,10 @@ def stream_throughput(spark, sf_dir: str) -> dict:
     ev = load_table(spark, sf_dir, "events")
     rows = (
         ev.orderBy("event_id")
-        .limit(10_000)
+        .limit(n_events)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .collect()
     )
-    per_block = 200
     blocks: dict[int, list] = {}
     for r in rows:
         blocks.setdefault(int(r["event_id"]) // per_block, []).append(r)
@@ -302,9 +303,19 @@ def stream_throughput(spark, sf_dir: str) -> dict:
     # min-of-N like the catalog queries: the streaming path is store-I/O
     # heavy and the harness box's background I/O bursts inflate single
     # shots; each run uses a fresh store directory (cold store, warm JVM)
-    runs = int(os.environ.get("STREAM_RUNS", "2"))
+    # min-of-3 with a GC nudge between runs: the streaming path JITs on its
+    # first run of a session (isolated A/B: run 1 ~90 s, runs 2-3 ~60-62 s)
+    # and the leg runs AFTER the aged catalog passes, so 2 runs regularly
+    # left BOTH attempts pre-steady-state (the r8 "−23% stream regression"
+    # was this harness artifact: isolated steady state measured ~165 ev/s
+    # against identical streaming code — see BASELINE.md round-9 note)
+    runs = int(os.environ.get("STREAM_RUNS", "3"))
     elapsed = float("inf")
     for i in range(runs):
+        import gc as _gc
+
+        _gc.collect()
+        spark._jvm.System.gc()
         store_dir = os.path.join(work, f"store_{i}")
         t0 = time.time()
         run_stream(spark, events_dir, store_dir, max_files_per_trigger=1)

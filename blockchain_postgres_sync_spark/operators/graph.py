@@ -67,12 +67,36 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg(src)) — joined ONCE, then checkpointed for the
     # `iters` consumers below (exchange reuse can't span the loop: each
-    # iteration's join key equality is with a different rank frame)
+    # iteration's join key equality is with a different rank frame).
+    # Partitioning note (round-9 A/B): repartition("src") before the
+    # checkpoint removes the per-iteration edge-side exchange under
+    # STATIC planning (22 -> 12 exchanges measured) but AQE discards a
+    # LogicalRDD's outputPartitioning and re-inserts them, and AQE's
+    # skew-splitting is worth more here than the saved exchanges.  The
+    # AQE-surviving form is a src-BUCKETED edge table — bucket-scan
+    # distributions are not re-planned — via :func:`pagerank_from_edges`
+    # over ``sources.bucketed.write_bucketed(..., ["src"])``.
     edges_deg = (
         edges.join(deg, "src")
         .select("src", "dst", "deg")
         .localCheckpoint(eager=False)
     )
+    return pagerank_from_edges(edges_deg, iters=iters)
+
+
+def pagerank_from_edges(edges_deg: DataFrame, iters: int = 4) -> DataFrame:
+    """PageRank iterations over a prebuilt ``(src, dst, deg)`` edge frame
+    — ``deg`` must be deg(src), each undirected pair present in BOTH
+    directions (what :func:`pagerank` builds, or a persisted edge table).
+
+    Steady-state deployments persist the edge frame src-bucketed
+    (``sources.bucketed.write_bucketed(edges_deg, t, ["src"], n)``): the
+    bucket spec survives AQE, so every iteration's join reads co-located
+    buckets and only the |V|-row rank frame shuffles — asserted
+    structurally in tests/test_graph.py::test_pagerank_bucketed_edges.
+    """
+    # every (src, *) row carries the same deg, so max == the value
+    deg = edges_deg.groupBy("src").agg(F.max("deg").alias("deg"))
     pr = deg.select(
         F.col("src").alias("node"),
         F.lit(PR_SCALE).cast("long").alias("pr"),

@@ -228,18 +228,18 @@ def bigram_lift(
     ``min_pair`` floors the pair count first (PMI's classic rare-pair
     pathology: a 1-occurrence typo pair scores arbitrarily high).
 
-    Plan shape: TWO map-only corpus scans — the pair side zips the token
-    array with its own tail in-row (adjacent pairs with no positional
-    self-join or window shuffle) into the map-side-combined (x, y) agg;
-    the unigram side is a plain explode+agg (adjacency loses each doc's
-    last token, so the unigram counts can't ride the pair stream; a
-    second linear scan beats a positional shuffle).  The vocabulary-sized
-    unigram frame materializes ONCE (localCheckpoint — it feeds two
-    differently-projected broadcasts, which do not exchange-reuse; the
-    house diamond pattern) and broadcast-joins onto the pair counts for
-    x and y; final global top-k plans as TakeOrdered (per-partition heap,
-    no sort shuffle).  Ties break (lift desc, tok_x asc, tok_y asc) —
-    total order.  Pinned: exactly 2 scans + 1 TakeOrdered
+    Plan shape: ONE map-only corpus scan — the token array zips against
+    its own tail in-row (adjacent pairs, no positional self-join or
+    window shuffle) with arrays_zip's null padding marking each doc's
+    LAST token occurrence, so the single map-side-combined (x, y)
+    aggregation carries both the bigram counts (y non-null) and, via a
+    vocabulary-bounded re-aggregation over ALL y, the exact unigram
+    counts.  The (x, y) count frame materializes ONCE (localCheckpoint —
+    it feeds the pair filter and the unigram re-agg; the house diamond
+    pattern) and the unigram side broadcast-joins onto the pair counts
+    for x and y; final global top-k plans as TakeOrdered (per-partition
+    heap, no sort shuffle).  Ties break (lift desc, tok_x asc, tok_y asc)
+    — total order.  Pinned: exactly 1 scan + 1 TakeOrdered
     (tests/test_plans.py::test_bigram_lift_two_scans_takeordered).
 
     ``broadcast_vocab``: the unigram frame is VOCABULARY-sized, not
@@ -250,30 +250,48 @@ def bigram_lift(
     ``unigram_logprob``'s ``broadcast_model``; see SCALE.md).
     """
     toks = tokens(F.col(text_col))
-    pairs = (
+    # ONE corpus scan for BOTH counts (the round-9 bigram_lift tuning;
+    # previously two scans and a zip_with(λ struct) pair builder, 3.25 s
+    # -> 1.6 s at sf1):
+    # - arrays_zip, NOT zip_with(λ struct): the native zip builds pair
+    #   structs in one specialized codegen pass while the lambda form
+    #   evaluates a HOF per element (A/B: 2.4x on the pair agg alone);
+    #   fields of a zip over unnamed expressions are "0"/"1".
+    # - zip toks (length n) against its TAIL (length n-1): arrays_zip
+    #   null-pads the shorter side, so each token occurrence emits exactly
+    #   one row — (tok, next) mid-doc, (tok, NULL) for the doc's last
+    #   token — and the unigram count is a vocabulary-sized re-aggregation
+    #   of the (x, y) counts INCLUDING the null rows.  The second
+    #   tokenize+explode scan of the corpus disappears.
+    occ = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.arrays_zip(
+                    toks,
                     F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
                 )
             ).alias("p")
         )
-        .select(F.col("p.x").alias("tok_x"), F.col("p.y").alias("tok_y"))
+        .select(F.col("p")["0"].alias("tok_x"), F.col("p")["1"].alias("tok_y"))
     )
-    pair_counts = (
-        pairs.groupBy("tok_x", "tok_y")
+    # (x, y) counts with y=NULL marking last-token occurrences: bounded by
+    # bigram vocabulary + unigram vocabulary, checkpointed ONCE for its
+    # two consumers (pair filter + unigram re-agg; the house diamond
+    # pattern — without it the corpus scans twice anyway)
+    occ_counts = (
+        occ.groupBy("tok_x", "tok_y")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_pair)
-    )
-    uni = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(tokens(F.col(text_col))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
+    )
+    pair_counts = occ_counts.filter(
+        F.col("tok_y").isNotNull() & (F.col("n_pair") >= min_pair)
+    )
+    # exact unigram counts: every occurrence of t appears exactly once as
+    # tok_x (followed by its successor or by NULL at doc end)
+    uni = (
+        occ_counts.groupBy(F.col("tok_x").alias("token"))
+        .agg(F.sum("n_pair").cast("long").alias("c"))
     )
     _bx = F.broadcast if broadcast_vocab else (lambda f: f)
     scored = (

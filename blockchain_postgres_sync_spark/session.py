@@ -84,6 +84,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # write-commit overhead: the streaming store versions every table
+        # write into a fresh directory and publishes via an atomic manifest
+        # swap (streaming/store.py) — torn task output is never referenced —
+        # so the v1 committer's double rename per file is pure per-job
+        # latency (measured on the stream leg: ~25 small table writes per
+        # micro-batch).  v2 commits task files directly to the destination;
+        # _SUCCESS markers are dead weight under manifest resolution.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -147,6 +147,31 @@ def test_char_entropy_matches_python(spark):
         assert out[doc_id] == math.floor(h * 1000)
 
 
+def test_char_entropy_udf_matches_hof_form(spark):
+    """The Arrow-batched entropy (the shipped form since round 9; 5.6x the
+    interpreted-HOF expression at sf1) must stay value-identical to the
+    pure-Catalyst form on BMP text — same sorted-char fold, same floats."""
+    from blockchain_postgres_sync_spark.functions.text import (
+        char_entropy_x1000_hof,
+    )
+
+    texts = [
+        "", None, "a", "aaaa", "the quick brown fox jumps over the lazy dog",
+        "aabbbcccc 1234 !!", "áccénted tëxt with ünïcode", "日本語のテキスト",
+        "x" * 500, ("lorem ipsum dolor sit amet " * 40).strip(),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        char_entropy_x1000(F.col("text")).alias("udf"),
+        char_entropy_x1000_hof(F.col("text")).alias("hof"),
+    ).collect()
+    for r in rows:
+        assert r.udf == r.hof, (r.doc_id, r.udf, r.hof)
+
+
 def test_cascade_onepass_calendar_boundaries(spark):
     """Pin the pandas cascade's calendar floors (day/ISO-week/month) against
     the Catalyst cascade across month, year, and week-over-year boundaries —

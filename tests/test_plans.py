@@ -487,18 +487,16 @@ def test_tfidf_vectorize_single_tokenize(spark):
 
 
 def test_bigram_lift_two_scans_takeordered(spark):
-    """bigram_lift: exactly two map-only corpus scans (pair zip + unigram
-    explode; the vocab frame is checkpointed so its two broadcast
-    consumers don't re-execute it — was 3 scans) and a TakeOrdered
-    top-k, never a global sort shuffle."""
+    """bigram_lift: exactly ONE map-only corpus scan (the null-padded
+    tail zip carries both pair AND unigram evidence; round-9 rewrite —
+    was 2 scans) and a TakeOrdered top-k, never a global sort shuffle.
+    The checkpointed (x, y) count frame is referenced three times as
+    ExistingRDD: the pair filter plus the two unigram broadcasts."""
     df = CATALOG["bigram_lift"](spark, SF_SMOKE)
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # pair side: the one parquet scan in this plan; unigram side: the
-    # checkpointed vocab frame, materialized once (its own single scan)
-    # and referenced twice as ExistingRDD by the two broadcasts
-    assert plan.count("Scan parquet") == 1, plan
-    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
     assert "TakeOrdered" in plan, plan
 
 
@@ -508,13 +506,15 @@ def test_difficulty_buckets_no_per_lang_corpus_window(spark):
     ntile, whose dominant-language partition became ONE sorting task at
     corpus scale.  Pin: no ntile anywhere; every window partition spec
     that mentions lang alone sits over the BOUNDED counts frame (post
-    hash-agg), never over corpus rows; exactly 2 corpus scans (counts
-    pass + assignment pass)."""
+    hash-agg), never over corpus rows; the scored frame is checkpointed
+    (round 9) so the corpus is scored ONCE — the final plan reads the
+    narrow ExistingRDD twice (counts + assignment) and no parquet."""
     df = CATALOG["difficulty_buckets"](spark, SF_SMOKE)
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan, plan
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
     # the corpus-row rank window keys on both lang and the bounded score
     assert re.search(
         r"row_number\(\) windowspecdefinition\(lang#\d+, quality_x100",

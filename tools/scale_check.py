@@ -53,6 +53,14 @@ SCALE_SET = [
     # round-8 additions
     "pagerank_sim", "cdc_chunks", "cdc_dedup", "bloom_prefilter",
     "cms_heavy_hitters", "quantile_summary", "zorder_layout",
+    # round-9 additions (verdict item #6): the PQ family (train+encode+
+    # serve in one query), the multimodal real-codec paths, and the
+    # entropy-scoring family (re-implemented on the Arrow entropy kernel
+    # this round — the sweep guards the new path's scaling)
+    "pq_encode", "ann_pq", "ann_ivfpq",
+    "media_image_real", "media_audio_real", "media_frame_sample",
+    "char_entropy", "quality_score", "corpus_curation",
+    "curated_training_corpus",
 ]
 
 _DUCK_WORKER = r"""
@@ -155,6 +163,21 @@ def main() -> None:
     result: dict[str, dict] = {}
     eng_a = spark_times(spark, SF_A, SCALE_SET)
     eng_b = spark_times(spark, SF_B, SCALE_SET)
+    # streaming volume scaling (round-9 verdict item #6): same 50-block /
+    # 5-trigger feed shape at 1x and 10x events-per-block — per-trigger
+    # overhead dominates the stream leg, so events/sec must GROW roughly
+    # with batch size if per-event cost is truly marginal; a flat or
+    # falling ev/s at 10x would mean per-event work is the bottleneck.
+    import bench as _bench
+
+    stream = {
+        "x1": _bench.stream_throughput(
+            spark, SF_A, n_events=10_000, per_block=200
+        ),
+        "x10": _bench.stream_throughput(
+            spark, SF_A, n_events=100_000, per_block=2_000
+        ),
+    }
     spark.stop()
     duck_a = duck_times(SF_A, SCALE_SET)
     duck_b = duck_times(SF_B, SCALE_SET)
@@ -173,8 +196,8 @@ def main() -> None:
             ) if ra and rb else "n/a",
         }
     with open(OUT, "w") as f:
-        json.dump({"sf_a": SF_A, "sf_b": SF_B, "queries": result}, f,
-                  indent=1)
+        json.dump({"sf_a": SF_A, "sf_b": SF_B, "queries": result,
+                   "stream_volume_scaling": stream}, f, indent=1)
     print(json.dumps({"out": OUT, "grows": [
         n for n, r in result.items() if r["ratio_trend"] == "GROWS"
     ]}))
