@@ -52,15 +52,63 @@ def tokenset_fingerprint(text: Column) -> Column:
 
 def token_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-token shingles (space-joined), for minhash/Jaccard dedup.
+    Documents shorter than n tokens produce a single whole-text shingle;
+    NULL text stays NULL.
 
-    Pure Catalyst, zip-of-shifted-copies form: shingle i = zip_with over the
-    token array and its n-1 left-shifted slices (concat_ws skips the null
-    padding zip_with adds at the tail, which also yields the whole-text
-    shingle for documents shorter than n tokens).  ~2.3x faster than the
-    sequence+transform+slice form (one O(len) pass per shift instead of an
-    O(n) slice+join per output shingle).
-    Documents shorter than n tokens produce a single whole-text shingle.
+    Implementation is an Arrow-batched pandas UDF (round 9): shingle
+    strings are built by C-level ``str.split``/``" ".join`` — A/B at sf1
+    (50k docs, 2.5M shingles): 2.0 s vs 4.2 s for the zip-of-shifted-
+    copies Catalyst form, whose per-element ``concat_ws`` lambdas run in
+    the INTERPRETED higher-order-function path (the char_entropy lesson).
+    Python's ``split(" ")`` keeps empty fields exactly like Spark's
+    ``split(text, ' ')`` (Java split with limit -1), so the strings — and
+    therefore every downstream md5/minhash digest the DuckDB oracles
+    mirror — are bit-identical; pinned against the expression form
+    (kept as :func:`token_shingles_hof`) by tests/test_text_ops.py.
     """
+    global _SHINGLE_UDFS
+    if n not in _SHINGLE_UDFS:
+        from pyspark.sql.types import ArrayType, StringType
+
+        _SHINGLE_UDFS[n] = F.pandas_udf(
+            _shingle_batch(n), ArrayType(StringType())
+        )
+    return _SHINGLE_UDFS[n](text)
+
+
+#: per-n UDF cache (created lazily: pandas_udf wants an active session's
+#: conf for Arrow settings at definition time in some versions)
+_SHINGLE_UDFS: dict = {}
+
+
+def _shingle_batch(n: int):
+    """Vectorized kernel for :func:`token_shingles` (one Arrow batch)."""
+
+    def fn(s):
+        import pandas as pd
+
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            m = len(toks) - n + 1
+            if m < 1:
+                out.append([" ".join(toks)])
+            else:
+                out.append([" ".join(toks[i:i + n]) for i in range(m)])
+        return pd.Series(out)
+
+    return fn
+
+
+def token_shingles_hof(text: Column, n: int = 3) -> Column:
+    """Pure-Catalyst expression form of :func:`token_shingles` (zip of
+    n-1 left-shifted copies; concat_ws skips zip_with's null tail padding,
+    which also yields the whole-text shingle for short documents).  Kept
+    as the cross-implementation parity pin and for sessions where Python
+    workers are unavailable."""
     t = tokens(text)
     out_len = F.greatest(F.size(t) - (n - 1), F.lit(1))
     z = t

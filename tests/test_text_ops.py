@@ -502,3 +502,33 @@ def test_scrub_repeated_spans_hand_computed(spark):
     assert out[2] == (6, 4, "z w")
     assert out[3] == (5, 0, "one two three four five")
     assert out[4] == (2, 0, "a b")
+
+
+def test_token_shingles_udf_matches_hof_form(spark):
+    """The Arrow-batched shingle builder (shipped since round 9; 2.1x the
+    interpreted-HOF zip chain at sf1) must emit bit-identical shingle
+    STRINGS to the Catalyst form — every downstream md5/minhash digest
+    the DuckDB oracles mirror depends on it.  Covers the edge cases:
+    empty text, single/short docs, consecutive and trailing spaces
+    (Spark's split keeps empty fields; so does Python's split(' '))."""
+    from pyspark.sql import functions as F
+
+    from blockchain_postgres_sync_spark.functions.text import (
+        token_shingles, token_shingles_hof,
+    )
+
+    texts = [
+        None, "", "one", "one two", "one two three", "a b c d e f g",
+        "double  space", "trailing space ", " leading", "   ", "a  b  c",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    for n in (2, 3, 5):
+        rows = df.select(
+            "doc_id",
+            token_shingles(F.col("text"), n).alias("udf"),
+            token_shingles_hof(F.col("text"), n).alias("hof"),
+        ).collect()
+        for r in rows:
+            assert r.udf == r.hof, (n, r.doc_id, r.udf, r.hof)
