@@ -36,6 +36,46 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hashed_token_shingles, token_shingles
 
+#: lazy cache for the containment argmax kernel (pandas_udf creation is
+#: deferred so importing this module never requires an active session)
+_ARGMAX_UDF = None
+
+
+def _containment_argmax_udf(bids: Column) -> Column:
+    """Arrow-batched argmax over a doc's (unsorted) matched bench-id list:
+    returns ``struct(bid, blen)`` — the bench id with the most shared
+    shingles, smallest id on ties (np.unique sorts; the first count-argmax
+    is therefore the smallest id with the max count — exactly the old
+    sorted-fold's strict-'>' semantics)."""
+    global _ARGMAX_UDF
+    if _ARGMAX_UDF is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # NOTE: no type annotations on the kernel — this module has
+        # `from __future__ import annotations`, which stringifies hints
+        # and breaks pandas_udf's eval-type inference; the returnType
+        # argument below fully determines the UDF type.
+        def kernel(arrs):
+            out_b, out_n = [], []
+            for arr in arrs:
+                a = np.asarray(arr, dtype=np.int64)
+                u, c = np.unique(a, return_counts=True)
+                i = int(c.argmax())
+                out_b.append(int(u[i]))
+                out_n.append(int(c[i]))
+            return pd.DataFrame({"bid": out_b, "blen": out_n})
+
+        _ARGMAX_UDF = F.pandas_udf(
+            kernel,
+            StructType([
+                StructField("bid", LongType()),
+                StructField("blen", LongType()),
+            ]),
+        )
+    return _ARGMAX_UDF(bids)
+
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs with the shingle as a 64-bit hash key: every
@@ -113,47 +153,20 @@ def benchmark_contamination(
     # smallest bench id on ties, the documented tie-break.  The in-row
     # list is bounded by the matched part of the EVAL SET (a dimension),
     # never by the corpus.  sf1 A/B: 29.4 s -> this form, one exchange.
+    # the per-doc match list stays UNSORTED: the Arrow argmax kernel's
+    # np.unique sorts internally (round 9 — this replaces a sorted-array
+    # run-length F.aggregate fold, whose per-element lambda ran in the
+    # INTERPRETED HOF path: sf1 A/B 13.8 -> 9.3 s in identical conditions,
+    # row-identical output; np.unique returns sorted uniques, so
+    # counts.argmax()'s first-max IS the fold's strict-'>' smallest-id
+    # tie-break).  The in-row list is bounded by the matched part of the
+    # EVAL SET (a dimension), never by the corpus.
     matched = doc_sh.join(F.broadcast(bench_posts), "shingle").groupBy(
         id_col, "_n_doc"
-    ).agg(F.array_sort(F.flatten(F.collect_list("_bids_arr"))).alias("_bids"))
-    fold = F.aggregate(
-        F.col("_bids"),
-        F.struct(
-            F.lit(-1).cast("long").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(-1).cast("long").alias("bid"),
-            F.lit(0).cast("long").alias("blen"),
-        ),
-        lambda st, b: F.struct(
-            b.alias("prev"),
-            F.when(b == st["prev"], st["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(
-                F.when(b == st["prev"], st["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                )
-                > st["blen"],
-                b,
-            )
-            .otherwise(st["bid"])
-            .alias("bid"),
-            F.greatest(
-                F.when(b == st["prev"], st["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                ),
-                st["blen"],
-            ).alias("blen"),
-        ),
+    ).agg(F.flatten(F.collect_list("_bids_arr")).alias("_bids"))
+    staged = matched.select(
+        id_col, "_n_doc", _containment_argmax_udf(F.col("_bids")).alias("_f")
     )
-    # stage the fold as ONE struct column before subscripting: HOFs don't
-    # CSE, and inlining it into bid + blen (+ the containment filter)
-    # evaluates the whole fold up to 3x per row (house pattern, see
-    # q_embedding_quantize).  One copy remains by design: predicate
-    # pushdown substitutes the fold into the min_containment filter below
-    # the projection — acceptable, the fold input is eval-set-bounded
-    # (sf0.1 A/B: 3 copies 1.59 s, 2 copies 1.25 s)
-    staged = matched.select(id_col, "_n_doc", fold.alias("_f"))
     best = staged.select(
         id_col,
         "_n_doc",
