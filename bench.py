@@ -13,6 +13,7 @@ under asymmetric noise (noise only ever adds time)."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -312,9 +313,7 @@ def stream_throughput(
     runs = int(os.environ.get("STREAM_RUNS", "3"))
     elapsed = float("inf")
     for i in range(runs):
-        import gc as _gc
-
-        _gc.collect()
+        gc.collect()
         spark._jvm.System.gc()
         store_dir = os.path.join(work, f"store_{i}")
         t0 = time.time()
@@ -362,8 +361,6 @@ def main() -> None:
         # inflates unrelated queries ~1.3-2x (the r5 "uniform drift").
         # Deterministically drop the engine caches and nudge both GCs so
         # each pass starts from a clean heap.
-        import gc
-
         from blockchain_postgres_sync_spark.operators import encoding
         encoding.release_caches()
         gc.collect()

@@ -232,11 +232,12 @@ def char_entropy_x1000(text: Column) -> Column:
     and the interpreter overhead dominates — A/B at sf1 (50k docs):
     8.3 s HOF vs 1.5 s UDF for identical results (0 mismatches).  The
     C-level ``Counter`` pass is O(chars); Python iterates code points and
-    ``len`` matches Spark's ``length`` (code points), and code-point sort
-    order equals UTF-8 binary order, so the fold sequence is the HOF
-    form's for all BMP text (for astral chars the UDF counts code points
-    — what the DuckDB oracle does — where the JVM form counted UTF-16
-    code units).
+    ``len`` matches Spark's ``length`` (UTF8String counts CODE POINTS,
+    probed on surrogate-pair input — not UTF-16 code units), and
+    code-point sort order equals UTF-8 binary order, so the fold sequence
+    is the HOF form's for ALL text including astral chars
+    (tests/test_packing.py::test_char_entropy_astral_parity makes the
+    astral case executable).
     """
     return _char_entropy_x1000_udf(text)
 

@@ -91,6 +91,14 @@ def get_spark(
         # latency (measured on the stream leg: ~25 small table writes per
         # micro-batch).  v2 commits task files directly to the destination;
         # _SUCCESS markers are dead weight under manifest resolution.
+        # The conf is global, so the same contract must hold for BATCH
+        # writes too — and it does by construction: every batch write in
+        # this engine uses mode("overwrite") to a destination that is
+        # re-created wholesale (store versioned dirs, bench/test temp
+        # dirs), never appended to, so a failed job's committed task files
+        # are wiped by the retry's overwrite before anything reads them.
+        # A deployment that appends to long-lived directories without a
+        # manifest should flip this back to v1 via extra_conf.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",

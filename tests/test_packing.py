@@ -172,6 +172,34 @@ def test_char_entropy_udf_matches_hof_form(spark):
         assert r.udf == r.hof, (r.doc_id, r.udf, r.hof)
 
 
+def test_char_entropy_astral_parity(spark):
+    """The UDF/HOF pin holds for astral (non-BMP) text too: Spark's
+    ``length``/``split``/``replace`` operate on UTF8String CODE POINTS
+    (probed: length('a😀b😀c🎉') = 6, not the 9 UTF-16 code units), and
+    UTF-8 binary sort order equals code-point order, so the Arrow
+    kernel's Python semantics match the JVM expression form exactly —
+    the docstring's earlier BMP-only caveat was unnecessary.  This test
+    makes the astral scope executable: kernel == HOF == a Python
+    code-point reference on surrogate-pair input."""
+    import math
+
+    from blockchain_postgres_sync_spark.functions.text import (
+        char_entropy_x1000_hof,
+    )
+
+    astral = "a😀b😀c🎉"  # 6 code points, 9 UTF-16 code units
+    df = spark.createDataFrame([(0, astral)], "doc_id int, text string")
+    r = df.select(
+        char_entropy_x1000(F.col("text")).alias("udf"),
+        char_entropy_x1000_hof(F.col("text")).alias("hof"),
+    ).collect()[0]
+    n = len(astral)
+    counts = [astral.count(c) for c in sorted(set(astral))]
+    h = (math.log(n) - sum(c * math.log(c) for c in counts) / n) / math.log(2)
+    assert r.udf == math.floor(h * 1000)
+    assert r.hof == r.udf, (r.udf, r.hof)
+
+
 def test_cascade_onepass_calendar_boundaries(spark):
     """Pin the pandas cascade's calendar floors (day/ISO-week/month) against
     the Catalyst cascade across month, year, and week-over-year boundaries —
