@@ -19,8 +19,7 @@ interact, PQ training is definitionally equal to ``m`` independent
 them JOINTLY:
 
 - ``pq_train``: per round ONE map-side assignment pass computes all ``m``
-  argmins in-row (slices staged as columns, one fold per subspace over a
-  literal codebook) and ONE partial-aggregated shuffle reduces to exactly
+  argmins in-row and ONE partial-aggregated shuffle reduces to exactly
   ``m * k * (dim/m) = k * dim`` rows — the same shuffle budget as plain
   k-means, where m sequential trainings would scan the corpus ``m`` times
   per round.  Only model state (k*dim ints) crosses the driver.
@@ -28,11 +27,25 @@ them JOINTLY:
   1-based per-subspace cluster ids in subspace order.
 - ``pq_adc_topk``: the ADC serving scan — per query a (m x k) integer
   LUT of subvector-to-codeword distances is computed driver-side from
-  model state (queries are the bounded side by definition), broadcast,
-  and each encoded row folds its ``m`` codes through the LUT (m lookups
-  per row, no reconstruction).  Top-k per query via a per-query window.
-  Compose with IVF (`similarity.ivf_topk`) for the bucketed 100 TB form;
-  this operator is the in-bucket scorer.
+  model state (queries are the bounded side by definition, enforced by
+  ``PQ_MAX_QUERY_BATCH``) and each encoded row gathers its ``m`` codes
+  through the LUT (m lookups per row, no reconstruction).  Top-k per
+  query via a per-query window.  Compose with IVF
+  (`similarity.ivf_topk`) for the bucketed 100 TB form; this operator is
+  the in-bucket scorer.
+
+Kernels (round 10): every per-row argmin/LUT fold runs as an
+Arrow-batched pandas UDF over numpy int64 — Spark evaluates
+higher-order-function lambdas in the INTERPRETED expression path
+(~50M boxed evals/s regardless of body cost; the round-9 shingle /
+entropy / contamination lesson), and the PQ encode + ADC folds were the
+last >2x-vs-oracle family left on it.  The expression forms are kept as
+``*_hof`` (``pq_encode_hof``, ``pq_reconstruction_error_hof``,
+``ivfpq_index_hof``, ``pq_adc_topk_hof``, ``ivfpq_topk_hof``) and pinned
+value-equal by tests/test_pq.py — all integer arithmetic, so the two
+paths are bit-identical on the documented int64 domain (the HOF/ANSI
+path errors loudly past ``sum_d (xq-c)^2 < 2^63``; the numpy path shares
+the same caller-declared bound).
 
 Reference parity: the reference engine has no vector surface; this
 extends the training-data north star (BASELINE.json) alongside the IVF /
@@ -43,7 +56,7 @@ a slice expression), so codebooks, codes, and ADC ranks all hash-check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -58,10 +71,153 @@ from .sampling import _hash31
 #: codebooks type: {subspace (0-based): [(code 1-based, [centroid ints])]}
 Codebooks = dict[int, list[tuple[int, list[int]]]]
 
+#: hard cap on the driver-built per-query side (probe lists, ADC LUTs,
+#: kernel closures).  The ADC/IVF-PQ contract is "queries are the bounded
+#: side, never the corpus" — this makes the bound code, not convention:
+#: at the cap the broadcast state is ~4096 queries x m*k i64 (a few MB at
+#: m=16/k=256), far under any broadcast limit, and anything larger is a
+#: corpus masquerading as a query batch (join it as a DataFrame instead).
+PQ_MAX_QUERY_BATCH = 4096
+
+
+def _check_query_batch(queries) -> None:
+    if len(queries) > PQ_MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch of {len(queries)} exceeds PQ_MAX_QUERY_BATCH="
+            f"{PQ_MAX_QUERY_BATCH}; per-query LUT/probe state is built "
+            "driver-side and broadcast, so the query side must stay "
+            "bounded — for corpus-x-corpus scoring join the encoded "
+            "frames instead"
+        )
+
+
+# ------------------------------------------------------- Arrow kernels
+
+
+def _specs(
+    codebooks: Codebooks, sub: int, prefix: list[tuple[int, list[tuple[int, list[int]]]]] | None = None
+):
+    """Flatten codebooks into kernel specs [(slice offset, code ids,
+    centroid matrix)] — ascending subspace order, entries sorted by code
+    id so numpy's first-min argmin reproduces the fold's ties-to-smaller
+    rule.  ``prefix`` prepends extra (offset, entries) argmin problems
+    (the IVF coarse cells, scored over the FULL vector at offset 0)."""
+    import numpy as np
+
+    out = []
+    for off, entries in (prefix or []):
+        ent = sorted(entries)
+        out.append(
+            (
+                off,
+                np.asarray([j for j, _ in ent], dtype=np.int32),
+                np.asarray([cv for _, cv in ent], dtype=np.int64),
+            )
+        )
+    for s in sorted(codebooks):
+        ent = sorted(codebooks[s])
+        out.append(
+            (
+                s * sub,
+                np.asarray([j for j, _ in ent], dtype=np.int32),
+                np.asarray([cv for _, cv in ent], dtype=np.int64),
+            )
+        )
+    return out
+
+
+def _argmin_batch(specs, want: str):
+    """Kernel factory: per Arrow batch stack xq into an (N, dim) int64
+    matrix and, per spec, argmin the exact integer squared distances to
+    the codeword matrix — one C-level einsum per (batch, subspace)
+    instead of an interpreted lambda per (row, codeword, component).
+    ``want`` selects the output: 'codes' -> array<int> of per-spec argmin
+    code ids, 'err' -> int64 sum of the per-spec minima (the
+    reconstruction distortion).  NULL vectors yield NULL (the HOF fold
+    instead degenerates to code 1 with a NULL distance — divergence
+    pinned by tests/test_pq.py::test_pq_kernel_hof_parity; no caller
+    feeds NULL embeddings)."""
+
+    def fn(s):
+        import numpy as np
+        import pandas as pd
+
+        mask = s.notna().to_numpy()
+        out = np.empty(len(s), dtype=object)
+        if mask.any():
+            X = np.stack(s[mask].to_numpy()).astype(np.int64, copy=False)
+            n = X.shape[0]
+            codes = np.empty((n, len(specs)), dtype=np.int32)
+            mins = np.zeros(n, dtype=np.int64)
+            for i, (off, J, C) in enumerate(specs):
+                d = X[:, off:off + C.shape[1]][:, None, :] - C[None, :, :]
+                d2 = np.einsum("nkd,nkd->nk", d, d)
+                am = np.argmin(d2, axis=1)
+                codes[:, i] = J[am]
+                if want == "err":
+                    mins += d2[np.arange(n), am]
+            vals = (
+                [r.tolist() for r in codes] if want == "codes" else mins.tolist()
+            )
+            # per-index assignment: numpy rejects boolean-mask assignment
+            # of equal-length list-of-lists (it reads them as a 2-D block)
+            for i, v in zip(np.nonzero(mask)[0], vals):
+                out[i] = v
+        return pd.Series(out)
+
+    return fn
+
+
+def _codes_col(codebooks: Codebooks, sub: int, xq, prefix=None) -> Column:
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    udf = F.pandas_udf(
+        _argmin_batch(_specs(codebooks, sub, prefix), "codes"),
+        ArrayType(IntegerType()),
+    )
+    return udf(F.col(xq) if isinstance(xq, str) else xq)
+
+
+def _err_col(codebooks: Codebooks, sub: int, xq) -> Column:
+    from pyspark.sql.types import LongType
+
+    udf = F.pandas_udf(
+        _argmin_batch(_specs(codebooks, sub), "err"), LongType()
+    )
+    return udf(F.col(xq) if isinstance(xq, str) else xq)
+
+
+def _adc_col(lut_by_qid, qid: Column, codes: Column) -> Column:
+    """ADC scoring kernel: the per-query (m x k) LUTs ride the UDF
+    closure (bounded by PQ_MAX_QUERY_BATCH), and a batch vectorizes per
+    DISTINCT query id — one numpy gather+sum per (batch, query) instead
+    of an interpreted zip_with/aggregate lambda pair per row."""
+    from pyspark.sql.types import LongType
+
+    def fn(qids, codes_s):
+        import numpy as np
+        import pandas as pd
+
+        mask = codes_s.notna().to_numpy()
+        out = np.empty(len(codes_s), dtype=object)
+        if mask.any():
+            C = np.stack(codes_s[mask].to_numpy()).astype(np.int64) - 1
+            q = qids[mask].to_numpy()
+            vals = np.empty(C.shape[0], dtype=np.int64)
+            cols = np.arange(C.shape[1])
+            for u in np.unique(q):
+                sel = q == u
+                vals[sel] = lut_by_qid[int(u)][cols, C[sel]].sum(axis=1)
+            out[mask] = vals.tolist()
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, LongType())(qid, codes)
+
 
 def _staged_slices(q: DataFrame, m: int, sub: int) -> DataFrame:
     """xq split into m staged subvector columns _x0.._x{m-1} (slices as
-    real columns — HOF arguments re-evaluate per fold step otherwise)."""
+    real columns — HOF arguments re-evaluate per fold step otherwise).
+    Used by the ``*_hof`` expression forms only."""
     return q.select(
         "*",
         *[
@@ -81,10 +237,10 @@ def pq_train(
     scale: int = 1000,
 ) -> Codebooks:
     """Train the m per-subspace codebooks jointly: per round one in-row
-    m-argmin assignment scan + one (subspace, code, dim) shuffle.  Seeds
-    are the k hash-order rows (same draw as ``kmeans_train``), sliced per
-    subspace, so subspace s's recurrence is bit-identical to
-    ``kmeans_train`` over ``slice(vec, s*sub+1, sub)``.
+    m-argmin assignment scan (Arrow kernel) + one (subspace, code, dim)
+    shuffle.  Seeds are the k hash-order rows (same draw as
+    ``kmeans_train``), sliced per subspace, so subspace s's recurrence is
+    bit-identical to ``kmeans_train`` over ``slice(vec, s*sub+1, sub)``.
     """
     q = quantize_vectors(vecs, id_col, vec_col, scale).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -112,7 +268,6 @@ def pq_train(
             }
             for s in range(m)
         }
-        staged = _staged_slices(q, m, sub)
 
         prev: Codebooks | None = None
         for _ in range(iters):
@@ -126,15 +281,7 @@ def pq_train(
                 # argument as kmeans_train's early stop)
                 break
             prev = cents
-            assigned = staged.select(
-                F.array(
-                    *[
-                        _fold_best(_cents_expr(cents[s]), F.col(f"_x{s}"))["j"]
-                        for s in range(m)
-                    ]
-                ).alias("cls"),
-                "xq",
-            )
+            assigned = q.select(_codes_col(cents, sub, "xq").alias("cls"), "xq")
             # one posexplode of the FULL vector: position p0 (0-based)
             # maps to subspace p0 div sub and in-subspace dim p0 % sub + 1,
             # so all m updates ride ONE shuffle reduced to k*dim rows
@@ -186,9 +333,29 @@ def pq_encode(
     scale: int = 1000,
 ) -> DataFrame:
     """(id, codes array<int>): per-subspace nearest-codeword ids (1-based,
-    subspace order).  Map-only — quantize + m staged slices + m in-row
-    argmin folds; zero shuffle, works unchanged on a streaming frame
-    (stateless, like ``cluster_assign``)."""
+    subspace order).  Map-only — quantize + one Arrow argmin kernel; zero
+    shuffle, works unchanged on a streaming frame (stateless, like
+    ``cluster_assign``).  Bit-identical to :func:`pq_encode_hof` (pinned
+    by tests/test_pq.py); isolated sf1 A/B: 5.9 -> under 2s — the
+    interpreted per-subspace fold was the cost, not the plan."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    return q.select(
+        F.col(id_col), _codes_col(codebooks, sub, "xq").alias("codes")
+    )
+
+
+def pq_encode_hof(
+    vecs: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Pure-Catalyst expression form of :func:`pq_encode` (m staged
+    slices + m in-row argmin folds).  Kept as the cross-implementation
+    parity pin and for sessions where Python workers are unavailable."""
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
     q = quantize_vectors(vecs, id_col, vec_col, scale)
@@ -216,9 +383,24 @@ def pq_reconstruction_error(
     """(id, err_sq): exact integer squared distance between each quantized
     vector and its PQ codeword reconstruction — the distortion metric
     that tunes m/k (a compression run reports this next to the recall
-    probe).  Free byproduct of the encode fold: the per-subspace argmin
-    struct already carries the chosen codeword's distance, so the total
-    is the sum of the m fold minima — map-only, zero shuffle."""
+    probe).  Free byproduct of the encode argmin: the kernel already has
+    each subspace's minimum distance, so the total is their sum —
+    map-only, zero shuffle.  Bit-identical to
+    :func:`pq_reconstruction_error_hof` (tests/test_pq.py)."""
+    sub = len(codebooks[0][0][1])
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    return q.select(F.col(id_col), _err_col(codebooks, sub, "xq").alias("err_sq"))
+
+
+def pq_reconstruction_error_hof(
+    vecs: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Expression form of :func:`pq_reconstruction_error` (sum of the m
+    fold minima) — the parity pin."""
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
     q = quantize_vectors(vecs, id_col, vec_col, scale)
@@ -251,6 +433,16 @@ def _adc_lut(query_xq: list[int], codebooks: Codebooks) -> list[list[int]]:
     return lut
 
 
+def _lut_arrays(queries, codebooks: Codebooks):
+    """{query_id: (m x k) int64 LUT matrix} for the ADC kernel closure."""
+    import numpy as np
+
+    return {
+        int(qid): np.asarray(_adc_lut(list(qx), codebooks), dtype=np.int64)
+        for qid, qx in queries
+    }
+
+
 def ivfpq_index(
     vecs: DataFrame,
     cents: list[tuple[int, list[int]]],
@@ -261,11 +453,38 @@ def ivfpq_index(
 ) -> DataFrame:
     """(id, cell, codes): the IVF+PQ index — each vector's nearest coarse
     cell (``cents`` = ``kmeans_train`` integer centroids) AND its m PQ
-    codes, computed in ONE map-only pass (quantize once, m+1 staged
-    argmin folds; zero shuffle, zero joins).  This is the structure an
-    IVF-PQ system (FAISS-style) stores per vector: ~1 int + m bytes.  In
-    production the output is written bucketed/partitioned BY ``cell`` so
-    an ADC probe reads only the probed cells' files."""
+    codes, computed in ONE map-only pass: a single Arrow kernel solves
+    the m+1 argmin problems per batch (the coarse cell is just one more
+    spec over the full vector at offset 0); zero shuffle, zero joins.
+    This is the structure an IVF-PQ system (FAISS-style) stores per
+    vector: ~1 int + m bytes.  In production the output is written
+    bucketed/partitioned BY ``cell`` so an ADC probe reads only the
+    probed cells' files.  Bit-identical to :func:`ivfpq_index_hof`."""
+    sub = len(codebooks[0][0][1])
+    m = len(codebooks)
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    combined = _codes_col(
+        codebooks, sub, "xq", prefix=[(0, sorted(cents))]
+    )
+    return q.select(
+        F.col(id_col), combined.alias("_cc")
+    ).select(
+        id_col,
+        F.element_at(F.col("_cc"), 1).alias("cell"),
+        F.slice(F.col("_cc"), 2, m).alias("codes"),
+    )
+
+
+def ivfpq_index_hof(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Expression form of :func:`ivfpq_index` (m+1 staged folds) — the
+    parity pin."""
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
     q = quantize_vectors(vecs, id_col, vec_col, scale)
@@ -297,6 +516,16 @@ def _cell_probes(
     return [j for _, j in scored[:n_probe]]
 
 
+def _topk_by_adc(scored: DataFrame, topk: int, id_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def ivfpq_topk(
     index: DataFrame,
     codebooks: Codebooks,
@@ -309,20 +538,54 @@ def ivfpq_topk(
     """IVF+PQ ANN: each query ADC-scores ONLY the rows of its ``n_probe``
     nearest coarse cells — the bucketed serving shape that makes PQ scans
     sub-linear.  ``index`` is :func:`ivfpq_index` output; per query the
-    probe list and the (m x k) LUT are derived driver-side from model
-    state and broadcast as (query_id, cell, lut) rows, so the cell
-    restriction is a broadcast EQUI-join on ``cell`` (with cell-
-    partitioned storage it prunes to the probed partitions; never a
-    corpus scan per query).  Returns (query_id, vec_id, rank, adc) with
-    ties to the smaller vec_id; a query's recall floor is whatever its
-    probed cells contain — the n_probe/recall trade is measured by
-    ``ann_ivfpq`` vs the exact baseline (same probe semantics as
-    similarity.ivf_topk)."""
+    probe list is derived driver-side from model state and broadcast as
+    (query_id, cell) rows, so the cell restriction is a broadcast
+    EQUI-join on ``cell`` (with cell-partitioned storage it prunes to the
+    probed partitions; never a corpus scan per query), and the (m x k)
+    LUTs ride the ADC kernel's closure — no LUT column, no duplicate LUT
+    copies per probe.  The query side is bounded by
+    ``PQ_MAX_QUERY_BATCH`` (raises beyond it).  Returns (query_id,
+    vec_id, rank, adc) with ties to the smaller vec_id; a query's recall
+    floor is whatever its probed cells contain — the n_probe/recall trade
+    is measured by ``ann_ivfpq`` vs the exact baseline (same probe
+    semantics as similarity.ivf_topk).  Bit-identical to
+    :func:`ivfpq_topk_hof`."""
+    _check_query_batch(queries)
     spark = index.sparkSession
-    # probes and LUTs broadcast SEPARATELY: a (query, cell, lut) row set
-    # would carry n_probe duplicate copies of each query's (m x k) LUT —
-    # at m=16/k=256/n_probe=32 that is 31 redundant 4096-entry arrays per
-    # query in the broadcast.  Each LUT is computed once per query.
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(cell))
+            for qid, qx in queries
+            for cell in _cell_probes(list(qx), sorted(cents), n_probe)
+        ],
+        "query_id long, cell int",
+    )
+    scored = index.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col(id_col),
+        _adc_col(
+            _lut_arrays(queries, codebooks), F.col("query_id"), F.col("codes")
+        ).alias("adc"),
+    )
+    return _topk_by_adc(scored, topk, id_col)
+
+
+def ivfpq_topk_hof(
+    index: DataFrame,
+    codebooks: Codebooks,
+    cents: list[tuple[int, list[int]]],
+    queries: list[tuple[int, list[int]]],
+    topk: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Expression form of :func:`ivfpq_topk`: LUTs broadcast as a
+    (query_id, lut) frame — SEPARATE from the probes frame, which would
+    otherwise carry n_probe duplicate copies of each query's (m x k) LUT
+    — and each row folds its codes through the LUT column with
+    ``aggregate(zip_with(...))``.  The parity pin."""
+    _check_query_batch(queries)
+    spark = index.sparkSession
     probes = spark.createDataFrame(
         [
             (int(qid), int(cell))
@@ -352,13 +615,7 @@ def ivfpq_topk(
             ).alias("adc"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-    )
+    return _topk_by_adc(scored, topk, id_col)
 
 
 def pq_adc_topk(
@@ -374,11 +631,40 @@ def pq_adc_topk(
     the row's RECONSTRUCTION (codeword concatenation).
 
     ``queries`` is ``[(query_id, quantized_vector_ints)]`` — the bounded
-    side (a query batch, never the corpus); LUTs are computed driver-side
-    from model state and broadcast.  Returns (query_id, vec_id, rank,
+    side (a query batch, never the corpus; ``PQ_MAX_QUERY_BATCH``
+    enforces it); LUTs are computed driver-side from model state and
+    ride the Arrow kernel's closure, so the corpus expansion broadcast
+    is just the (query_id) spine.  Returns (query_id, vec_id, rank,
     adc); ties break by vec_id ascending.  Plan: one encoded-corpus scan
-    x Q LUT folds, then a per-query top-k window.
+    x Q kernel gathers, then a per-query top-k window.  Bit-identical to
+    :func:`pq_adc_topk_hof` (tests/test_pq.py).
     """
+    _check_query_batch(queries)
+    spark = encoded.sparkSession
+    qframe = spark.createDataFrame(
+        [(int(qid),) for qid, _ in queries], "query_id long"
+    )
+    scored = encoded.crossJoin(F.broadcast(qframe)).select(
+        "query_id",
+        F.col(id_col),
+        _adc_col(
+            _lut_arrays(queries, codebooks), F.col("query_id"), F.col("codes")
+        ).alias("adc"),
+    )
+    return _topk_by_adc(scored, topk, id_col)
+
+
+def pq_adc_topk_hof(
+    encoded: DataFrame,
+    codebooks: Codebooks,
+    queries: list[tuple[int, list[int]]],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Expression form of :func:`pq_adc_topk` (broadcast (query_id, lut)
+    rows + an ``aggregate(zip_with(...))`` fold per row) — the parity
+    pin."""
+    _check_query_batch(queries)
     spark = encoded.sparkSession
     lut_rows = [(int(qid), _adc_lut(list(qx), codebooks)) for qid, qx in queries]
     luts = spark.createDataFrame(
@@ -397,12 +683,4 @@ def pq_adc_topk(
             lambda acc, d: acc + d,
         ).alias("adc"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-    )
+    return _topk_by_adc(scored, topk, id_col)

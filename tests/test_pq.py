@@ -211,3 +211,116 @@ def test_pq_train_validates_inputs(spark):
         pq_train(df, m=3, k=2, iters=1)
     with pytest.raises(ValueError, match="exceeds corpus size"):
         pq_train(df, m=2, k=11, iters=1)
+
+def test_pq_kernel_hof_parity(spark):
+    """Round-10 pin: the Arrow argmin/ADC kernels must stay bit-identical
+    to the pure-Catalyst ``*_hof`` expression forms (encode codes,
+    reconstruction distortion, IVF+PQ index, full-scan ADC ranks, probed
+    ADC ranks) — same integers, same tie-breaks, NULL vectors stay NULL.
+    The kernels are the shipped forms (interpreted-HOF folds were the
+    last >2x-vs-oracle family); the HOF forms are the spec."""
+    import math
+
+    import numpy as np
+
+    from blockchain_postgres_sync_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_index_hof,
+        ivfpq_topk,
+        ivfpq_topk_hof,
+        pq_adc_topk_hof,
+        pq_encode_hof,
+        pq_reconstruction_error,
+        pq_reconstruction_error_hof,
+    )
+
+    df, rows = _vecs(spark, n=60, dim=8, seed=11)
+    # a NULL vector must pass through both paths as NULL codes
+    df = df.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    m, k, ivf_k = 2, 3, 4
+    books = pq_train(df.filter(F.col("embedding").isNotNull()), m=m, k=k, iters=2)
+    enc_k = {r.vec_id: r.codes and list(r.codes) for r in pq_encode(df, books).collect()}
+    enc_h = {
+        r.vec_id: r.codes and list(r.codes)
+        for r in pq_encode_hof(df, books).collect()
+    }
+    assert enc_k[999] is None
+    assert enc_h[999] == [1] * m  # the documented HOF degenerate case
+    assert {v: c for v, c in enc_k.items() if v != 999} == {
+        v: c for v, c in enc_h.items() if v != 999
+    }
+
+    live = df.filter(F.col("embedding").isNotNull())
+    err_k = {r.vec_id: r.err_sq for r in pq_reconstruction_error(live, books).collect()}
+    err_h = {
+        r.vec_id: r.err_sq
+        for r in pq_reconstruction_error_hof(live, books).collect()
+    }
+    assert err_k == err_h
+
+    from blockchain_postgres_sync_spark.operators.clustering import kmeans_train
+
+    _, cents = kmeans_train(live, k=ivf_k, iters=1)
+    idx_k = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in ivfpq_index(live, cents, books).collect()
+    }
+    idx_h = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in ivfpq_index_hof(live, cents, books).collect()
+    }
+    assert idx_k == idx_h
+
+    def quant(vec):
+        return [math.floor(float(np.float32(x)) * 1000 + 0.5) for x in vec]
+
+    queries = [(vid, quant(vec)) for vid, vec in rows[:4]]
+    enc = pq_encode(live, books)
+    adc_k = {
+        (r.query_id, r.rank): (r.vec_id, r.adc)
+        for r in pq_adc_topk(enc, books, queries, topk=7).collect()
+    }
+    adc_h = {
+        (r.query_id, r.rank): (r.vec_id, r.adc)
+        for r in pq_adc_topk_hof(enc, books, queries, topk=7).collect()
+    }
+    assert adc_k == adc_h
+
+    index = ivfpq_index(live, cents, books)
+    ivf_k_out = {
+        (r.query_id, r.rank): (r.vec_id, r.adc)
+        for r in ivfpq_topk(index, books, cents, queries, topk=5, n_probe=2).collect()
+    }
+    ivf_h_out = {
+        (r.query_id, r.rank): (r.vec_id, r.adc)
+        for r in ivfpq_topk_hof(
+            index, books, cents, queries, topk=5, n_probe=2
+        ).collect()
+    }
+    assert ivf_k_out == ivf_h_out
+
+
+def test_pq_query_batch_guard(spark):
+    """The 'queries are the bounded side' contract is code, not comment:
+    both ADC entry points (kernel and HOF forms) raise past
+    PQ_MAX_QUERY_BATCH before building any driver-side LUT/probe state."""
+    from blockchain_postgres_sync_spark.operators.pq import (
+        PQ_MAX_QUERY_BATCH,
+        ivfpq_topk,
+        pq_adc_topk_hof,
+    )
+
+    df, _ = _vecs(spark, n=8, dim=8)
+    books = pq_train(df, m=2, k=2, iters=1)
+    enc = pq_encode(df, books)
+    oversized = [(i, [0] * 8) for i in range(PQ_MAX_QUERY_BATCH + 1)]
+    with pytest.raises(ValueError, match="PQ_MAX_QUERY_BATCH"):
+        pq_adc_topk(enc, books, oversized)
+    with pytest.raises(ValueError, match="PQ_MAX_QUERY_BATCH"):
+        pq_adc_topk_hof(enc, books, oversized)
+    with pytest.raises(ValueError, match="PQ_MAX_QUERY_BATCH"):
+        ivfpq_topk(enc, books, [(1, [0] * 8)] , oversized)  # type: ignore[arg-type]
