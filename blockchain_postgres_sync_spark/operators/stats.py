@@ -66,6 +66,136 @@ def order_statistics(
     return d.groupBy(group_col).agg(*aggs)
 
 
+def difficulty_buckets_from_scores(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    score_col: str = "quality_x100",
+    bands: int = 32,
+) -> DataFrame:
+    """Exact per-``group_col`` ``ntile(3)`` over ``(score, id)`` — the
+    curriculum easy/medium/hard split — with NO corpus-keyed skew even
+    under a POINT-MASS score distribution.
+
+    ``scored`` carries (id, group, integer-bounded score); callers
+    materialize it once (localCheckpoint) since this reads it three
+    times.  Shape:
+
+    1. One hash-agg to per-(group, score) counts + min/max id — a
+       BOUNDED frame (#groups x score domain).  Tercile cut RANKS and
+       exclusive cumulative counts derive on that frame (windows over
+       distinct scores, never corpus rows) and broadcast back; every
+       score run that sits inside one tercile resolves its bucket from
+       the broadcast columns alone.
+    2. Only runs that STRADDLE a cut rank (<= 2 per group) need the
+       within-run id order.  The rank window partitions by (group,
+       score, _band) where ``_band = (id - min_id) * bands DIV
+       (max_id - min_id + 1)`` — MONOTONE in id, so ordering by (band,
+       id) equals ordering by id, and each band's exclusive base count
+       comes from one more bounded hash-agg + a window over the band
+       counts (<= groups x domain x bands rows).  rank = run base +
+       band base + row_number-within-band: exact, while the widest
+       window partition shrinks ``bands``-fold.  This is the round-10
+       hardening of the round-8 rewrite: with a point-mass score (one
+       (group, score) run = a whole language) the old (group, score)
+       partition collapsed back to ONE sorting task — the banding keeps
+       the skew bound ~n/bands with zero semantic change (pinned exact
+       vs a Python ntile in tests/test_stats_ops.py).  Requires
+       ``(max_id - min_id) * bands < 2^63`` — any dense/snowflake id
+       qualifies.
+
+    Net: one wide scan upstream (the caller's scoring pass), three
+    narrow reads of the checkpointed score frame, one narrow-row
+    exchange for the rank window.  Oracle-identical to ntile(3): first
+    n%3 buckets get the extra row."""
+    counts = scored.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(id_col).alias("_mn"),
+        F.max(id_col).alias("_mx"),
+    )
+    wl = Window.partitionBy(group_col).orderBy(score_col)
+    bounds = counts.select(
+        group_col,
+        score_col,
+        "_c",
+        "_mn",
+        "_mx",
+        (F.sum("_c").over(wl) - F.col("_c")).alias("_lo"),
+        F.sum("_c").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    # ntile(3) cut ranks: bucket b holds floor(n/3) rows plus one extra
+    # for the first n%3 buckets -> cuts at c1 and c2 (1-based ranks).
+    bounds = bounds.withColumn(
+        "_c1", F.expr("_n DIV 3 + CASE WHEN _n % 3 >= 1 THEN 1 ELSE 0 END")
+    ).withColumn(
+        "_c2",
+        F.expr("_c1 + _n DIV 3 + CASE WHEN _n % 3 >= 2 THEN 1 ELSE 0 END"),
+    )
+    grp = bounds.select(
+        group_col,
+        score_col,
+        "_lo",
+        "_c1",
+        "_c2",
+        "_mn",
+        "_mx",
+        # whole-run bucket when the (group, score) run sits inside one
+        # tercile; NULL marks the <=2 straddling runs per group
+        F.when(F.col("_lo") + F.col("_c") <= F.col("_c1"), F.lit(1))
+        .when(
+            (F.col("_lo") >= F.col("_c1"))
+            & (F.col("_lo") + F.col("_c") <= F.col("_c2")),
+            F.lit(2),
+        )
+        .when(F.col("_lo") >= F.col("_c2"), F.lit(3))
+        .alias("_gb"),
+    )
+    # grp is broadcast into TWO consumers (band counts + assignment);
+    # without materialization each would recompute the counts agg — a
+    # full narrow pass over the corpus — so checkpoint the bounded
+    # (#groups x domain)-row frame once (house diamond pattern)
+    grp = grp.localCheckpoint(eager=False)
+    band = F.expr(
+        f"CAST(((({id_col}) - _mn) * {int(bands)}) DIV (_mx - _mn + 1) AS INT)"
+    )
+    banded = (
+        scored.join(F.broadcast(grp), [group_col, score_col])
+        .withColumn("_band", band)
+    )
+    # exclusive per-band base counts: bounded frame, window over bands
+    bandc = banded.groupBy(group_col, score_col, "_band").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    wb = Window.partitionBy(group_col, score_col).orderBy("_band")
+    bandlo = bandc.select(
+        group_col,
+        score_col,
+        "_band",
+        (F.sum("_bc").over(wb) - F.col("_bc")).alias("_blo"),
+    )
+    # shuffle the narrow columns on the WINDOW key before the broadcast
+    # join so the rank window rides this exchange (broadcast joins
+    # preserve partitioning)
+    assigned = banded.repartition(group_col, score_col, "_band").join(
+        F.broadcast(bandlo), [group_col, score_col, "_band"]
+    )
+    wg = Window.partitionBy(group_col, score_col, "_band").orderBy(id_col)
+    rank = F.col("_lo") + F.col("_blo") + F.row_number().over(wg)
+    return assigned.select(
+        id_col,
+        group_col,
+        score_col,
+        F.coalesce(
+            F.col("_gb"),
+            F.when(rank <= F.col("_c1"), F.lit(1))
+            .when(rank <= F.col("_c2"), F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
 def salient_terms(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -240,7 +370,7 @@ def bigram_lift(
     for x and y; final global top-k plans as TakeOrdered (per-partition
     heap, no sort shuffle).  Ties break (lift desc, tok_x asc, tok_y asc)
     — total order.  Pinned: exactly 1 scan + 1 TakeOrdered
-    (tests/test_plans.py::test_bigram_lift_two_scans_takeordered).
+    (tests/test_plans.py::test_bigram_lift_one_scan_takeordered).
 
     ``broadcast_vocab``: the unigram frame is VOCABULARY-sized, not
     corpus-sized, but an open-web vocabulary (URLs, code tokens) can

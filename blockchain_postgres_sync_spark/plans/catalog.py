@@ -2658,93 +2658,32 @@ def q_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score (easy/medium/hard for curriculum-ordered training),
     with exact ntile(3)-over-(quality_x100, doc_id) semantics.
 
-    Scale shape (round-8 rewrite of the per-lang ``ntile`` window, which
-    hash-routed each language — ~60% of a web corpus for the dominant one
-    — to a single sorting task): ``quality_x100`` is integer-bounded
-    0..100 by construction, so per-(lang, score) hash-agg counts form a
-    BOUNDED frame (#langs x 101 rows max).  Tercile cut RANKS and
-    exclusive cumulative counts are derived on that frame (windows over
-    distinct scores, not corpus rows — the score_auc trick,
-    operators/stats.py:524), broadcast back onto the corpus, and the
-    bucket resolves from the broadcast columns alone for every score
-    group that sits inside one tercile.  Only groups that STRADDLE a cut
-    rank — at most two per language — consult the within-group doc_id
-    rank.  The rank window partitions by (lang, quality_x100): 101x
-    finer keys than the old per-lang sort, over 3 narrow columns instead
-    of the text corpus, in the SAME plan (coalesce, not a union — a
-    clean/straddle branch split re-scans and re-scores the corpus per
-    branch, the round-4 diamond lesson).  Net: ONE wide scan, one
-    narrow-row shuffle, zero corpus-keyed skew.  Oracle-identical to
-    ntile(3): first n%3 buckets get the extra row."""
+    Scale shape: the bucket assignment lives in
+    ``operators/stats.py::difficulty_buckets_from_scores`` — tercile cut
+    ranks derived on the BOUNDED per-(lang, score) counts frame
+    (quality_x100 is integer-bounded 0..100 by construction), broadcast
+    back, with only straddling score runs consulting a doc_id rank
+    window that is additionally BANDED by a monotone function of doc_id
+    (round-10 hardening: even a point-mass score distribution — one
+    (lang, score) run = a whole language — never collapses to a single
+    sorting task; bands are exact, see the operator docstring).  One
+    coalesce plan, not a clean/straddle branch split — a split re-scans
+    and re-scores the corpus per branch (the round-4 diamond lesson).
+    Net: ONE wide scan, one narrow-row shuffle, zero corpus-keyed skew.
+    Oracle-identical to ntile(3): first n%3 buckets get the extra row."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     qs = T.quality_score(F.col("text"))
-    # scored feeds TWO consumers (the bounded counts agg and the final
-    # assignment join) and quality_score's feature extraction is the
-    # dominant cost of the whole query (10 s of 20 at sf1, half of it
-    # char-entropy) — materialize the 3-narrow-column frame ONCE instead
-    # of re-scoring the corpus per consumer (profiled 20.1 -> 11.4 s at
-    # sf1; ~24 bytes/doc, far smaller than a second corpus scan at any
-    # scale)
+    # scored feeds THREE consumers (the run-counts agg, the band-counts
+    # agg, and the final assignment join) and quality_score's feature
+    # extraction is the dominant cost of the whole query (10 s of 20 at
+    # sf1, half of it char-entropy) — materialize the 3-narrow-column
+    # frame ONCE instead of re-scoring the corpus per consumer (profiled
+    # 20.1 -> 11.4 s at sf1; ~24 bytes/doc, far smaller than a second
+    # corpus scan at any scale)
     scored = docs.select(
         "doc_id", "lang", qs["quality_x100"].alias("quality_x100")
     ).localCheckpoint(eager=False)
-    counts = scored.groupBy("lang", "quality_x100").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    wl = Window.partitionBy("lang").orderBy("quality_x100")
-    bounds = counts.select(
-        "lang",
-        "quality_x100",
-        "_c",
-        (F.sum("_c").over(wl) - F.col("_c")).alias("_lo"),
-        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
-    )
-    # ntile(3) cut ranks: bucket b holds floor(n/3) rows plus one extra
-    # for the first n%3 buckets -> cuts at c1 and c2 (1-based ranks).
-    bounds = bounds.withColumn(
-        "_c1", F.expr("_n DIV 3 + CASE WHEN _n % 3 >= 1 THEN 1 ELSE 0 END")
-    ).withColumn(
-        "_c2",
-        F.expr("_c1 + _n DIV 3 + CASE WHEN _n % 3 >= 2 THEN 1 ELSE 0 END"),
-    )
-    grp = bounds.select(
-        "lang",
-        "quality_x100",
-        "_lo",
-        "_c1",
-        "_c2",
-        # whole-group bucket when the (lang, score) run sits inside one
-        # tercile; NULL marks the <=2 straddling groups per language
-        F.when(F.col("_lo") + F.col("_c") <= F.col("_c1"), F.lit(1))
-        .when(
-            (F.col("_lo") >= F.col("_c1"))
-            & (F.col("_lo") + F.col("_c") <= F.col("_c2")),
-            F.lit(2),
-        )
-        .when(F.col("_lo") >= F.col("_c2"), F.lit(3))
-        .alias("_gb"),
-    )
-    # shuffle the 3 narrow columns BEFORE the broadcast join so the rank
-    # window rides this exchange instead of re-shuffling the joined
-    # (wider) rows afterwards — A/B 2.4 vs 3.7 s at sf0.1
-    assigned = scored.repartition("lang", "quality_x100").join(
-        F.broadcast(grp), ["lang", "quality_x100"]
-    )
-    wg = Window.partitionBy("lang", "quality_x100").orderBy("doc_id")
-    rank = F.col("_lo") + F.row_number().over(wg)
-    return assigned.select(
-        "doc_id",
-        "lang",
-        "quality_x100",
-        F.coalesce(
-            F.col("_gb"),
-            F.when(rank <= F.col("_c1"), F.lit(1))
-            .when(rank <= F.col("_c2"), F.lit(2))
-            .otherwise(F.lit(3)),
-        )
-        .cast("int")
-        .alias("bucket"),
-    )
+    return stats.difficulty_buckets_from_scores(scored)
 
 
 def q_ann_pq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3048,7 +2987,7 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG: dict[str, QueryFn] = {
-    # ==== ROUND-9 GATE WINDOW (first 50) =================================
+    # ==== ROUND-10 GATE WINDOW (first 50) ================================
     # -- permanent reference-surface core (pinned every round) -----------
     "candles_1m": q_candles_1m,
     "candles_cascade": q_candles_cascade,
@@ -3060,12 +2999,108 @@ CATALOG: dict[str, QueryFn] = {
     "squash_blocks": q_squash_blocks,
     "deterministic_uid": q_deterministic_uid,
     "lookup_join": q_lookup_join,
-    # -- round-8 addition that sat past the r8 cutoff: the only query
-    #    with zero driver signal ever -> first slot after the core --------
+    # -- kernels CHANGED since their last driver check (highest risk —
+    #    the r8 lesson: in-repo parity pins are necessary, the driver
+    #    gate is the check that counts).  The whole PQ family moved to
+    #    Arrow argmin/ADC kernels in round 10 (operators/pq.py) and
+    #    difficulty_buckets gained the banded rank window; bigram_lift /
+    #    bloom_prefilter / pagerank_sim were touched by the ROUND-9
+    #    Arrow-kernel work after their round-8 driver check ---------------
+    "pq_codebooks": q_pq_codebooks,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
+    "ann_pq_recall": q_ann_pq_recall,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_pq_mrr": q_ann_pq_mrr,
+    "pq_reconstruction_error": q_pq_reconstruction_error,
+    "difficulty_buckets": q_difficulty_buckets,
+    "bigram_lift": q_bigram_lift,
+    "bloom_prefilter": q_bloom_prefilter,
+    "pagerank_sim": q_pagerank_sim,
+    # -- r6-green block: the 4 deferred map-only scans (oldest signal;
+    #    char_entropy's kernel also changed in round 9) -------------------
+    "length_histogram": q_length_histogram,
+    "quality_gate_pct": q_quality_gate_pct,
+    "char_entropy": q_char_entropy,
+    "normalize_text": q_normalize_text,
+    # -- r7-green block, risk-ordered: queries over the text kernels that
+    #    round 9 rewrote (quality_score/entropy/shingles) first, then the
+    #    dedup/ANN families ----------------------------------------------
+    "quality_auc": q_quality_auc,
+    "quality_pr_curve": q_quality_pr_curve,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "text_repetition": q_text_repetition,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_tokenset": q_dedup_tokenset,
+    "dedup_exact": q_dedup_exact,
+    "dedup_kept_corpus": q_dedup_kept_corpus,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_incremental": q_dedup_incremental,
+    "tfidf_vectorize": q_tfidf_vectorize,
+    "dsir_weights": q_dsir_weights,
+    "mixture_plan": q_mixture_plan,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "soft_dedup_weights": q_soft_dedup_weights,
+    "kmeans_train": q_kmeans_train,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    # ==== end of driver gate window (first 50) ==========================
+    # -- r7-green remainder (16 queries, none touched since round 7;
+    #    first in line for the round-11 window) ---------------------------
+    "label_centroids": q_label_centroids,
+    "pii_scrub": q_pii_scrub,
+    "ann_ivf_learned": q_ann_ivf_learned,
+    "kmeans_inertia": q_kmeans_inertia,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "leakage_safe_split": q_leakage_safe_split,
+    "asof_quotes": q_asof_quotes,
+    "session_windows": q_session_windows,
+    "twap": q_twap,
+    "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
+    "media_image_real": q_media_image_real,
+    "media_audio_real": q_media_audio_real,
+    "token_encode": q_token_encode,
+    "embedding_quantize": q_embedding_quantize,
+    # -- driver-green in round 8 (rotate back with the r11 window) --------
+    "rollback_candles": q_rollback_candles,
+    "pack_greedy": q_pack_greedy,
+    "pack_greedy_sharded": q_pack_greedy_sharded,
+    "weighted_sample": q_weighted_sample,
+    "weighted_sample_strata": q_weighted_sample_strata,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_pieces": q_bpe_encode_pieces,
+    "repeated_spans": q_repeated_spans,
+    "scrub_repeated_spans": q_scrub_repeated_spans,
+    "small_qty_revenue": q_small_qty_revenue,
+    "decimals_view": q_decimals_view,
+    "ticker_parse_latest": q_ticker_parse_latest,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "regional_revenue": q_regional_revenue,
+    "tumbling_window_5m": q_tumbling_window_5m,
+    "latest_supply": q_latest_supply,
+    "json_field_agg": q_json_field_agg,
+    "order_json": q_order_json,
+    "asset_name_search": q_asset_name_search,
+    "text_stats": q_text_stats,
+    "pairs_view": q_pairs_view,
+    "corpus_cardinality": q_corpus_cardinality,
+    "squash_repoint": q_squash_repoint,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dedup": q_cdc_dedup,
+    "quantile_summary": q_quantile_summary,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    # -- driver-green in round 9 (freshest signal, rotated out) -----------
     "zorder_layout": q_zorder_layout,
-    # -- r6-green block rotation (last driver-green round 6, 3 rounds
-    #    stale; leads with the two operators REWRITTEN in round 8 whose
-    #    last driver check predates the rewrite) --------------------------
     "contamination": q_contamination,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -3105,95 +3140,6 @@ CATALOG: dict[str, QueryFn] = {
     "label_purity": q_label_purity,
     "integrity_audit": q_integrity_audit,
     "token_vocab": q_token_vocab,
-    # ==== end of driver gate window (first 50) ==========================
-    # -- r6-green remainder (4 simple map-only scans deferred to the
-    #    round-10 window; in-repo oracle + driver_sim coverage meanwhile) --
-    "length_histogram": q_length_histogram,
-    "quality_gate_pct": q_quality_gate_pct,
-    "char_entropy": q_char_entropy,
-    "normalize_text": q_normalize_text,
-    # -- driver-green in round 8 (freshest signal, rotated out) -----------
-    "rollback_candles": q_rollback_candles,
-    "pack_greedy": q_pack_greedy,
-    "pack_greedy_sharded": q_pack_greedy_sharded,
-    "weighted_sample": q_weighted_sample,
-    "weighted_sample_strata": q_weighted_sample_strata,
-    "pq_codebooks": q_pq_codebooks,
-    "pq_encode": q_pq_encode,
-    "ann_pq": q_ann_pq,
-    "ann_ivfpq": q_ann_ivfpq,
-    "ann_pq_recall": q_ann_pq_recall,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    "ann_pq_mrr": q_ann_pq_mrr,
-    "pq_reconstruction_error": q_pq_reconstruction_error,
-    "bpe_train_merges": q_bpe_train_merges,
-    "bpe_encode_pieces": q_bpe_encode_pieces,
-    "bigram_lift": q_bigram_lift,
-    "difficulty_buckets": q_difficulty_buckets,
-    "repeated_spans": q_repeated_spans,
-    "scrub_repeated_spans": q_scrub_repeated_spans,
-    "small_qty_revenue": q_small_qty_revenue,
-    "decimals_view": q_decimals_view,
-    "ticker_parse_latest": q_ticker_parse_latest,
-    "pricing_summary": q_pricing_summary,
-    "top_orders": q_top_orders,
-    "regional_revenue": q_regional_revenue,
-    "tumbling_window_5m": q_tumbling_window_5m,
-    "latest_supply": q_latest_supply,
-    "json_field_agg": q_json_field_agg,
-    "order_json": q_order_json,
-    "asset_name_search": q_asset_name_search,
-    "text_stats": q_text_stats,
-    "pairs_view": q_pairs_view,
-    "corpus_cardinality": q_corpus_cardinality,
-    "squash_repoint": q_squash_repoint,
-    "pagerank_sim": q_pagerank_sim,
-    "cdc_chunks": q_cdc_chunks,
-    "cdc_dedup": q_cdc_dedup,
-    "quantile_summary": q_quantile_summary,
-    "bloom_prefilter": q_bloom_prefilter,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    # -- driver-green in round 7 (rotate back in rounds 10-11) ------------
-    "kmeans_train": q_kmeans_train,
-    "kmeans_inertia": q_kmeans_inertia,
-    "soft_dedup_weights": q_soft_dedup_weights,
-    "cluster_balanced_sample": q_cluster_balanced_sample,
-    "ann_ivf_learned": q_ann_ivf_learned,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "bpe_merge_pairs": q_bpe_merge_pairs,
-    "quality_auc": q_quality_auc,
-    "quality_pr_curve": q_quality_pr_curve,
-    "dsir_weights": q_dsir_weights,
-    "leakage_safe_split": q_leakage_safe_split,
-    "mixture_plan": q_mixture_plan,
-    "dedup_incremental": q_dedup_incremental,
-    "boilerplate_scrub": q_boilerplate_scrub,
-    "asof_quotes": q_asof_quotes,
-    "session_windows": q_session_windows,
-    "twap": q_twap,
-    "media_image_features": q_media_image_features,
-    "media_audio_features": q_media_audio_features,
-    "media_frame_sample": q_media_frame_sample,
-    "media_image_real": q_media_image_real,
-    "media_audio_real": q_media_audio_real,
-    "token_encode": q_token_encode,
-    "embedding_quantize": q_embedding_quantize,
-    "tfidf_vectorize": q_tfidf_vectorize,
-    "dedup_exact": q_dedup_exact,
-    "dedup_tokenset": q_dedup_tokenset,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_kept_corpus": q_dedup_kept_corpus,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_bruteforce": q_ann_bruteforce,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "label_centroids": q_label_centroids,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "text_repetition": q_text_repetition,
-    "pii_scrub": q_pii_scrub,
 }
 
 #: queries with no SQL-expressible oracle (the driver records a rows-only

@@ -486,7 +486,7 @@ def test_tfidf_vectorize_single_tokenize(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
-def test_bigram_lift_two_scans_takeordered(spark):
+def test_bigram_lift_one_scan_takeordered(spark):
     """bigram_lift: exactly ONE map-only corpus scan (the null-padded
     tail zip carries both pair AND unigram evidence; round-9 rewrite —
     was 2 scans) and a TakeOrdered top-k, never a global sort shuffle.
@@ -501,23 +501,27 @@ def test_bigram_lift_two_scans_takeordered(spark):
 
 
 def test_difficulty_buckets_no_per_lang_corpus_window(spark):
-    """difficulty_buckets (round-8 rewrite): the corpus-row window must
-    partition by (lang, quality_x100) — 101x finer than the old per-lang
-    ntile, whose dominant-language partition became ONE sorting task at
-    corpus scale.  Pin: no ntile anywhere; every window partition spec
-    that mentions lang alone sits over the BOUNDED counts frame (post
+    """difficulty_buckets (round-8 rewrite, round-10 banding): the
+    corpus-row window must partition by (lang, quality_x100, _band) —
+    101x finer than the old per-lang ntile PLUS a monotone doc_id band,
+    so even a point-mass score distribution never becomes ONE sorting
+    task.  Pin: no ntile anywhere; every window partition spec that
+    mentions lang alone sits over the BOUNDED counts frame (post
     hash-agg), never over corpus rows; the scored frame is checkpointed
-    (round 9) so the corpus is scored ONCE — the final plan reads the
-    narrow ExistingRDD twice (counts + assignment) and no parquet."""
+    (round 9) so the corpus is scored ONCE — the final plan holds four
+    narrow ExistingRDD reads (scored x2: band counts + assignment; the
+    checkpointed bounded grp frame x2: both broadcast consumers) and no
+    parquet."""
     df = CATALOG["difficulty_buckets"](spark, SF_SMOKE)
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan, plan
     assert plan.count("Scan parquet") == 0, plan
-    assert plan.count("Scan ExistingRDD") == 2, plan
-    # the corpus-row rank window keys on both lang and the bounded score
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    # the corpus-row rank window keys on lang, the bounded score, AND
+    # the monotone doc_id band
     assert re.search(
-        r"row_number\(\) windowspecdefinition\(lang#\d+, quality_x100",
+        r"row_number\(\) windowspecdefinition\(lang#\d+, quality_x100#\d+\w*, _band",
         plan,
     ), plan
 

@@ -388,3 +388,56 @@ def test_dsir_weights_separates_domains(spark):
         for r in dsir_weights(df, "is_t", n_buckets=1000).collect()
     }
     assert out == out2
+
+
+def test_difficulty_buckets_point_mass_exact_and_banded(spark):
+    """difficulty_buckets_from_scores under a POINT-MASS score (every doc
+    in a language shares one score — the distribution that collapsed the
+    round-8 (lang, score) window partition to a single sorting task):
+    buckets must still be EXACT ntile(3)-over-(score, doc_id), and the
+    rank window must key on the monotone _band so the run splits across
+    ~`bands` partitions.  Also covers sparse/non-dense doc_ids and a
+    straddling multi-score group."""
+    from blockchain_postgres_sync_spark.operators.stats import (
+        difficulty_buckets_from_scores,
+    )
+
+    rows = []
+    # lang A: point mass — 100 docs, all score 50, sparse ids
+    ids_a = [i * 37 + 5 for i in range(100)]
+    rows += [(i, "A", 50) for i in ids_a]
+    # lang B: two runs straddling both cuts (7 docs: 4 at 10, 3 at 20)
+    ids_b = [1000 + i for i in range(7)]
+    rows += [(i, "B", 10) for i in ids_b[:4]]
+    rows += [(i, "B", 20) for i in ids_b[4:]]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_x100 int")
+    out = difficulty_buckets_from_scores(df, bands=8)
+    got = {(r.lang, r.doc_id): r.bucket for r in out.collect()}
+
+    def ntile3(ids):
+        n = len(ids)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if b < extra else 0) for b in range(3)]
+        want, i = {}, 0
+        for b, sz in enumerate(sizes, start=1):
+            for _ in range(sz):
+                want[ids[i]] = b
+                i += 1
+        return want
+
+    for lang, ids in (("A", sorted(ids_a)), ("B", sorted(ids_b))):
+        # order within a lang is (score, doc_id); B's ids are already
+        # score-ordered by construction
+        want = ntile3(ids)
+        for did, b in want.items():
+            assert got[(lang, did)] == b, (lang, did, got[(lang, did)], b)
+
+    # the rank window partitions by (lang, score, _band), never by
+    # (lang, score) alone over corpus rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(lang#\d+\w*, quality_x100#\d+\w*, _band",
+        plan,
+    ), plan
