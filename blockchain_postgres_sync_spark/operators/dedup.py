@@ -1143,3 +1143,100 @@ def embedding_neardup_pairs_grid(
     return replicated.groupBy("_bi", "_bj").applyInPandas(
         cell_kernel, "id_a long, id_b long, cos_x1000 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (window-min sampled) fingerprints
+
+
+#: selected fingerprints are summed mod 2^40 so per-doc sums stay far below
+#: int64 in BOTH engines (DuckDB promotes BIGINT sums to HUGEINT; Spark
+#: wraps — keep the domain small enough that neither path is exercised)
+WINNOW_SUM_MOD = 1 << 40
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing-family fingerprint summary: hash every
+    k-token shingle (md5 → 60-bit int, the engine's cross-engine digest
+    family), sample the RIGHT-ANCHORED WINDOW MINIMA — position ``p`` is
+    selected iff ``h[p] == min(h[p-w+1 .. p])`` over full windows only
+    (``p >= w-1``), PLUS the global-min hash unconditionally (a
+    monotone-increasing hash run has no right-anchored window minimum and
+    every doc must emit at least one fingerprint; docs with fewer than
+    ``w`` shingles reduce to just the global min) — and reduce the
+    selected set per doc:
+
+    ``(doc_id, n_fp, fp_min, fp_sum)`` with ``n_fp`` = distinct selected
+    hashes, ``fp_sum`` = sum of the distinct hashes mod 2^40.
+
+    This is the MOSS/winnowing fingerprint family (local sampling of
+    k-gram hashes at expected density 1/w) in its right-anchored variant:
+    the selection rule is a pure function of the preceding window, so it
+    needs ONE forward pass — no robust-winnowing backward tie scan — and
+    replays exactly in a SQL window function for the oracle.  Ties
+    (h == window min at multiple positions) select every tying position;
+    the distinct pass collapses them.
+
+    Plan: map-only Arrow kernel (split → md5 per shingle → numpy sliding
+    window min), ZERO shuffles — per-doc output needs no aggregation
+    exchange.  At 100 TB this is a pure scan; the fingerprint CONSUMERS
+    (cross-doc fingerprint matching) group on the sampled hashes, which
+    is 1/w of the shingle volume by construction.
+    """
+    import pandas as pd
+
+    def batch(it):
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            out_id, out_n, out_min, out_sum = [], [], [], []
+            for did, t in zip(ids, pdf[text_col]):
+                toks = t.split(" ")
+                m = len(toks) - k + 1
+                if m < 1:
+                    sh = [" ".join(toks)]
+                else:
+                    sh = [" ".join(toks[i:i + k]) for i in range(m)]
+                hs = np.array(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in sh
+                    ],
+                    dtype=np.int64,
+                )
+                glob = hs[hs == hs.min()]
+                if len(hs) >= w:
+                    mins = sliding_window_view(hs, w).min(axis=1)
+                    sel = hs[w - 1:][hs[w - 1:] == mins]
+                    sel = np.concatenate([sel, glob])
+                else:
+                    sel = glob
+                fps = np.unique(sel)
+                out_id.append(did)
+                out_n.append(len(fps))
+                out_min.append(int(fps.min()))
+                out_sum.append(int((fps % WINNOW_SUM_MOD).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_id, dtype=np.int64),
+                    "n_fp": np.asarray(out_n, dtype=np.int64),
+                    "fp_min": np.asarray(out_min, dtype=np.int64),
+                    "fp_sum": np.asarray(out_sum, dtype=np.int64),
+                }
+            )
+
+    return df.filter(
+        F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    ).mapInPandas(batch, "doc_id long, n_fp long, fp_min long, fp_sum long")

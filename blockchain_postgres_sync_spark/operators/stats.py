@@ -970,3 +970,74 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (OOV rate) across a train/validation split
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    split_mod: int = 10,
+    train_lt: int = 8,
+) -> DataFrame:
+    """Out-of-vocabulary rate of the validation split against the training
+    split's vocabulary — the tokenizer-coverage probe run before committing
+    a vocab: ``vocab`` = tokens seen at least ``min_count`` times in the
+    train split (``doc_id % split_mod < train_lt``); for every language in
+    the val split report
+
+    ``(lang, n_tokens, n_oov, oov_x10000)``
+
+    with ``oov_x10000 = floor(10000 * n_oov / n_tokens)`` (integer-exact —
+    no float ratio in hash-compared output).
+
+    Plan: both splits aggregate BEFORE the vocab join — train tokens reduce
+    to (token, count) and val tokens to (lang, token, count) — so the join
+    carries one row per distinct (lang, token), not one per occurrence
+    (map-side partial aggregation does the heavy lifting in the scan
+    stage).  The vocab side is a shuffle join on ``token``, NOT a
+    broadcast: at 100 TB a >=min_count vocabulary is tens of millions of
+    rows and must stay distributed; the final per-lang rollup groups a
+    languages-sized set.  Three exchanges total, all on bounded keys.
+    """
+    tok = F.explode(tokens(F.col(text_col))).alias("token")
+    is_train = (F.col(id_col) % split_mod) < train_lt
+    vocab = (
+        docs.filter(is_train)
+        .select(tok)
+        .groupBy("token")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("token")
+    )
+    val_counts = (
+        docs.filter(~is_train)
+        .select(F.col(lang_col).alias("lang"), tok)
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        val_counts.join(vocab.withColumn("_in_v", F.lit(1)), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            # integer division (not float-floor): bit-identical across
+            # engines at any corpus size
+            F.expr("(10000 * n_oov) div n_tokens")
+            .cast("long")
+            .alias("oov_x10000"),
+        )
+    )

@@ -189,16 +189,20 @@ def sessionize(
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
-    on: str,
+    on: str | None,
     point_time: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
     bucket_seconds: int = 86400,
     how: str = "inner",
+    end_exclusive: bool = False,
+    max_buckets_per_interval: int | None = None,
 ) -> DataFrame:
     """Point-in-interval join: each ``points`` row matches every
     ``intervals`` row of the same ``on`` key with
-    ``start <= point_time <= end`` (inclusive).
+    ``start <= point_time <= end`` (inclusive; ``end_exclusive=True``
+    tightens the upper bound to ``<`` — the half-open convention of
+    validity windows).
 
     Spark's native plan for this predicate is a nested-loop join — O(P x I)
     per key.  Here the time axis is bucketized: every interval is exploded
@@ -210,25 +214,65 @@ def range_join(
     larger buckets = fewer interval replicas but more false candidates;
     smaller = the reverse.
 
+    ``on=None`` joins with NO entity key — the bucket alone is the join
+    key (global interval tables: maintenance windows, campaign windows).
+    That makes the bucket the whole shuffle key, so keyless joins want a
+    ``bucket_seconds`` small enough to spread the time axis across the
+    cluster (AQE splits the residual skew).
+
+    ``max_buckets_per_interval`` makes the fanout bound ENFORCED rather
+    than hoped-for: an interval spanning more buckets raises at runtime,
+    per-row inside the scan (Catalyst ``assert_true`` folded into the
+    explode input — a standalone asserted column would be pruned away
+    unevaluated).  Workloads with a few genuinely-long intervals should
+    split them into a broadcast side (the classic long/short interval
+    split) instead of raising the cap.
+
     ``how='left'`` keeps unmatched points with NULL interval columns.
     Intervals of one key may overlap; a point then matches each of them
     (standard join semantics).
     """
     pt_bucket = F.floor(_epoch(F.col(point_time)) / bucket_seconds)
+    end_epoch = _epoch(F.col(end_col)) - (1 if end_exclusive else 0)
     iv_buckets = F.sequence(
         F.floor(_epoch(F.col(start_col)) / bucket_seconds),
-        F.floor(_epoch(F.col(end_col)) / bucket_seconds),
+        F.floor(end_epoch / bucket_seconds),
     )
+    if max_buckets_per_interval is not None:
+        n_buckets = (
+            F.floor(end_epoch / bucket_seconds)
+            - F.floor(_epoch(F.col(start_col)) / bucket_seconds)
+            + 1
+        )
+        iv_buckets = F.when(
+            F.assert_true(
+                n_buckets <= F.lit(max_buckets_per_interval),
+                F.lit(
+                    f"interval spans more than {max_buckets_per_interval}"
+                    f" buckets of {bucket_seconds}s — split long intervals"
+                    f" or widen bucket_seconds"
+                ),
+            ).isNull(),
+            iv_buckets,
+        )
+    if end_exclusive:
+        # empty intervals (end <= start) match nothing under the half-open
+        # predicate; drop them BEFORE the explode — sequence() would
+        # otherwise yield a DESCENDING bucket range for them
+        intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     p = points.withColumn("_b", pt_bucket)
     iv = intervals.withColumn("_b", F.explode(iv_buckets))
     joined = p.join(
         iv,
-        [on, "_b"],
+        [on, "_b"] if on is not None else ["_b"],
         "left" if how == "left" else "inner",
     )
-    in_range = (F.col(point_time) >= F.col(start_col)) & (
-        F.col(point_time) <= F.col(end_col)
+    upper = (
+        F.col(point_time) < F.col(end_col)
+        if end_exclusive
+        else F.col(point_time) <= F.col(end_col)
     )
+    in_range = (F.col(point_time) >= F.col(start_col)) & upper
     if how == "left":
         # demote out-of-range candidates to non-matches, then keep all
         # matches — or, for a point with none, a single NULL row.  (Points

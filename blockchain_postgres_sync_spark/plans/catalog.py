@@ -2986,6 +2986,56 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS point-in-interval range join via the bounded-fanout bucket
+    equi-join (operators/temporal.py::range_join — the same rewrite
+    session_attribution drives in keyed form, here gated directly in its
+    keyless half-open variant with the fanout cap ENFORCED): supplier
+    shipping windows ``[l_shipdate, l_shipdate + (1 + l_quantity % 7)
+    days)`` against order dates; per order, how many distinct suppliers
+    had an active window.  A naive ``ON start <= t AND t < end`` plans as
+    a nested-loop/cartesian join — the bucket rewrite keeps it a
+    co-partitioned hash join with the range predicate as a post-filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    iv = li.select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_shipdate").alias("start_ts"),
+        F.timestamp_add(
+            "DAY",
+            (F.lit(1) + F.col("l_quantity").cast("long") % 7).cast("int"),
+            F.col("l_shipdate"),
+        ).alias("end_ts"),
+    )
+    pts = orders.select("o_orderkey", F.col("o_orderdate").alias("pt_ts"))
+    joined = temporal.range_join(
+        pts, iv, on=None, point_time="pt_ts",
+        start_col="start_ts", end_col="end_ts",
+        bucket_seconds=86_400, end_exclusive=True,
+        max_buckets_per_interval=8,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.countDistinct("supp").cast("long").alias("n_active_suppliers")
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-family winnowing fingerprints (right-anchored window-min
+    sampling of 3-gram md5 hashes, w=4) reduced per document — map-only
+    Arrow kernel, zero shuffles (operators/dedup.py::winnow_fingerprints).
+    """
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, w=4
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-split OOV rate against the train split's >=5-count
+    vocabulary, per language — both splits pre-aggregated before the
+    distributed vocab join (operators/stats.py::vocab_coverage)."""
+    return stats.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 CATALOG: dict[str, QueryFn] = {
     # ==== ROUND-10 GATE WINDOW (first 50) ================================
     # -- permanent reference-surface core (pinned every round) -----------
@@ -3018,6 +3068,11 @@ CATALOG: dict[str, QueryFn] = {
     "bigram_lift": q_bigram_lift,
     "bloom_prefilter": q_bloom_prefilter,
     "pagerank_sim": q_pagerank_sim,
+    # -- NEW in round 10 (never driver-checked — highest window priority
+    #    per the COVERAGE.md policy) --------------------------------------
+    "range_join": q_range_join,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "vocab_coverage": q_vocab_coverage,
     # -- r6-green block: the 4 deferred map-only scans (oldest signal;
     #    char_entropy's kernel also changed in round 9) -------------------
     "length_histogram": q_length_histogram,
@@ -3048,12 +3103,14 @@ CATALOG: dict[str, QueryFn] = {
     "kmeans_train": q_kmeans_train,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    # ==== end of driver gate window (first 50) ==========================
+    # -- r7-green remainder (19 queries — ann_ivf/ann_ivf_recall/
+    #    ann_lsh_recall displaced past the cutoff by the three round-10
+    #    additions above, per the new-query-first policy; none touched
+    #    since round 7; first in line for the round-11 window) ------------
     "ann_ivf": q_ann_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
-    # ==== end of driver gate window (first 50) ==========================
-    # -- r7-green remainder (16 queries, none touched since round 7;
-    #    first in line for the round-11 window) ---------------------------
     "label_centroids": q_label_centroids,
     "pii_scrub": q_pii_scrub,
     "ann_ivf_learned": q_ann_ivf_learned,
@@ -5547,4 +5604,79 @@ ORACLES["zorder_layout"] = f"""
            CAST(zkey // {1 << (2 * layout.ZORDER_BITS - 8)} AS BIGINT)
                AS z_bucket
     FROM staged
+"""
+
+
+# -- round-10 additions ------------------------------------------------------
+
+# range_join: DuckDB plans the raw inequality join directly (IEJoin); the
+# Spark side must land on the SAME pairs through the bin rewrite.  floor()
+# before the BIGINT cast because DuckDB's double->int cast ROUNDS while
+# Spark's truncates (quantities are integral, but the oracle should not
+# depend on that).
+ORACLES["range_join"] = """
+    WITH iv AS (
+        SELECT l_suppkey AS supp, l_shipdate AS start_ts,
+               l_shipdate + INTERVAL 1 DAY *
+                   (1 + CAST(floor(l_quantity) AS BIGINT) % 7) AS end_ts
+        FROM lineitem)
+    SELECT o.o_orderkey,
+           CAST(count(DISTINCT iv.supp) AS BIGINT) AS n_active_suppliers
+    FROM orders o JOIN iv
+      ON iv.start_ts <= o.o_orderdate AND o.o_orderdate < iv.end_ts
+    GROUP BY o.o_orderkey
+"""
+
+# winnow_fingerprints: replay the right-anchored window-min sampling with a
+# SQL window function (k=3 -> t[i:i+2] slices, w=4 -> 3 PRECEDING); the
+# unconditional `h = mall` arm selects every global-min tie — the kernel's
+# hs[hs == hs.min()] — covering short docs AND the at-least-one-fingerprint
+# guarantee.
+ORACLES["winnow_fingerprints"] = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    pos AS (SELECT doc_id, t, len(t) - 2 AS m_raw,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks),
+    shs AS (SELECT doc_id, i, greatest(m_raw, 1) AS m,
+                   array_to_string(t[i:i+2], ' ') AS shingle
+            FROM pos),
+    -- shingle materialized BEFORE hashing: _hex_int_sql's transform
+    -- variable is also named i and would shadow the position index
+    sh AS (SELECT doc_id, i, m, {_hex_int_sql('md5(shingle)', 15)} AS h
+           FROM shs),
+    wnd AS (SELECT doc_id, i, m, h,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS mw,
+                   min(h) OVER (PARTITION BY doc_id) AS mall
+            FROM sh),
+    sel AS (SELECT DISTINCT doc_id, h FROM wnd
+            WHERE (m >= 4 AND i >= 4 AND h = mw)
+               OR h = mall)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(min(h) AS BIGINT) AS fp_min,
+           CAST(sum(h % {dedup.WINNOW_SUM_MOD}) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
+"""
+
+# vocab_coverage: integer-exact OOV ratio ((10000*n) // total on both
+# engines); the LEFT JOIN NULL-probe mirrors the Spark left join on the
+# >=5-count train vocabulary.
+ORACLES["vocab_coverage"] = """
+    WITH tr AS (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id % 10 < 8),
+    vocab AS (SELECT token FROM tr GROUP BY token HAVING count(*) >= 5),
+    val AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE NOT (doc_id % 10 < 8)),
+    vc AS (SELECT lang, token, count(*) AS n FROM val GROUP BY lang, token)
+    SELECT vc.lang,
+           CAST(sum(vc.n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN vc.n ELSE 0 END)
+               AS BIGINT) AS n_oov,
+           CAST((10000 * sum(CASE WHEN v.token IS NULL THEN vc.n ELSE 0
+                                  END)) // sum(vc.n) AS BIGINT)
+               AS oov_x10000
+    FROM vc LEFT JOIN vocab v USING (token)
+    GROUP BY vc.lang
 """
