@@ -157,6 +157,10 @@ HEADLINE = [
     "bloom_prefilter",
     "cms_heavy_hitters",
     "zorder_layout",
+    "range_join",
+    "winnow_fingerprints",
+    "vocab_coverage",
+    "pca_project",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -33,7 +33,7 @@ from ..functions import text as T
 from ..functions import pii as PII
 from ..operators import (
     bpe, clustering, contamination, dedup, encoding, graph, layout,
-    multimodal, packing, pq, sampling, similarity, stats, temporal,
+    multimodal, packing, pca, pq, sampling, similarity, stats, temporal,
 )
 from ..operators.candles import (
     full_cascade_fixedpoint_onepass,
@@ -3029,6 +3029,33 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: power-iteration rounds for the pca_project catalog query.  The synthetic
+#: embeddings are near-isotropic (top-eigenvalue gap ~1.3% at sf0.01), the
+#: adversarial case for power iteration (rate (λ2/λ1)^t) — real embedding
+#: corpora with a dominant direction converge in <10 rounds; here 64 rounds
+#: give >0.95 alignment with the float eigensolver at the test SFs (pinned
+#: in tests/test_pca.py).  The oracle unrolls the same 64 rounds; each is a
+#: 64-row integer matvec, so the unroll costs the oracle nothing.
+PCA_QUERY_ITERS = 64
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): exact integer Gram reduce (one
+    Arrow map pass + one decimal38 exchange), driver-side integer power
+    iteration (bounded 64x64 model state, the kmeans_train pattern), then
+    a map-only statically-unrolled projection scan.  Bit-exact replay in
+    the oracle's unrolled HUGEINT CTE chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj, _v = pca.pca_project(
+        emb, dims=64, iters=PCA_QUERY_ITERS, keep_cols=["label"]
+    )
+    return proj.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("pc1_proj").cast("long").alias("pc1_proj"),
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation-split OOV rate against the train split's >=5-count
     vocabulary, per language — both splits pre-aggregated before the
@@ -3073,6 +3100,7 @@ CATALOG: dict[str, QueryFn] = {
     "range_join": q_range_join,
     "winnow_fingerprints": q_winnow_fingerprints,
     "vocab_coverage": q_vocab_coverage,
+    "pca_project": q_pca_project,
     # -- r6-green block: the 4 deferred map-only scans (oldest signal;
     #    char_entropy's kernel also changed in round 9) -------------------
     "length_histogram": q_length_histogram,
@@ -3102,12 +3130,12 @@ CATALOG: dict[str, QueryFn] = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "kmeans_train": q_kmeans_train,
     "ann_bruteforce": q_ann_bruteforce,
-    "ann_lsh": q_ann_lsh,
     # ==== end of driver gate window (first 50) ==========================
-    # -- r7-green remainder (19 queries — ann_ivf/ann_ivf_recall/
-    #    ann_lsh_recall displaced past the cutoff by the three round-10
+    # -- r7-green remainder (20 queries — ann_lsh/ann_ivf/ann_ivf_recall/
+    #    ann_lsh_recall displaced past the cutoff by the four round-10
     #    additions above, per the new-query-first policy; none touched
     #    since round 7; first in line for the round-11 window) ------------
+    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -5680,3 +5708,67 @@ ORACLES["vocab_coverage"] = """
     FROM vc LEFT JOIN vocab v USING (token)
     GROUP BY vc.lang
 """
+
+
+def _pca_oracle(dims: int, iters: int, scale: int) -> str:
+    """Unrolled integer power-iteration chain mirroring
+    operators/pca.py exactly: quantize -> HUGEINT moment sums ->
+    C = n*G - S S^T as 64 list rows -> per round (matvec, max-|.|,
+    sign-safe floor-div re-quantization) -> unrolled projection.  Every
+    step is integer arithmetic (HUGEINT in DuckDB, unbounded ints on the
+    Spark driver), so the unroll is bit-exact."""
+    # sign-safe floor division (DuckDB // truncates): subtract the
+    # nonnegative remainder first so the division is exact
+    fdiv = (
+        f"((wi * {scale}) - ((((wi * {scale}) % mv) + mv) % mv)) // mv"
+    )
+    # MATERIALIZED: DuckDB inlines CTEs by default, so a 64-round
+    # recurrence would otherwise expand into an exponentially deep scan
+    # tree (observed as fd exhaustion); materializing each round keeps the
+    # chain linear — each is a 64-row integer matvec
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+    w{r} AS MATERIALIZED (SELECT cm.i AS i,
+               list_sum(list_transform(generate_series(1, {dims}),
+                   dd -> cm.crow[dd] * v{r - 1}.v[dd])) AS wi
+             FROM cm, v{r - 1}),
+    m{r} AS MATERIALIZED (SELECT max(abs(wi)) AS mv FROM w{r}),
+    v{r} AS MATERIALIZED (SELECT list(CAST({fdiv} AS HUGEINT) ORDER BY i) AS v
+             FROM w{r}, m{r})""")
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+                   AS xq
+        FROM embeddings),
+    mom AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+    s AS (SELECT g.dd AS i, CAST(sum(xq[g.dd]) AS HUGEINT) AS si
+          FROM q, unnest(generate_series(1, {dims})) AS g(dd)
+          GROUP BY g.dd),
+    gm AS (SELECT gi.dd AS i, gj.dd AS j,
+                  CAST(sum(CAST(xq[gi.dd] AS HUGEINT) * xq[gj.dd])
+                      AS HUGEINT) AS gij
+           FROM q, unnest(generate_series(1, {dims})) AS gi(dd),
+                unnest(generate_series(1, {dims})) AS gj(dd)
+           GROUP BY gi.dd, gj.dd),
+    cm AS MATERIALIZED (SELECT gm.i AS i,
+                  list(mom.n * gm.gij - s1.si * s2.si ORDER BY gm.j)
+                      AS crow
+           FROM gm, mom
+           JOIN s s1 ON s1.i = gm.i
+           JOIN s s2 ON s2.i = gm.j
+           GROUP BY gm.i),
+    v0 AS (SELECT list_transform(generate_series(1, {dims}),
+                      z -> CAST({scale} AS HUGEINT)) AS v),
+    {','.join(rounds)}
+    SELECT q.vec_id, CAST(q.label AS INT) AS label,
+           CAST(list_sum(list_transform(generate_series(1, {dims}),
+                dd -> CAST(q.xq[dd] AS HUGEINT) * vt.v[dd])) AS BIGINT)
+               AS pc1_proj
+    FROM q, v{iters} AS vt
+    """
+
+
+ORACLES["pca_project"] = _pca_oracle(64, PCA_QUERY_ITERS, pca.PCA_SCALE)
