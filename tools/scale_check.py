@@ -61,6 +61,9 @@ SCALE_SET = [
     "media_image_real", "media_audio_real", "media_frame_sample",
     "char_entropy", "quality_score", "corpus_curation",
     "curated_training_corpus",
+    # round-10 additions: the new operator families (keyless capped range
+    # join, winnowing fingerprints, OOV coverage, integer PCA)
+    "range_join", "winnow_fingerprints", "vocab_coverage", "pca_project",
 ]
 
 _DUCK_WORKER = r"""
