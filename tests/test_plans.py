@@ -546,3 +546,27 @@ def test_weighted_sample_overflow_guard(spark):
         "w", n=2,
     )
     assert ok.count() == 2
+
+
+def test_vocab_coverage_preaggregates_before_join(spark):
+    """Both splits reduce map-side BEFORE the vocab join (the join carries
+    one row per distinct (lang, token), never per occurrence): at most 3
+    exchanges (train vocab agg, val counts agg, final lang rollup — the
+    join itself may reuse/broadcast), one corpus scan per split, no
+    nested loop."""
+    plan = _plan(spark, "vocab_coverage")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_range_join_is_bucketized_equi_join(spark):
+    """The catalog range_join gates the bucket rewrite itself: an equi
+    join on the bucket key (hash or sort-merge), the exact range predicate
+    as a post-join filter, never a quadratic join operator."""
+    plan = _plan(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
