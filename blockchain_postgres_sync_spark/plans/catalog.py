@@ -2990,32 +2990,51 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYLESS point-in-interval range join via the bounded-fanout bucket
     equi-join (operators/temporal.py::range_join — the same rewrite
     session_attribution drives in keyed form, here gated directly in its
-    keyless half-open variant with the fanout cap ENFORCED): supplier
-    shipping windows ``[l_shipdate, l_shipdate + (1 + l_quantity % 7)
-    days)`` against order dates; per order, how many distinct suppliers
-    had an active window.  A naive ``ON start <= t AND t < end`` plans as
-    a nested-loop/cartesian join — the bucket rewrite keeps it a
-    co-partitioned hash join with the range predicate as a post-filter."""
-    li = _t(spark, sf_dir, "lineitem")
+    keyless half-open variant with the fanout cap ENFORCED): per
+    "promo window" (days 2-5 of every epoch week present in orders —
+    derived from the data, so the interval side is SCALE-INVARIANT,
+    ~340 windows over the fixture's 6.5-year axis), how many orders and
+    distinct customers landed inside it.  A naive ``ON start <= t AND t
+    < end`` plans as a nested-loop/cartesian join — the bucket rewrite
+    keeps it an equi join with the range predicate as a post-filter.
+
+    The interval side is scale-invariant BY DESIGN: a keyless range
+    join's candidate volume is sum-over-buckets |P_bin| x |I_bin| — with
+    BOTH sides growing with the corpus it is inherently quadratic in sf
+    regardless of rewrite (the round-10 first cut matched every order to
+    every concurrent shipping window: ~162M true pairs at sf0.1, 208 s
+    — the rewrite cannot beat the true match count).  Bounded interval
+    sets (maintenance/promo/campaign windows) are the keyless range
+    join's honest use case; data-scaled interval sets belong in the
+    KEYED form (session_attribution)."""
     orders = _t(spark, sf_dir, "orders")
-    iv = li.select(
-        F.col("l_suppkey").alias("supp"),
-        F.col("l_shipdate").alias("start_ts"),
-        F.timestamp_add(
-            "DAY",
-            (F.lit(1) + F.col("l_quantity").cast("long") % 7).cast("int"),
-            F.col("l_shipdate"),
-        ).alias("end_ts"),
+    # integer epoch-week (div, not float floor — exact at any epoch)
+    wk = F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 604800")
+    iv = (
+        orders.select(wk.alias("wk"))
+        .distinct()
+        .select(
+            "wk",
+            F.timestamp_seconds(F.col("wk") * 604_800 + 172_800).alias(
+                "start_ts"
+            ),
+            F.timestamp_seconds(F.col("wk") * 604_800 + 432_000).alias(
+                "end_ts"
+            ),
+        )
     )
-    pts = orders.select("o_orderkey", F.col("o_orderdate").alias("pt_ts"))
+    pts = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("pt_ts")
+    )
     joined = temporal.range_join(
         pts, iv, on=None, point_time="pt_ts",
         start_col="start_ts", end_col="end_ts",
         bucket_seconds=86_400, end_exclusive=True,
-        max_buckets_per_interval=8,
+        max_buckets_per_interval=4,
     )
-    return joined.groupBy("o_orderkey").agg(
-        F.countDistinct("supp").cast("long").alias("n_active_suppliers")
+    return joined.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
     )
 
 
@@ -5638,21 +5657,30 @@ ORACLES["zorder_layout"] = f"""
 # -- round-10 additions ------------------------------------------------------
 
 # range_join: DuckDB plans the raw inequality join directly (IEJoin); the
-# Spark side must land on the SAME pairs through the bin rewrite.  floor()
-# before the BIGINT cast because DuckDB's double->int cast ROUNDS while
-# Spark's truncates (quantities are integral, but the oracle should not
-# depend on that).
+# Spark side must land on the SAME pairs through the bucket rewrite.
+# epoch-week promo windows: [wk*604800 + 2d, wk*604800 + 5d), weeks taken
+# from the data so the interval side is scale-invariant.
 ORACLES["range_join"] = """
     WITH iv AS (
-        SELECT l_suppkey AS supp, l_shipdate AS start_ts,
-               l_shipdate + INTERVAL 1 DAY *
-                   (1 + CAST(floor(l_quantity) AS BIGINT) % 7) AS end_ts
-        FROM lineitem)
-    SELECT o.o_orderkey,
-           CAST(count(DISTINCT iv.supp) AS BIGINT) AS n_active_suppliers
-    FROM orders o JOIN iv
-      ON iv.start_ts <= o.o_orderdate AND o.o_orderdate < iv.end_ts
-    GROUP BY o.o_orderkey
+        -- make_timestamp keeps the naive TIMESTAMP type (to_timestamp
+        -- returns TIMESTAMPTZ, whose comparison against o_orderdate
+        -- would depend on the session zone); date_diff gives exact
+        -- BIGINT epoch seconds
+        SELECT wk,
+               make_timestamp((wk * 604800 + 172800) * 1000000)
+                   AS start_ts,
+               make_timestamp((wk * 604800 + 432000) * 1000000) AS end_ts
+        FROM (SELECT DISTINCT date_diff('second',
+                  TIMESTAMP '1970-01-01', o_orderdate) // 604800 AS wk
+              FROM orders)),
+    j AS (
+        SELECT iv.wk, o.o_orderkey, o.o_custkey
+        FROM orders o JOIN iv
+          ON iv.start_ts <= o.o_orderdate AND o.o_orderdate < iv.end_ts)
+    SELECT CAST(wk AS BIGINT) AS wk,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM j GROUP BY wk
 """
 
 # winnow_fingerprints: replay the right-anchored window-min sampling with a
