@@ -104,6 +104,7 @@ HEADLINE = [
     "event_funnel",
     "retention_cohorts",
     "tfidf_rerank",
+    "bm25_topk",
     "daily_anomalies",
     "source_overlap",
     "chunk_dedup",

@@ -381,3 +381,134 @@ def tfidf_rerank(
         ).cast("long").alias("cos_x1m"),
     )
     return out.filter(F.col("dot_w2") > 0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval for ONE query (Robertson/Spärck Jones Okapi
+    BM25, the public formula) — the lexical-retrieval counterpart of
+    :func:`tfidf_rerank`, and the standard first stage of a
+    retrieve-then-rerank stack over a training corpus.
+
+    Integer-exact scoring (the ``unigram_logprob`` quantization recipe):
+    the ONLY float op is one ``ln`` per query term on the 1-row stats
+    frame — ``idf_x1000 = floor(1000 * ln((D - df + 0.5)/(df + 0.5) + 1))``
+    — quantized immediately; everything per-document is integer
+    arithmetic on BM25's rational terms, so scores are associative,
+    partitioning-independent, and engine-comparable:
+
+    - ``ratio_x1000 = floor(1000 * dl * D / T)`` (dl/avgdl with
+      avgdl = T/D) computed overflow-safe as ``dl*q + (dl*r) div T``
+      where ``q, r = divmod(1000*D, T)`` — exact because
+      ``floor(a*b/c) = b*(a div c) + (b*(a mod c)) div c`` for
+      non-negative integers; every intermediate stays under 2^63 since
+      ``dl * (1000*D mod T) < dl * T`` ≈ doc_len × corpus_tokens, i.e.
+      ~10^6 × ~10^12 at the 100 TB design point.
+    - ``k1term_x1000  = (k1_x10 * ((1000 - 10*b_x100)
+      + (b_x100 * ratio_x1000) div 100)) div 10`` — BM25's
+      ``k1 * (1 - b + b*dl/avgdl)`` length normalizer, x1000.
+    - ``tfnorm_x1000  = (tf * (k1_x10+10) * 100000)
+      div (1000*tf + k1term_x1000)`` — the saturating
+      ``tf*(k1+1) / (tf + k1*(...))`` term, x1000.
+    - ``score_x1000   = (sum_i idf_x1000_i * tfnorm_x1000_i) div 1000``
+      (terms with tf = 0 contribute exactly 0; one final floor).
+
+    Plan shape — ZERO corpus shuffle: per-document ``dl`` and per-term
+    ``tf`` are map-only via ``size(tokens)`` and
+    ``size(toks) - size(array_remove(toks, term))`` (``array_remove`` is
+    a codegen'd Catalyst builtin, not a lambda HOF — no interpreted-HOF
+    path in the hot per-row expression).  Corpus totals (D, T) and the
+    per-term document frequencies come from ONE 1-row aggregation whose
+    result rides a broadcast crossJoin back onto the map-only frame
+    (house rule: never a driver collect), and the final top-k is an
+    ``orderBy(...).limit(k)`` TakeOrdered — no global sort.  Two
+    column-pruned map-only corpus scans total (stats pass + scoring
+    pass); at 100 TB the scans dominate and nothing shuffles.
+
+    Only documents matching >= 1 query term are candidates; ties break
+    on ascending ``id_col`` so the top-k frontier is total-ordered.
+    Returns ``(id_col, dl, n_matched_terms, score_x1000)``.
+
+    Reference analog: generalizes the reference's `to_tsvector('simple')`
+    asset-name search surface (up.sql:703-705) from boolean match to
+    ranked retrieval.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    n = len(terms)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    per_doc = base.select(
+        id_col,
+        F.size("_toks").cast("long").alias("dl"),
+        *[
+            (F.size("_toks") - F.size(F.array_remove("_toks", t)))
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("_D"),
+        F.sum("dl").cast("long").alias("_T"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(n)
+        ],
+    )
+    idf_cols = [
+        F.floor(
+            F.log(
+                ((F.col("_D") - F.col(f"_df{i}")).cast("double") + 0.5)
+                / (F.col(f"_df{i}").cast("double") + 0.5)
+                + 1.0
+            )
+            * 1000.0
+        ).cast("long").alias(f"_idf{i}")
+        for i in range(n)
+    ]
+    stats = stats.select(
+        "_D",
+        "_T",
+        F.expr("(1000 * _D) div _T").alias("_q"),
+        F.expr("(1000 * _D) % _T").alias("_r"),
+        *idf_cols,
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # the shared BM25 pieces as SQL text (every column below is integer)
+    ratio = "(dl * _q + (dl * _r) div _T)"
+    k1term = (
+        f"(({k1_x10} * ({1000 - 10 * b_x100}"
+        f" + ({b_x100} * {ratio}) div 100)) div 10)"
+    )
+
+    def tfnorm(i: int) -> str:
+        return (
+            f"((_tf{i} * {(k1_x10 + 10) * 100000})"
+            f" div (1000 * _tf{i} + {k1term}))"
+        )
+
+    score = (
+        "("
+        + " + ".join(f"_idf{i} * {tfnorm(i)}" for i in range(n))
+        + ") div 1000"
+    )
+    matched = " + ".join(f"IF(_tf{i} > 0, 1, 0)" for i in range(n))
+    out = scored.select(
+        id_col,
+        F.col("dl"),
+        F.expr(matched).cast("int").alias("n_matched_terms"),
+        F.expr(score).cast("long").alias("score_x1000"),
+    ).filter(F.col("n_matched_terms") > 0)
+    return out.orderBy(
+        F.col("score_x1000").desc(), F.col(id_col).asc()
+    ).limit(k)

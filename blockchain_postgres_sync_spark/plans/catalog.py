@@ -3082,6 +3082,24 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.vocab_coverage(_t(spark, sf_dir, "documents"))
 
 
+
+
+#: the fixed lexical query for the BM25 gate entry — four corpus terms
+#: spanning the df spectrum of the synthetic vocabulary
+BM25_QUERY_TERMS = ["spark", "vector", "merge", "stream"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 lexical retrieval for a fixed 4-term query
+    (operators/encoding.py::bm25_topk) — integer-exact Okapi scoring
+    (idf quantized floor(1000*ln(.)), rational tf/length terms as exact
+    integer arithmetic), map-only tf/dl via size+array_remove, one 1-row
+    stats broadcast, TakeOrdered top-k.  Zero corpus shuffle."""
+    return encoding.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=20
+    )
+
+
 CATALOG: dict[str, QueryFn] = {
     # ==== ROUND-10 GATE WINDOW (first 50) ================================
     # -- permanent reference-surface core (pinned every round) -----------
@@ -3120,6 +3138,7 @@ CATALOG: dict[str, QueryFn] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "vocab_coverage": q_vocab_coverage,
     "pca_project": q_pca_project,
+    "bm25_topk": q_bm25_topk,
     # -- r6-green block: the 4 deferred map-only scans (oldest signal;
     #    char_entropy's kernel also changed in round 9) -------------------
     "length_histogram": q_length_histogram,
@@ -5800,3 +5819,62 @@ def _pca_oracle(dims: int, iters: int, scale: int) -> str:
 
 
 ORACLES["pca_project"] = _pca_oracle(64, PCA_QUERY_ITERS, pca.PCA_SCALE)
+
+
+def _bm25_oracle(terms: list[str], k: int, k1_x10: int, b_x100: int) -> str:
+    """DuckDB twin of operators/encoding.py::bm25_topk — the identical
+    integer quantization spec, term list unrolled."""
+    n = len(terms)
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(n)
+    )
+    idf_cols = ",\n               ".join(
+        f"CAST(floor(ln((CAST(d - df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1000.0) AS BIGINT)"
+        f" AS idf{i}"
+        for i in range(n)
+    )
+    k1term = (
+        f"(({k1_x10} * ({1000 - 10 * b_x100}"
+        f" + ({b_x100} * (dl * q + (dl * r) // t_tot)) // 100)) // 10)"
+    )
+    score = " + ".join(
+        f"idf{i} * ((tf{i} * {(k1_x10 + 10) * 100000})"
+        f" // (1000 * tf{i} + {k1term}))"
+        for i in range(n)
+    )
+    matched = " + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL),
+        per_doc AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+            FROM base),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS d,
+                   CAST(sum(dl) AS BIGINT) AS t_tot,
+               {df_cols}
+            FROM per_doc),
+        st2 AS (
+            SELECT *, (1000 * d) // t_tot AS q, (1000 * d) % t_tot AS r,
+               {idf_cols}
+            FROM st)
+        SELECT doc_id, dl,
+               CAST({matched} AS INTEGER) AS n_matched_terms,
+               CAST(({score}) // 1000 AS BIGINT) AS score_x1000
+        FROM per_doc, st2
+        WHERE {matched} > 0
+        ORDER BY score_x1000 DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+ORACLES["bm25_topk"] = _bm25_oracle(BM25_QUERY_TERMS, 20, 12, 75)
+

@@ -235,3 +235,90 @@ def test_tfidf_rerank_exact_dot(spark):
     }
     assert out == {(1, 2): expect(1, 2), (1, 3): expect(1, 3),
                    (3, 4): expect(3, 4)}
+
+
+# ------------------------------------------------------------------ bm25
+
+
+def _bm25_py(docs, terms, k1_x10=12, b_x100=75):
+    """Plain-python replay of the bm25_topk integer spec (independent of
+    both the Spark and the DuckDB implementations)."""
+    import math
+
+    toks = {d: t.split(" ") for d, t in docs}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs, n_toks = len(toks), sum(dl.values())
+    out = {}
+    idf = {}
+    for t in terms:
+        df = sum(1 for ts in toks.values() if t in ts)
+        idf[t] = math.floor(
+            1000.0 * math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        )
+    q, r = divmod(1000 * n_docs, n_toks)
+    for d, ts in toks.items():
+        ratio = dl[d] * q + (dl[d] * r) // n_toks
+        k1term = (k1_x10 * ((1000 - 10 * b_x100) + (b_x100 * ratio) // 100)) // 10
+        score, matched = 0, 0
+        for t in terms:
+            tf = ts.count(t)
+            if tf:
+                matched += 1
+                score += idf[t] * (
+                    (tf * (k1_x10 + 10) * 100000) // (1000 * tf + k1term)
+                )
+        if matched:
+            out[d] = (dl[d], matched, score // 1000)
+    return out
+
+
+BM25_DOCS = [
+    (1, "cat cat cat cat dog"),          # high tf, short doc
+    (2, "cat dog bird fish mouse horse cow sheep goat pig hen duck"),
+    (3, "bird bird bird"),               # matches one rare-ish term only
+    (4, "fish mouse horse cow sheep"),   # no query term
+    (5, "cat dog cat dog cat dog cat dog cat dog cat dog cat dog"),
+    (6, "dog"),                          # minimal doc
+]
+
+
+def test_bm25_topk_matches_python_replay(spark):
+    from blockchain_postgres_sync_spark.operators.encoding import bm25_topk
+
+    terms = ["cat", "dog", "bird"]
+    docs = spark.createDataFrame(BM25_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dl"], r["n_matched_terms"], r["score_x1000"])
+        for r in bm25_topk(docs, terms, k=10).collect()
+    }
+    assert got == _bm25_py(BM25_DOCS, terms)
+
+
+def test_bm25_topk_k_and_tiebreak(spark):
+    """k cuts the frontier after the (score desc, doc_id asc) total order,
+    and docs with zero matched terms never appear."""
+    from blockchain_postgres_sync_spark.operators.encoding import bm25_topk
+
+    terms = ["cat", "dog", "bird"]
+    docs = spark.createDataFrame(BM25_DOCS, ["doc_id", "text"])
+    rows = bm25_topk(docs, terms, k=3).collect()
+    ref = _bm25_py(BM25_DOCS, terms)
+    order = sorted(ref, key=lambda d: (-ref[d][2], d))[:3]
+    assert [r["doc_id"] for r in rows] == order
+    assert 4 not in {r["doc_id"] for r in rows}
+
+
+def test_bm25_topk_all_docs_term_scores_zero_but_matches(spark):
+    """A term present in EVERY document floors to idf 0 (ln(1+eps)) once the
+    corpus is large enough; the doc still counts as matched."""
+    from blockchain_postgres_sync_spark.operators.encoding import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common filler") for i in range(1, 600)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(docs, ["common"], k=5).collect()
+    assert len(rows) == 5
+    assert all(r["n_matched_terms"] == 1 for r in rows)
+    assert all(r["score_x1000"] == 0 for r in rows)
+    # ties broken by ascending doc_id
+    assert [r["doc_id"] for r in rows] == [1, 2, 3, 4, 5]

@@ -570,3 +570,16 @@ def test_range_join_is_bucketized_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_bm25_topk_zero_corpus_shuffle(spark):
+    """BM25 must stay the map-only + 1-row-broadcast + TakeOrdered shape:
+    no hash exchange anywhere (the only exchange is the single-partition
+    one under the global stats agg), no sort-merge/shuffle join, no Python
+    eval in the scoring path, and a TakeOrdered — not a global Sort."""
+    plan = _plan(spark, "bm25_topk")
+    assert _n_exchanges(plan) == 0, plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
