@@ -162,6 +162,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "vocab_coverage",
     "pca_project",
+    "hll_cardinality",
+    "minhash_jaccard_est",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

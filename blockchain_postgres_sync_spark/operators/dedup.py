@@ -1240,3 +1240,80 @@ def winnow_fingerprints(
     ).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
     ).mapInPandas(batch, "doc_id long, n_fp long, fp_min long, fp_sum long")
+
+
+def minhash_jaccard_probe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Accuracy probe of the MinHash estimator on its own LSH candidate
+    pairs: per pair, the signature-agreement Jaccard estimate
+    (``est_x100 = 100 * n_agree div num_hashes`` — the unbiased MinHash
+    estimator at signature resolution) next to the EXACT shingle-set
+    Jaccard, plus the signed error.  The num_hashes/bands tuning metric
+    for the dedup family — the companion of the ann_*_recall probes on
+    the retrieval side: it answers "how wrong is the 12-hash sketch on
+    the pairs it actually surfaces", which bounds the false-positive rate
+    of any downstream ``min_agree`` threshold.
+
+    Plan shape: signature build + banding as in
+    :func:`minhash_signatures` / :func:`lsh_candidate_pairs`; the
+    agreement count is in-row integer arithmetic after two id-keyed
+    equi-joins of the pair list against the signature frame (both sides
+    id-partitioned, AQE picks the strategy; the pair list is
+    LSH-bounded, never all-pairs).  The exact leg reuses
+    :func:`ngram_jaccard_pairs` at threshold 0 (posting-list expansion,
+    no shuffle self-join) — ground truth only; a production pipeline
+    deploys the estimate alone.  A candidate pair produced purely by a
+    banding hash collision shares no shingle and takes exact Jaccard 0
+    via the left join.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"_a{j}") for j in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"_b{j}") for j in range(num_hashes)],
+    )
+    agree_terms = [
+        (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int")
+        for j in range(num_hashes)
+    ]
+    agree = agree_terms[0]
+    for t in agree_terms[1:]:
+        agree = agree + t
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", agree.cast("long").alias("n_agree"))
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_size, threshold=0.0
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.expr(f"(100 * n_agree) div {num_hashes}")
+            .cast("long")
+            .alias("est_x100"),
+            F.coalesce(F.col("jaccard_x100"), F.lit(0))
+            .cast("long")
+            .alias("jaccard_x100"),
+        )
+        .withColumn(
+            "err_x100",
+            (F.col("est_x100") - F.col("jaccard_x100")).cast("long"),
+        )
+    )

@@ -1041,3 +1041,134 @@ def vocab_coverage(
             .alias("oov_x10000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch — the third mergeable sketch next to the
+# Bloom bitmap (membership, operators/contamination.py) and the count-min
+# sketch (frequency, above): COUNT(DISTINCT …) in a fixed HLL_M-register
+# summary whose registers merge by MAX across partitions / micro-batches.
+# At 100 TB this replaces the Expand-based exact multi-distinct
+# (q_corpus_cardinality) wherever ±~5% suffices: the corpus reduces
+# map-side to <= groups * HLL_M rows and the shuffle carries registers,
+# never keys.  Flajolet et al. 2007 (the classic estimator, not the ++
+# bias-table variant); every step below is integer arithmetic on a shared
+# md5-slice convention so the DuckDB oracle lands on the IDENTICAL count.
+
+import math  # noqa: E402  (kept with its sole consumer, the LC table)
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers, ~relative error 1.04/sqrt(m) = 4.6%
+HLL_BODY_BITS = 32 - HLL_P  # rank bits left of a 32-bit md5-slice hash
+HLL_RHO_MAX = HLL_BODY_BITS + 1  # rho when the body is all zeros
+HLL_SCALE = 30  # fixed-point shift for sum(2^-reg): reg <= 24 < SCALE
+
+#: linear-counting table for the small-range regime: lc[V-1] =
+#: round(m * ln(m / V)) for V zero registers, computed ONCE here and
+#: embedded as the same integer literals in the Spark plan and the DuckDB
+#: oracle — the only ln() in the sketch never runs inside either engine.
+HLL_LC_TABLE: tuple[int, ...] = tuple(
+    round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+)
+
+#: alpha_m = 0.7213 / (1 + 1.079/m) kept exact-rational:
+#:   E_raw = alpha_m * m^2 / sum(2^-reg)
+#:         = (7213000 * m^3 * 2^SCALE) / (10000*(1000*m + 1079) * sum_inv)
+#: with sum_inv = sum(2^(SCALE-reg)) — numerator ~1.0e24 and denominator
+#: <= ~2.9e21 both sit comfortably inside decimal(38,0).
+_HLL_EST_NUM = 7213000 * HLL_M**3 * (1 << HLL_SCALE)
+_HLL_EST_DEN = 10000 * (1000 * HLL_M + 1079)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group HLL register frame ``group_cols + (bucket, reg)`` — at
+    most ``HLL_M`` rows per group regardless of key cardinality.
+
+    Hash convention (mirrored verbatim by the DuckDB oracle): the first
+    8 md5 hex chars as a 32-bit integer; the low ``HLL_P`` bits (mod)
+    pick the bucket, and the geometric rank rho is trailing-zeros(body)+1
+    of the remaining ``HLL_BODY_BITS`` (``HLL_RHO_MAX`` for body == 0) —
+    trailing zeros are the same geometric variable as the textbook's
+    leading zeros and need only ``bit_count((b-1) - ((b-1) & b))``,
+    portable integer ops in both engines.
+
+    Plan shape: ONE hash aggregation on (group, bucket) — max(rho)
+    combines map-side, so only <= groups * HLL_M register rows cross the
+    shuffle.  Registers merge by MAX: partial frames from any
+    partitioning / micro-batch / day-partition union-and-max to exactly
+    the registers of the combined corpus (test-pinned).
+    """
+    gcols = list(group_cols or [])
+    staged = df.select(
+        *gcols,
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    body = f"(_h div {HLL_M})"
+    cells = staged.select(
+        *gcols,
+        F.expr(f"_h % {HLL_M}").alias("bucket"),
+        F.expr(
+            f"CASE WHEN {body} = 0 THEN {HLL_RHO_MAX} "
+            f"ELSE bit_count(({body} - 1) - (({body} - 1) & {body})) + 1 "
+            "END"
+        ).alias("_rho"),
+    )
+    return cells.groupBy(*gcols, "bucket").agg(F.max("_rho").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold a register frame into per-group cardinality estimates:
+    ``group_cols + n_registers_set + hll_est`` (both bigint).
+
+    Raw estimator in exact integer arithmetic (see ``_HLL_EST_NUM``);
+    absent buckets contribute ``2^SCALE`` (reg = 0) via the
+    ``(m - n_set) << SCALE`` term instead of materializing empty rows.
+    Small-range regime (``E_raw <= 5m/2`` with zero registers present)
+    switches to linear counting through the precomputed integer
+    ``HLL_LC_TABLE`` — the classic two-regime estimator, deterministic in
+    both engines because the table is shared literals, not runtime ln().
+    """
+    gcols = list(group_cols or [])
+    agg = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_set"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE} - reg)")
+        )
+        .cast("long")
+        .alias("_sp"),
+    )
+    sinv = (
+        F.col("_sp")
+        + (F.lit(HLL_M) - F.col("n_registers_set"))
+        * F.lit(1 << HLL_SCALE)
+    ).alias("_sinv")
+    staged = agg.select(*gcols, "n_registers_set", sinv)
+    raw = F.expr(
+        f"CAST({_HLL_EST_NUM} AS DECIMAL(38,0)) div "
+        f"(CAST({_HLL_EST_DEN} AS DECIMAL(38,0)) * _sinv)"
+    ).cast("long")
+    v = F.lit(HLL_M) - F.col("n_registers_set")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LC_TABLE]), v.cast("int")
+    ).cast("long")
+    return staged.select(
+        *gcols,
+        "n_registers_set",
+        F.when((F.lit(2) * raw <= F.lit(5 * HLL_M)) & (v > 0), lc)
+        .otherwise(raw)
+        .alias("hll_est"),
+    )
+
+
+def hll_cardinality(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Estimate COUNT(DISTINCT key_col) per group through the HLL sketch
+    (:func:`hll_registers` → :func:`hll_estimate`)."""
+    return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)

@@ -3100,6 +3100,48 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-3-shingle cardinality through the HLL sketch
+    (operators/stats.py::hll_cardinality) next to the exact count — the
+    accuracy probe of the third mergeable sketch (Bloom = membership,
+    CMS = frequency, HLL = cardinality).  The exact leg exists only as
+    ground truth, like the ann_*_recall probes; at 100 TB you deploy the
+    sketch alone: one (lang, bucket) hash-agg, <= 512 register rows per
+    language cross the shuffle, registers merge by MAX across
+    partitions/micro-batches."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "lang", F.explode(T.token_shingles(F.col("text"))).alias("shingle")
+    )
+    est = stats.hll_cardinality(sh, "shingle", ["lang"])
+    exact = sh.groupBy("lang").agg(
+        F.countDistinct("shingle").alias("n_exact")
+    )
+    return exact.join(est, "lang").select(
+        "lang",
+        "n_exact",
+        "n_registers_set",
+        "hll_est",
+        F.expr("(abs(hll_est - n_exact) * 10000) div n_exact")
+        .cast("long")
+        .alias("err_x10000"),
+    )
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy on its own LSH candidate pairs
+    (operators/dedup.py::minhash_jaccard_probe): 12-hash signature-
+    agreement estimate vs exact shingle-set Jaccard, with signed error —
+    the num_hashes/bands tuning probe of the dedup family (the
+    ann_*_recall counterpart on the pair side)."""
+    return dedup.minhash_jaccard_probe(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=12,
+        shingle_size=3,
+        bands=4,
+    )
+
+
 CATALOG: dict[str, QueryFn] = {
     # ==== ROUND-10 GATE WINDOW (first 50) ================================
     # -- permanent reference-surface core (pinned every round) -----------
@@ -3139,6 +3181,8 @@ CATALOG: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "pca_project": q_pca_project,
     "bm25_topk": q_bm25_topk,
+    "hll_cardinality": q_hll_cardinality,
+    "minhash_jaccard_est": q_minhash_jaccard_est,
     # -- r6-green block: the 4 deferred map-only scans (oldest signal;
     #    char_entropy's kernel also changed in round 9) -------------------
     "length_histogram": q_length_histogram,
@@ -3166,13 +3210,14 @@ CATALOG: dict[str, QueryFn] = {
     "mixture_plan": q_mixture_plan,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "soft_dedup_weights": q_soft_dedup_weights,
+    # ==== end of driver gate window (first 50) ==========================
+    # -- r7-green remainder (22 queries — kmeans_train/ann_bruteforce/
+    #    ann_lsh/ann_ivf/ann_ivf_recall/ann_lsh_recall displaced past the
+    #    cutoff by the round-10 additions above, per the new-query-first
+    #    policy; none touched since round 7; first in line for the
+    #    round-11 window) ------------------------------------------------
     "kmeans_train": q_kmeans_train,
     "ann_bruteforce": q_ann_bruteforce,
-    # ==== end of driver gate window (first 50) ==========================
-    # -- r7-green remainder (20 queries — ann_lsh/ann_ivf/ann_ivf_recall/
-    #    ann_lsh_recall displaced past the cutoff by the four round-10
-    #    additions above, per the new-query-first policy; none touched
-    #    since round 7; first in line for the round-11 window) ------------
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -5878,3 +5923,133 @@ def _bm25_oracle(terms: list[str], k: int, k1_x10: int, b_x100: int) -> str:
 
 ORACLES["bm25_topk"] = _bm25_oracle(BM25_QUERY_TERMS, 20, 12, 75)
 
+
+
+# hll_cardinality: the oracle replays the sketch itself — same md5-slice
+# hash, same trailing-zero rank, same exact-rational raw estimator and the
+# same embedded linear-counting literals (stats.HLL_LC_TABLE) — so both
+# engines land on the IDENTICAL estimate, then joins the exact distinct
+# count as ground truth.
+def _hll_oracle() -> str:
+    m, sc = stats.HLL_M, stats.HLL_SCALE
+    lc = "[" + ", ".join(str(x) for x in stats.HLL_LC_TABLE) + "]"
+    body = f"(hv // {m})"
+    return f"""
+        WITH toks AS (
+            SELECT lang, string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT lang, t,
+                       unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                           AS i
+                FROM toks),
+        sh AS (SELECT lang, array_to_string(t[i:i+2], ' ') AS shingle
+               FROM pos),
+        h AS (SELECT lang, shingle,
+                     {_hex_int_sql("md5(shingle)", 8)} AS hv
+              FROM sh),
+        br AS (SELECT lang, hv % {m} AS bucket,
+                      CASE WHEN {body} = 0 THEN {stats.HLL_RHO_MAX}
+                           ELSE bit_count(({body} - 1)
+                                          - (({body} - 1) & {body})) + 1
+                      END AS rho
+               FROM h),
+        regs AS (SELECT lang, bucket, max(rho) AS reg
+                 FROM br GROUP BY lang, bucket),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nset,
+                       CAST(sum(CAST(1 AS BIGINT) << ({sc} - reg))
+                            AS BIGINT) AS sp
+                FROM regs GROUP BY lang),
+        est AS (SELECT lang, nset,
+                       sp + ({m} - nset) * (CAST(1 AS BIGINT) << {sc})
+                           AS sinv,
+                       {m} - nset AS v
+                FROM agg),
+        raw AS (SELECT lang, nset, v,
+                       CAST({stats._HLL_EST_NUM} AS HUGEINT)
+                           // (CAST({stats._HLL_EST_DEN} AS HUGEINT)
+                               * sinv) AS raw_est
+                FROM est),
+        corr AS (SELECT lang, nset,
+                        CASE WHEN 2 * raw_est <= {5 * m} AND v > 0
+                             THEN CAST(({lc})[v] AS HUGEINT)
+                             ELSE raw_est END AS hll_est
+                 FROM raw),
+        exact AS (SELECT lang,
+                         CAST(count(DISTINCT shingle) AS BIGINT) AS n_exact
+                  FROM sh GROUP BY lang)
+        SELECT e.lang, e.n_exact,
+               CAST(c.nset AS BIGINT) AS n_registers_set,
+               CAST(c.hll_est AS BIGINT) AS hll_est,
+               CAST((abs(c.hll_est - e.n_exact) * 10000) // e.n_exact
+                    AS BIGINT) AS err_x10000
+        FROM exact e JOIN corr c USING (lang)
+    """
+
+
+ORACLES["hll_cardinality"] = _hll_oracle()
+
+
+# minhash_jaccard_est: the oracle replays signatures + banding (the
+# _MINHASH_SQL convention), counts per-pair seed agreement, and joins the
+# exact shingle-set Jaccard (the _JACCARD_SQL formula, unthresholded)
+# restricted to the candidate pairs; a banding-collision pair without
+# shared shingles takes exact Jaccard 0 via the left join — identical to
+# the Spark side's coalesce.
+ORACLES["minhash_jaccard_est"] = f"""
+    WITH {_SHINGLES_SQL},
+    hv AS (
+        SELECT doc_id,
+               {_hex_int_sql('md5(shingle)', 15)} % {_MINHASH_P} AS hv
+        FROM sh),
+    seeded AS (
+        SELECT doc_id, unnest(generate_series(0, 11)) AS seed, hv
+        FROM hv),
+    hashed AS (
+        SELECT doc_id, seed,
+               (((2654435761 * (seed + 1)) % {_MINHASH_P}) * hv
+                + ((40503 * (seed + 7)) % {_MINHASH_P})) % {_MINHASH_P} AS h
+        FROM seeded),
+    sig AS (SELECT doc_id, seed, min(h) AS minhash
+            FROM hashed GROUP BY doc_id, seed),
+    banded AS (
+        SELECT doc_id, CAST(floor(seed / 3.0) AS INT) AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed))
+                   AS bucket
+        FROM sig GROUP BY doc_id, CAST(floor(seed / 3.0) AS INT)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+    agree AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b),
+    exact AS (
+        SELECT i.id_a, i.id_b,
+               CAST(floor(CAST(i.n_inter AS DOUBLE) * 100.0
+                   / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE))
+                   AS BIGINT) AS jaccard_x100
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b)
+    SELECT g.id_a, g.id_b, g.n_agree,
+           CAST((100 * g.n_agree) // 12 AS BIGINT) AS est_x100,
+           CAST(COALESCE(e.jaccard_x100, 0) AS BIGINT) AS jaccard_x100,
+           CAST((100 * g.n_agree) // 12 - COALESCE(e.jaccard_x100, 0)
+                AS BIGINT) AS err_x100
+    FROM agree g
+    LEFT JOIN exact e ON e.id_a = g.id_a AND e.id_b = g.id_b
+"""
