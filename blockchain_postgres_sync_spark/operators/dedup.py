@@ -1265,12 +1265,18 @@ def minhash_jaccard_probe(
     agreement count is in-row integer arithmetic after two id-keyed
     equi-joins of the pair list against the signature frame (both sides
     id-partitioned, AQE picks the strategy; the pair list is
-    LSH-bounded, never all-pairs).  The exact leg reuses
-    :func:`ngram_jaccard_pairs` at threshold 0 (posting-list expansion,
-    no shuffle self-join) — ground truth only; a production pipeline
-    deploys the estimate alone.  A candidate pair produced purely by a
-    banding hash collision shares no shingle and takes exact Jaccard 0
-    via the left join.
+    LSH-bounded, never all-pairs).  The exact leg is PAIR-BOUNDED too:
+    two more id-keyed joins attach each side's distinct hashed-shingle
+    array and the intersection is an in-row ``array_intersect`` — NOT the
+    all-co-shingle-pair posting expansion (``ngram_jaccard_pairs`` at
+    threshold 0), which on a duplication-heavy corpus materializes the
+    quadratic pair blow-up the LSH bands exist to avoid (measured at
+    local sf1: the expansion form dies on a 9.7 GiB mis-broadcast; this
+    form completes in seconds).  Same 64-bit hashed-shingle identity
+    convention (collision odds ~2^-64) as the rest of the family; exact
+    Jaccard here is ground truth only — production deploys the estimate.
+    A candidate pair produced purely by a banding hash collision shares
+    no shingle and takes exact Jaccard 0 from the empty intersection.
     """
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size
@@ -1296,11 +1302,23 @@ def minhash_jaccard_probe(
         .join(b, "id_b")
         .select("id_a", "id_b", agree.cast("long").alias("n_agree"))
     )
-    exact = ngram_jaccard_pairs(
-        df, id_col, text_col, shingle_size, threshold=0.0
+    sets = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(
+            hashed_token_shingles(F.col(text_col), shingle_size)
+        ).alias("_shs"),
     )
+    a_sets = sets.select(
+        F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")
+    )
+    b_sets = sets.select(
+        F.col("_sid").alias("id_b"), F.col("_shs").alias("_sb")
+    )
+    n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    n_union = F.size("_sa") + F.size("_sb") - n_inter
     return (
-        est.join(exact, ["id_a", "id_b"], "left")
+        est.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1308,7 +1326,11 @@ def minhash_jaccard_probe(
             F.expr(f"(100 * n_agree) div {num_hashes}")
             .cast("long")
             .alias("est_x100"),
-            F.coalesce(F.col("jaccard_x100"), F.lit(0))
+            # float-floor form matches ngram_jaccard_pairs (and the
+            # oracle) exactly on these integer-valued operands
+            F.floor(
+                n_inter.cast("double") * 100.0 / n_union.cast("double")
+            )
             .cast("long")
             .alias("jaccard_x100"),
         )

@@ -583,3 +583,31 @@ def test_bm25_topk_zero_corpus_shuffle(spark):
                 "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_register_build_is_two_exchanges(spark):
+    """The HLL sketch costs exactly TWO hash exchanges end-to-end — the
+    (group, bucket) register agg (max combines map-side, so <= 512 rows
+    per group cross the wire) and the per-group estimate fold — with no
+    join anywhere: the whole estimator is arithmetic over the register
+    frame."""
+    import re as _re
+
+    from blockchain_postgres_sync_spark.operators import stats
+
+    docs = CATALOG["normalize_text"].__globals__["_t"](
+        spark, SF_SMOKE, "documents"
+    )
+    df = stats.hll_cardinality(
+        docs.selectExpr("lang", "text AS k"), "k", ["lang"]
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    # formatted mode numbers the nodes; count Exchange NODES (the
+    # "Exchange hashpartitioning" one-line form only appears in simple
+    # mode, where <=N pins can pass vacuously)
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert "hashpartitioning" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
