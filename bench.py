@@ -164,6 +164,7 @@ HEADLINE = [
     "pca_project",
     "hll_cardinality",
     "minhash_jaccard_est",
+    "ngram_jaccard_prefix",
 ]
 
 #: the reference-parity surface (candles/SCD/uid/views/TPC-ish shapes) —

@@ -1339,3 +1339,113 @@ def minhash_jaccard_probe(
             (F.col("est_x100") - F.col("jaccard_x100")).cast("long"),
         )
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered exact Jaccard join — the
+    SAME output as :func:`ngram_jaccard_pairs` (pinned by test) from a
+    plan that expands only PREFIX postings.
+
+    Prefix theorem (Bayardo et al. 2007 / Xiao et al. 2008, public):
+    under any global total order on shingles, two sets with
+    J(A,B) >= t have overlap o >= t*max(|A|,|B|), so their smallest
+    common element sits within the first ``|X| - ceil(t*|X|) + 1``
+    elements of BOTH sorted sets — posting lists built from those
+    prefixes alone cannot miss a qualifying pair.  The global order here
+    is the 64-bit shingle hash itself (``array_sort`` — zero extra cost;
+    a corpus-frequency rarest-first order prunes more on Zipfian
+    vocabularies but needs a frequency pass + a shingle-keyed join, the
+    documented upgrade path).
+
+    Plan shape: one map-only pass builds each doc's hash-sorted distinct
+    shingle array and slices its prefix in-row; ONE groupBy(prefix
+    shingle) + the sorted-posting slice expansion emits candidate pairs
+    (prefix volume is a (1-t)-fraction of the full posting volume, so
+    the quadratic expansion shrinks ~(1-t)^2); candidates dedupe and two
+    id-keyed joins attach the full arrays for the in-row
+    ``array_intersect`` verification — the pair-bounded exact leg, same
+    as minhash_jaccard_probe.  ``max_postings`` keeps the stop-shingle
+    cap semantics (applied to PREFIX postings; capped scores remain a
+    lower bound that only ever filters pairs out).
+    """
+    thr = int(threshold * 100)
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(
+                hashed_token_shingles(F.col(text_col), shingle_size)
+            )
+        ).alias("_shs"),
+    ).select(
+        "_id",
+        "_shs",
+        F.size("_shs").cast("long").alias("n_sh"),
+    )
+    # integer ceil(t*n) = (thr*n + 99) div 100; slice caps at the array
+    # length, so t = 0 degrades to the full posting set
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({thr} * n_sh + 99) div 100")
+        + F.lit(1)
+    ).cast("int")
+    pre = sets.select(
+        F.struct(
+            F.col("_id").alias("id"), F.col("n_sh").alias("n_sh")
+        ).alias("doc"),
+        F.explode(F.slice("_shs", 1, prefix_len)).alias("shingle"),
+    )
+    grouped = pre.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col("doc"))).alias("docs")
+    )
+    expandable = grouped.filter(F.size("docs") >= 2)
+    if max_postings is not None:
+        expandable = expandable.filter(F.size("docs") <= max_postings)
+    # the AllPairs length filter, before the candidate shuffle: J >= t
+    # needs t*|B| <= |A| <= |B|/t, i.e. 100*min >= thr*max
+    _m = F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+    _M = F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    cand = (
+        expandable.select(F.posexplode("docs").alias("_i", "a"), "docs")
+        .select(
+            "a",
+            F.explode(
+                F.slice("docs", F.col("_i") + 2, F.size("docs"))
+            ).alias("b"),
+        )
+        .filter(F.lit(100) * _m >= F.lit(thr) * _M)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    a_sets = sets.select(
+        F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")
+    )
+    b_sets = sets.select(
+        F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")
+    )
+    n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    n_union = F.size("_sa") + F.size("_sb") - n_inter
+    scored = (
+        cand.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                n_inter.cast("double") * 100.0 / n_union.cast("double")
+            )
+            .cast("long")
+            .alias("jaccard_x100"),
+        )
+    )
+    return scored.filter(F.col("jaccard_x100") >= thr).select(
+        "id_a", "id_b", "jaccard_x100"
+    )

@@ -899,8 +899,10 @@ def q_corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus cardinalities: docs, distinct contents (md5),
     distinct tokens, total tokens.  Exercises Spark's multi-distinct
     aggregation (Expand-based: one pass, per-distinct-column duplication)
-    — the exact counterpart of the approx_count_distinct sketch you would
-    switch to at 100 TB when +-2% suffices."""
+    — the exact counterpart of the sketch you switch to at 100 TB when
+    ~5% suffices: the in-repo hash-checkable HLL (q_hll_cardinality /
+    operators/stats.py::hll_cardinality), or approx_count_distinct when
+    cross-engine determinism doesn't matter."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = docs.select(
         "lang", F.md5("text").alias("digest"), "doc_id",
@@ -3128,6 +3130,20 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 pairs through the AllPairs/PPJoin
+    prefix-filter plan (operators/dedup.py::ngram_jaccard_pairs_prefix):
+    only each doc's hash-order prefix enters the posting expansion, and
+    candidates verify by in-row array_intersect.  IDENTICAL output to
+    q_ngram_jaccard (same oracle); the plan is the 100 TB form — the
+    quadratic expansion shrinks ~(1-t)^2 and wins 1.5x at local sf1
+    (BASELINE.md round-10 note) while the full-posting form stays the
+    small-sf bench default."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), shingle_size=3, threshold=0.5
+    )
+
+
 def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator accuracy on its own LSH candidate pairs
     (operators/dedup.py::minhash_jaccard_probe): 12-hash signature-
@@ -3183,6 +3199,7 @@ CATALOG: dict[str, QueryFn] = {
     "bm25_topk": q_bm25_topk,
     "hll_cardinality": q_hll_cardinality,
     "minhash_jaccard_est": q_minhash_jaccard_est,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     # -- r6-green block: the 4 deferred map-only scans (oldest signal;
     #    char_entropy's kernel also changed in round 9) -------------------
     "length_histogram": q_length_histogram,
@@ -3209,13 +3226,13 @@ CATALOG: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "mixture_plan": q_mixture_plan,
     "bpe_merge_pairs": q_bpe_merge_pairs,
-    "soft_dedup_weights": q_soft_dedup_weights,
     # ==== end of driver gate window (first 50) ==========================
-    # -- r7-green remainder (22 queries — kmeans_train/ann_bruteforce/
-    #    ann_lsh/ann_ivf/ann_ivf_recall/ann_lsh_recall displaced past the
-    #    cutoff by the round-10 additions above, per the new-query-first
-    #    policy; none touched since round 7; first in line for the
-    #    round-11 window) ------------------------------------------------
+    # -- r7-green remainder (23 queries — soft_dedup_weights/kmeans_train/
+    #    ann_bruteforce/ann_lsh/ann_ivf/ann_ivf_recall/ann_lsh_recall
+    #    displaced past the cutoff by the round-10 additions above, per
+    #    the new-query-first policy; none touched since round 7; first in
+    #    line for the round-11 window) ------------------------------------
+    "soft_dedup_weights": q_soft_dedup_weights,
     "kmeans_train": q_kmeans_train,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -3588,6 +3605,10 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    # the prefix-filtered plan lands on the IDENTICAL pair set — same
+    # oracle as ngram_jaccard by construction (equality also pinned in
+    # tests/test_sketches.py)
+    "ngram_jaccard_prefix": _JACCARD_SQL,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
         {_CC_REACH_SQL}

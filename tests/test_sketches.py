@@ -179,3 +179,24 @@ def test_streaming_hll_registers_match_batch(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prefix_filtered_jaccard_equals_full_form(spark):
+    """The AllPairs/PPJoin prefix-filter plan must land on EXACTLY the
+    full-posting-expansion pair set at every threshold — the prefix
+    theorem is lossless, so any divergence is a bug.  Checked on the
+    sf0.001 corpus across thresholds (0.9 drops a boundary pair in the
+    full form too — both forms must agree on that)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5, 0.8, 0.9):
+        full = {
+            (r["id_a"], r["id_b"], r["jaccard_x100"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pre = {
+            (r["id_a"], r["id_b"], r["jaccard_x100"])
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, threshold=t
+            ).collect()
+        }
+        assert full == pre, (t, full ^ pre)
