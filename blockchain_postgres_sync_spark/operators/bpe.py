@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .smallstate import DRIVER_STATE_THRESHOLD, collect_if_bounded
 
 __all__ = [
     "word_frequencies",
@@ -34,6 +35,16 @@ __all__ = [
     "bpe_encode",
     "bpe_encode_dict",
 ]
+
+#: Vocab-size cutoff for the driver-side merge loop (round-10 optimization).
+#: BPE state after word_frequencies is VOCAB-sized (|distinct words|), not
+#: corpus-sized — the same bounded-state situation as dedup.duplicate_clusters'
+#: driver union-find; the shared guard (operators/smallstate.py) makes the
+#: contract executable.  At or below the threshold the whole (word, freq)
+#: table is collected ONCE and the merge recurrence runs in plain Python
+#: (zero per-round Spark jobs); above it, the distributed per-round loop
+#: runs unchanged.
+DRIVER_VOCAB_THRESHOLD = DRIVER_STATE_THRESHOLD
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -135,10 +146,63 @@ def merge_symbols(symbols: F.Column, left: str, right: str) -> F.Column:
     return fold
 
 
+def _merge_tuple(syms: tuple, left: str, right: str) -> tuple:
+    """Plain-Python twin of :func:`merge_symbols`: one left-to-right
+    non-overlapping pass (on match emit left+right and consume both)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_train_driver(
+    freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The exact bpe_train recurrence over a collected (word, freq) table:
+    frequency-weighted adjacent pair counts, argmax on
+    (count desc, left asc, right asc), one non-overlapping merge pass per
+    round.  Pure integer/string arithmetic — bit-identical to the
+    distributed loop (pinned by tests/test_bpe.py)."""
+    wf: dict[tuple, int] = {}
+    for w, f in freqs.items():
+        t = tuple(w)
+        wf[t] = wf.get(t, 0) + f
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, f in wf.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, int(cnt)))
+        nxt: dict[tuple, int] = {}
+        for syms, f in wf.items():
+            m = _merge_tuple(syms, left, right)
+            nxt[m] = nxt.get(m, 0) + f
+        wf = nxt
+    return merges
+
+
+#: shared guard (operators/smallstate.py); kept under the old private name
+#: for the module's tests
+_collect_if_bounded = collect_if_bounded
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    driver_vocab_threshold: int = DRIVER_VOCAB_THRESHOLD,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a document table; returns the
     merge table (step, left, right, pair_count) as a DataFrame.
@@ -150,10 +214,27 @@ def bpe_train(
     break deterministically on (count desc, left asc, right asc), so the
     learned table is engine- and partitioning-independent.  Stops early
     when no adjacent pair remains.
+
+    Small-vocab fast path (round-10): when the corpus reduces to at most
+    ``driver_vocab_threshold`` distinct BMP-only words, the (word, freq)
+    table is collected once and the identical recurrence runs in plain
+    Python — n_merges Spark jobs (each a full pair-count shuffle plus an
+    argmax TakeOrdered) collapse to one bounded collect.  Pass 0 to force
+    the distributed loop.
     """
     spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    if driver_vocab_threshold:
+        rows = _collect_if_bounded(wf, "word", driver_vocab_threshold)
+        if rows is not None:
+            merges = _bpe_train_driver(
+                {r["word"]: int(r["freq"]) for r in rows}, n_merges
+            )
+            return spark.createDataFrame(
+                merges, "step long, left string, right string, pair_count long"
+            )
     words = (
-        word_frequencies(df, text_col)
+        wf
         .withColumn("symbols", F.split(F.col("word"), ""))
         .localCheckpoint(eager=False)
     )
@@ -175,6 +256,51 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step long, left string, right string, pair_count long"
     )
+
+
+def bpe_train_encode_dict(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_vocab_threshold: int = DRIVER_VOCAB_THRESHOLD,
+) -> DataFrame:
+    """``bpe_encode_dict(df, collect(bpe_train(df)))`` with ONE vocab
+    materialization (round-10): train and dictionary segmentation both
+    operate on the same vocab-sized state, so on the small-vocab driver
+    path the single (word, freq) collect feeds the merge loop AND the
+    per-distinct-word segmentation — the separate distinct-token scan
+    bpe_encode_dict would run disappears.  Output is row-identical to the
+    two-step composition (pinned by test_bpe_train_encode_dict_fused);
+    above the threshold it simply runs the two-step form.
+    """
+    wf = word_frequencies(df, text_col)
+    rows = (
+        _collect_if_bounded(wf, "word", driver_vocab_threshold)
+        if driver_vocab_threshold
+        else None
+    )
+    if rows is None:
+        table = bpe_train(df, n_merges=n_merges, text_col=text_col)
+        merges = [
+            (r["left"], r["right"])
+            for r in sorted(table.collect(), key=lambda r: r["step"])
+        ]
+        return bpe_encode_dict(df, merges, text_col=text_col, id_col=id_col)
+    merge_rows = _bpe_train_driver(
+        {r["word"]: int(r["freq"]) for r in rows}, n_merges
+    )
+    merges = [(left, right) for _, left, right, _ in merge_rows]
+    seg_rows = []
+    for r in rows:
+        s = tuple(r["word"])
+        for left, right in merges:
+            s = _merge_tuple(s, left, right)
+        seg_rows.append((r["word"], list(s)))
+    dictionary = df.sparkSession.createDataFrame(
+        seg_rows, "word string, _pieces array<string>"
+    )
+    return _assemble_pieces(df, dictionary, text_col, id_col)
 
 
 def bpe_encode(
@@ -223,6 +349,7 @@ def bpe_encode_dict(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_vocab_threshold: int = DRIVER_VOCAB_THRESHOLD,
 ) -> DataFrame:
     """Dictionary-form corpus segmentation: identical output to
     :func:`bpe_encode`, but the merge-fold chain runs ONCE PER DISTINCT
@@ -249,14 +376,44 @@ def bpe_encode_dict(
         .filter(F.col("word") != "")
         .distinct()
     )
-    seg = F.split(F.col("word"), "")
-    for left, right in merges:
-        # closure capture per iteration (pyspark HOF lambda-arity gotcha)
-        def _one(col_expr: F.Column, lf: str = left, rt: str = right):
-            return merge_symbols(col_expr, lf, rt)
+    dictionary = None
+    if driver_vocab_threshold:
+        # small-vocab fast path (round-10, same guard as bpe_train): the
+        # dictionary is VOCAB-sized, so segment it driver-side in one
+        # bounded collect instead of executing len(merges) chained
+        # in-row folds (a deep Catalyst expression tree whose planning +
+        # codegen dominate at bounded vocab).  Distributed fold chain
+        # stays for open-web vocabularies.
+        rows = _collect_if_bounded(vocab, "word", driver_vocab_threshold)
+        if rows is not None:
+            seg_rows = []
+            for r in rows:
+                s = tuple(r["word"])
+                for left, right in merges:
+                    s = _merge_tuple(s, left, right)
+                seg_rows.append((r["word"], list(s)))
+            dictionary = df.sparkSession.createDataFrame(
+                seg_rows, "word string, _pieces array<string>"
+            )
+    if dictionary is None:
+        seg = F.split(F.col("word"), "")
+        for left, right in merges:
+            # closure capture per iteration (pyspark HOF lambda-arity gotcha)
+            def _one(col_expr: F.Column, lf: str = left, rt: str = right):
+                return merge_symbols(col_expr, lf, rt)
 
-        seg = _one(seg)
-    dictionary = vocab.select("word", seg.alias("_pieces"))
+            seg = _one(seg)
+        dictionary = vocab.select("word", seg.alias("_pieces"))
+    return _assemble_pieces(df, dictionary, text_col, id_col)
+
+
+def _assemble_pieces(
+    df: DataFrame, dictionary: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Reassemble per-document pieces from a (word, _pieces) dictionary:
+    posexplode the token stream, equi-join the dictionary, re-sort by
+    position in-row, left-join back so all-empty documents keep a row."""
+    docs = df.filter(F.col(text_col).isNotNull())
     stream = docs.select(
         F.col(id_col),
         F.posexplode(

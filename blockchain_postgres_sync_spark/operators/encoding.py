@@ -39,8 +39,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import tokens
+from .smallstate import DRIVER_STATE_THRESHOLD, collect_if_bounded
 
 #: holds the previous build_vocab / tfidf_vectorize call's persisted frames
 #: until the next call.  Cost-only: each is a deterministic aggregation, so
@@ -111,7 +113,9 @@ def build_vocab(
 
 
 def rank_vocab(
-    counts: DataFrame, rank_partitions: int | None = None
+    counts: DataFrame,
+    rank_partitions: int | None = None,
+    driver_threshold: int = DRIVER_STATE_THRESHOLD,
 ) -> DataFrame:
     """Assign dense ids 0..n-1 to a (token, count) frame by
     (count desc, token asc) — the distributed two-phase rank behind
@@ -129,8 +133,35 @@ def rank_vocab(
     Columns beyond (token, count) are carried through unchanged to the
     output (after token_id), so a caller can rank a counts frame that
     already aggregates other per-token statistics (e.g. document
-    frequency) without a re-join."""
+    frequency) without a re-join.
+
+    Small-vocab fast path (round-10): the (token, count) frame is MODEL
+    state — the tokenizer's vocabulary — so at or below
+    ``driver_threshold`` BMP-only rows it is collected once and ranked in
+    plain Python (same total (count desc, token asc) order; BMP-only
+    strings sort identically in UTF-16 code units and code points).  The
+    4-job distributed rank chain (range-partitioner sampling,
+    localCheckpoint materialization, per-partition sizes, offset join)
+    collapses to one bounded collect.  Pass 0 to force the distributed
+    rank; open-web vocabularies over the threshold take it automatically
+    (operators/smallstate.py)."""
     spark = counts.sparkSession
+    if driver_threshold:
+        rows = collect_if_bounded(counts, "token", driver_threshold)
+        if rows is not None:
+            extras = [c for c in counts.columns if c not in ("token", "count")]
+            ordered = sorted(rows, key=lambda r: (-r["count"], r["token"]))
+            fields = {f.name: f for f in counts.schema.fields}
+            out_schema = T.StructType(
+                [fields["token"], T.StructField("token_id", T.LongType(), False),
+                 fields["count"]]
+                + [fields[e] for e in extras]
+            )
+            data = [
+                tuple([r["token"], i, r["count"]] + [r[e] for e in extras])
+                for i, r in enumerate(ordered)
+            ]
+            return spark.createDataFrame(data, out_schema)
     nparts = rank_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )

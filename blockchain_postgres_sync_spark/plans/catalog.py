@@ -2296,12 +2296,10 @@ def q_bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation straight off the unrolled train chain's last word
     table."""
     docs = _t(spark, sf_dir, "documents")
-    table = bpe.bpe_train(docs, n_merges=10)
-    merges = [
-        (r["left"], r["right"])
-        for r in sorted(table.collect(), key=lambda r: r["step"])
-    ]
-    out = bpe.bpe_encode_dict(docs, merges)
+    # fused train+encode (round-10): one vocab-sized collect feeds the
+    # driver merge loop AND the dictionary segmentation — row-identical to
+    # bpe_encode_dict(docs, collect(bpe_train(docs))) (test_bpe.py pin)
+    out = bpe.bpe_train_encode_dict(docs, n_merges=10)
     return out.select(
         "doc_id",
         F.array_join(F.col("pieces"), ",").alias("pieces"),

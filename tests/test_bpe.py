@@ -270,3 +270,77 @@ def test_bpe_encode_dict_matches_rowwise(spark, docs):
         for r in bpe.bpe_encode_dict(docs, merges).collect()
     }
     assert a == b
+
+
+def test_bpe_train_driver_path_matches_distributed(spark, docs):
+    """Round-10 fast path: the driver-side merge loop (vocab collected
+    once) is bit-identical to the distributed per-round loop — same merge
+    table, same tie-breaks, same early stop."""
+    fast = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.bpe_train(docs, n_merges=8).collect()
+    ]
+    dist = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.bpe_train(
+            docs, n_merges=8, driver_vocab_threshold=0
+        ).collect()
+    ]
+    assert fast == dist == _py_train(TEXTS, 8)
+
+
+def test_bpe_encode_dict_driver_path_matches_distributed(spark, docs):
+    """Round-10 fast path: driver-side dictionary segmentation ==
+    the distributed fold-chain dictionary, doc for doc."""
+    table = [(l, r) for _, l, r, _ in _py_train(TEXTS, 6)]
+    fast = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_encode_dict(docs, table).collect()
+    }
+    dist = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_encode_dict(
+            docs, table, driver_vocab_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+
+
+def test_driver_path_guard_rejects_astral_and_oversize(spark):
+    """The fast-path guard must refuse (a) vocabularies containing non-BMP
+    words (F.split("") yields UTF-16 code units; Python iterates code
+    points — the two loops would diverge) and (b) vocabularies over the
+    threshold — both route to the distributed loop."""
+    astral = spark.createDataFrame(
+        [("a\U0001F600b",), ("ok",)], "word string"
+    )
+    assert bpe._collect_if_bounded(astral, "word", 10) is None
+    big = spark.createDataFrame([(f"w{i}",) for i in range(5)], "word string")
+    assert bpe._collect_if_bounded(big, "word", 4) is None
+    ok = bpe._collect_if_bounded(big, "word", 5)
+    assert ok is not None and {r["word"] for r in ok} == {
+        f"w{i}" for i in range(5)
+    }
+
+
+def test_bpe_train_encode_dict_fused(spark, docs):
+    """The fused train+encode (one vocab collect) is row-identical to the
+    two-step composition, on both the driver path and the forced
+    distributed path."""
+    table = [(l, r) for _, l, r, _ in _py_train(TEXTS, 10)]
+    two_step = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_encode_dict(docs, table).collect()
+    }
+    fused = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_train_encode_dict(docs, n_merges=10).collect()
+    }
+    fused_dist = {
+        r.doc_id: list(r.pieces)
+        for r in bpe.bpe_train_encode_dict(
+            docs, n_merges=10, driver_vocab_threshold=0
+        ).collect()
+    }
+    assert fused == two_step
+    assert fused_dist == two_step

@@ -322,3 +322,24 @@ def test_bm25_topk_all_docs_term_scores_zero_but_matches(spark):
     assert all(r["score_x1000"] == 0 for r in rows)
     # ties broken by ascending doc_id
     assert [r["doc_id"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_rank_vocab_driver_path_matches_distributed(spark):
+    """Round-10 fast path: the driver-side rank (bounded vocab collected
+    once) assigns exactly the ids of the distributed two-phase rank, with
+    extras carried through identically."""
+    from blockchain_postgres_sync_spark.operators.encoding import rank_vocab
+
+    counts = spark.createDataFrame(
+        [(f"t{i % 37:02d}x{i}", (i * 7) % 11 + 1, i % 5) for i in range(200)],
+        "token string, count long, _df long",
+    )
+    fast = {
+        r["token"]: (r["token_id"], r["count"], r["_df"])
+        for r in rank_vocab(counts).collect()
+    }
+    dist = {
+        r["token"]: (r["token_id"], r["count"], r["_df"])
+        for r in rank_vocab(counts, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) == 200
