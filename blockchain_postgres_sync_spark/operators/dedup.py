@@ -64,6 +64,75 @@ def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+#: per-(num_hashes, shingle_size) kernel cache — created lazily, same
+#: pattern as functions.text._SHINGLE_UDFS
+_MINHASH_UDFS: dict = {}
+
+
+def _minhash_batch(num_hashes: int, shingle_size: int):
+    """Vectorized kernel for :func:`minhash_signatures` (one Arrow batch):
+    per document, build the n-token shingle strings exactly like
+    functions.text._shingle_batch, md5 each shingle ONCE (C-level
+    hashlib), take the first 60 digest bits mod p (== Spark's
+    ``conv(substring(md5(s),1,15),16,10) % p`` — 15 hex chars = the top
+    7.5 bytes, i.e. ``int.from_bytes(d[:8])>>4``), then reduce the k
+    affine permutations with ONE segmented ``np.minimum.reduceat`` over
+    the batch-flattened shingle array.  All integer math: a_j, b_j, hv
+    < p = 2^31-1, so a_j*hv + b_j < 2^62 — exact in int64, identical to
+    the JVM expression path (pinned by tests/test_dedup.py)."""
+    n = shingle_size
+    params = minhash_affine_params(num_hashes)
+
+    def fn(s):
+        import hashlib
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        fb = int.from_bytes
+        shingles: list[str] = []
+        counts = np.empty(len(s), dtype=np.int64)
+        valid = np.ones(len(s), dtype=bool)
+        for i, t in enumerate(s):
+            if t is None:
+                valid[i] = False
+                counts[i] = 0
+                continue
+            toks = t.split(" ")
+            m = len(toks) - n + 1
+            if m < 1:
+                shingles.append(" ".join(toks))
+                counts[i] = 1
+            else:
+                shingles.extend(
+                    " ".join(toks[i2:i2 + n]) for i2 in range(m)
+                )
+                counts[i] = m
+        out = np.empty(len(s), dtype=object)
+        if shingles:
+            hv = np.fromiter(
+                (
+                    fb(md5(sh.encode("utf-8")).digest()[:8], "big") >> 4
+                    for sh in shingles
+                ),
+                dtype=np.int64,
+                count=len(shingles),
+            ) % MINHASH_PRIME
+            A = np.asarray([a for a, _ in params], dtype=np.int64)[:, None]
+            B = np.asarray([b for _, b in params], dtype=np.int64)[:, None]
+            perm = (A * hv[None, :] + B) % MINHASH_PRIME
+            offsets = np.zeros(int(valid.sum()), dtype=np.int64)
+            np.cumsum(counts[valid][:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(perm, offsets, axis=1)
+            vi = 0
+            for i in np.nonzero(valid)[0]:
+                out[i] = mins[:, vi].tolist()
+                vi += 1
+        return pd.Series(out)
+
+    return fn
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -76,15 +145,55 @@ def minhash_signatures(
     hashes h_j(x) = (a_j*x + b_j) mod p (p = 2^31-1) and mh_j = min over
     shingles.  Output: (id, mh_0..mh_{k-1}) — wide.
 
-    One explode (shingles) + ONE shuffle (groupBy id with k parallel min
-    aggregates, map-side partial agg) — no seed explode, so shuffle volume
-    is k ints per doc instead of k rows per shingle.  The expensive digest
-    runs once per shingle, not once per (seed, shingle): the k-way fan-out
-    is whole-stage-codegen integer arithmetic.  min() is duplicate-
-    insensitive, so shingles need no distinct pass.  md5-as-base-hash keeps
-    the family reproducible in any engine with md5 (the DuckDB oracle
-    recomputes identical signatures).
+    MAP-ONLY (round-10 optimization): the whole signature — shingling,
+    md5, affine permutations, per-document min — folds into one Arrow
+    kernel per row, so the plan has ZERO shuffle (the previous form
+    exploded shingles and re-grouped on the id; partial aggregation kept
+    the shuffle small, but the explode pass, the JVM md5-per-row chain
+    and the 12-way min-agg codegen were the per-stage cost — and 8+
+    catalog queries run this prefix).  The kernel's md5/affine/min math
+    is bit-identical to the expression form, which is kept below as
+    :func:`minhash_signatures_agg` and pinned value-equal by
+    tests/test_dedup.py::test_minhash_kernel_agg_parity; md5-as-base-hash
+    keeps the family reproducible in any engine with md5 (the DuckDB
+    oracle recomputes identical signatures).  Rows with NULL text drop
+    out (the explode form never emitted them); a map-only plan also
+    serves an unbounded streaming frame unchanged.
     """
+    global _MINHASH_UDFS
+    key = (num_hashes, shingle_size)
+    if key not in _MINHASH_UDFS:
+        from pyspark.sql.types import ArrayType, LongType
+
+        _MINHASH_UDFS[key] = F.pandas_udf(
+            _minhash_batch(num_hashes, shingle_size), ArrayType(LongType())
+        )
+    sig = _MINHASH_UDFS[key](F.col(text_col))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), sig.alias("_sig"))
+        .select(
+            id_col,
+            *[
+                F.element_at(F.col("_sig"), j + 1).alias(f"mh_{j}")
+                for j in range(num_hashes)
+            ],
+        )
+    )
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Expression form of :func:`minhash_signatures` (explode + groupBy
+    with k parallel min aggregates, map-side partial agg) — kept as the
+    cross-implementation parity pin and for sessions where Python workers
+    are unavailable.  One explode + ONE shuffle; the digest runs once per
+    shingle, min() is duplicate-insensitive."""
     sh = df.select(
         F.col(id_col),
         F.explode(token_shingles(F.col(text_col), shingle_size)).alias("shingle"),

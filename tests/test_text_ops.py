@@ -532,3 +532,41 @@ def test_token_shingles_udf_matches_hof_form(spark):
         ).collect()
         for r in rows:
             assert r.udf == r.hof, (n, r.doc_id, r.udf, r.hof)
+
+
+def test_minhash_kernel_agg_parity(spark):
+    """The map-only minhash Arrow kernel (round-10 optimization: zero
+    shuffle, fused shingle+md5+affine-min) must emit bit-identical
+    signatures to the explode+groupBy expression form it replaced — the
+    DuckDB oracles of 8+ catalog queries recompute these exact values.
+    Covers NULL text (dropped by both forms), empty text, short docs
+    (whole-text shingle), multi-space token edge cases, and several
+    num_hashes/shingle_size combinations."""
+    from blockchain_postgres_sync_spark.operators.dedup import (
+        minhash_signatures, minhash_signatures_agg,
+    )
+
+    texts = [
+        None, "", "one", "one two", "one two three", "a b c d e f g",
+        "double  space", "trailing space ", " leading", "   ", "a  b  c",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # dup content
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    for num_hashes, n in ((12, 3), (4, 2), (6, 5)):
+        kern = {
+            r.doc_id: tuple(r[1:])
+            for r in minhash_signatures(
+                df, num_hashes=num_hashes, shingle_size=n
+            ).collect()
+        }
+        agg = {
+            r.doc_id: tuple(r[1:])
+            for r in minhash_signatures_agg(
+                df, num_hashes=num_hashes, shingle_size=n
+            ).collect()
+        }
+        assert kern == agg, (num_hashes, n)
+        assert 0 not in kern  # NULL text absent from both
