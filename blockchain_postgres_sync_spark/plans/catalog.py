@@ -2508,6 +2508,34 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     return emb, books
 
 
+def _ivfpq_model(spark: SparkSession, sf_dir: str):
+    """PQ codebooks + coarse k-means cells for the IVF+PQ queries.
+
+    The two trainings are INDEPENDENT driver-coordinated job chains
+    (each: quantize scan + seed TakeOrdered + one assign/update round);
+    run sequentially their tiny per-job floors add up — the dominant
+    cost of these queries at bench SF.  Submitting them from two driver
+    threads overlaps the chains (guide §2.6: Spark happily runs several
+    jobs at once; actions are only sequential because driver code calls
+    them sequentially), so the later jobs of one training back-fill the
+    scheduler gaps of the other.  Results are byte-identical to the
+    sequential calls — both functions are pure model derivations
+    (asserted equal in the A/B harness).  Interleaved in-session A/B,
+    min-of-3 at sf0.1: ann_ivfpq 4.60 -> 2.85 s, ann_ivfpq_recall
+    4.87 -> 2.98 s."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb = _t(spark, sf_dir, "embeddings")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_books = pool.submit(
+            pq.pq_train, emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+        )
+        f_km = pool.submit(clustering.kmeans_train, emb, k=8, iters=1)
+        books = f_books.result()
+        _, cents = f_km.result()
+    return emb, books, cents
+
+
 def _pq_query_batch(emb: DataFrame) -> list[tuple[int, list[int]]]:
     """The bounded query sample (vec_id < 5) quantized driver-side with
     the house x1000 round-half-up rule — ONE definition for every pq_*
@@ -2584,9 +2612,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune the corpus to n_probe=3 of 8 buckets per query, then PQ ADC
     scores only those rows — the FAISS-style sub-linear serving
     composition.  Index built in ONE map-only pass (cell + m codes);
-    the probe restriction is a broadcast equi-join on cell."""
-    emb, books = _pq_model(spark, sf_dir)
-    _, cents = clustering.kmeans_train(emb, k=8, iters=1)
+    the probe restriction is a broadcast equi-join on cell.  The two
+    independent model trainings overlap on driver threads
+    (_ivfpq_model, guide §2.6)."""
+    emb, books, cents = _ivfpq_model(spark, sf_dir)
     index = pq.ivfpq_index(emb, cents, books)
     return pq.ivfpq_topk(
         index, books, cents, _pq_query_batch(emb), topk=10, n_probe=3
@@ -2749,9 +2778,9 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF+PQ path vs the exact brute-force top-10 — the
     end-to-end probe for the composed index (coarse-cell pruning losses +
     PQ distortion together), the number an n_probe/m/k tuning sweep
-    reads."""
-    emb, books = _pq_model(spark, sf_dir)
-    _, cents = clustering.kmeans_train(emb, k=8, iters=1)
+    reads.  The two independent model trainings overlap on driver
+    threads (_ivfpq_model, guide §2.6)."""
+    emb, books, cents = _ivfpq_model(spark, sf_dir)
     index = pq.ivfpq_index(emb, cents, books)
     approx = pq.ivfpq_topk(
         index, books, cents, _pq_query_batch(emb), topk=10, n_probe=3
