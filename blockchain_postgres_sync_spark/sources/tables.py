@@ -41,6 +41,25 @@ _FANOUT_MAX = int(
     os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(2 * 1024**3))
 )
 
+#: Default fan-out set: the corpus tables whose consumers run heavy
+#: per-row kernels (tokenize/shingle/md5 over text; quantize/argmin
+#: over vectors) — there the serialized scan is the whole query and one
+#: tiny shuffle buys full-width parallelism (interleaved A/B at sf0.1:
+#: 18 map-heavy queries 36.0 -> 30.7 s; sf1: kmeans_train 9.3 -> 4.7 s,
+#: embedding_quantize 9.9 -> 1.2 s, quality_score 3.6 -> 1.1 s).  The
+#: relational tables (events/orders/lineitem/...) are deliberately NOT
+#: fanned out: their per-row work is whole-stage-codegen arithmetic, so
+#: the added exchange is pure cost — measured at sf0.1 as twap
+#: 0.34 -> 1.80 s, assets_view 0.85 -> 2.72 s, asof_quotes
+#: 0.49 -> 1.91 s before the restriction.  This is workload knowledge
+#: the optimizer doesn't have (guide §8); callers can override per
+#: call via ``fanout=``.
+_FANOUT_TABLES = frozenset(
+    os.environ.get(
+        "SPARK_GRAFT_FANOUT_TABLES", "documents,embeddings"
+    ).split(",")
+)
+
 
 def _fanout_partitions(path: str, cores: int) -> int:
     """Target partition count for an under-parallel small scan, or 0 to
@@ -62,7 +81,12 @@ def _fanout_partitions(path: str, cores: int) -> int:
     return cores if n_groups < cores else 0
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fanout: bool | None = None,
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -70,7 +94,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_COLUMNS.get(name, []):
         if dtypes.get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    n = _fanout_partitions(path, spark.sparkContext.defaultParallelism)
-    if n:
-        df = df.repartition(n)
+    if fanout is None:
+        fanout = name in _FANOUT_TABLES
+    if fanout:
+        n = _fanout_partitions(path, spark.sparkContext.defaultParallelism)
+        if n:
+            df = df.repartition(n)
     return df
