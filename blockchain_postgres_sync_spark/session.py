@@ -73,6 +73,25 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "256k"),
         )
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        # ...and floor the coalesce at the session's core count: AQE sizes
+        # post-shuffle partitions by BYTES, but this engine's byte-light
+        # exchanges regularly feed compute-heavy stages (posting-list
+        # n(n-1)/2 pair expansion, collect_list assembly, Arrow kernels) —
+        # without a floor those stages collapse to ONE task and serialize
+        # a 32-core box (round-10 profiling: a 2.7 s single-task posting
+        # aggregation inside tfidf_rerank).  Floor = shuffle_partitions
+        # (the core count locally, total cores on a cluster — the same
+        # floor Spark's own parallelismFirst default enforces), env-
+        # tunable.  Interleaved A/B over 26 mixed-shape queries at sf0.1:
+        # 45.7 -> 36.4 s, 24/26 queries faster, worst regression +0.24 s
+        # (candles_1m); the round-7 tiny-task concern that motivated
+        # allowing full collapse is gone since the cascade became the
+        # 2-exchange one-pass form (re-measured: cascade 3.9 -> 2.3 s
+        # WITH the floor).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCED", str(shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
