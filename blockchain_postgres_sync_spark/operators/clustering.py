@@ -9,13 +9,15 @@ semantic dedup, topic bucketing, per-cluster sampling quotas).
 Execution model — the canonical scalable Lloyd shape (same as Spark
 MLlib's, re-derived on the DataFrame API):
 
-- the corpus NEVER leaves the executors: each iteration is one map-side
-  assignment pass (in-row argmin fold over a broadcast-literal centroid
-  array — no k-times row expansion) plus one partial-aggregated shuffle
-  reduced to exactly ``k * dim`` rows;
+- the corpus NEVER leaves the executors: each iteration is ONE map-only
+  Arrow pass fusing assignment (vectorized exact-integer argmin) with the
+  update's per-task partial sums (round 10; above the
+  ``_PARTIALS_COLLECT_CAP`` task*code bound it falls back to the
+  pre-round-10 shape — in-row argmin fold + one partial-aggregated
+  shuffle reduced to ``k * dim`` rows);
 - only model state crosses the driver boundary: ``k`` seed rows at init
-  and ``k * dim`` component sums per iteration (a few KB for any
-  realistic ``k``/``dim``, independent of corpus size);
+  and at most ``tasks * k`` exact partial-sum rows per iteration (a few
+  KB for any realistic ``k``/``dim``, independent of corpus size);
 - the quantized corpus is ``persist(MEMORY_AND_DISK)``-ed for the
   duration of the loop and released deterministically before return.
 
@@ -131,6 +133,156 @@ def _assign_col(cent_ints: list[tuple[int, list[int]]], xq: str = "xq") -> Colum
     return _fold_argmin(_cents_expr(cent_ints), xq)
 
 
+# ---------------------------------------------------- Arrow train kernels
+#
+# Spark evaluates higher-order-function lambdas in the INTERPRETED
+# expression path (~50M boxed evals/s — the round-9/10 lesson that already
+# moved the PQ encode/ADC folds to numpy), and the Lloyd loop paid it
+# twice per round: the k*dim-per-row assignment fold AND a posexplode
+# (x dim row expansion) + shuffle + collect for the update sums.  The
+# kernels below fuse one whole (assign + update) round into ONE map-only
+# Arrow pass whose per-task output is <= codes rows of exact int64
+# partial sums — integers are associative, so per-task partials combined
+# driver-side (arbitrary-precision Python ints) are bit-identical to the
+# old global groupBy sums; assignment argmin over sorted-by-code-id
+# matrices keeps first-min = ties-to-smaller-id, exactly the fold's rule.
+# The int64 domain is the same one the HOF/ANSI path documents
+# (sum_d (xq-c)^2 < 2^63); numpy wraps silently past it where ANSI
+# errors, so the caller-declared quantized-magnitude bound in
+# :func:`_fold_best` is the operative contract for both paths.
+
+
+def _np_spec(entries: list[tuple[int, list[int]]], offset: int = 0):
+    """One argmin problem as (slice offset, code-id vector, centroid
+    matrix) — entries sorted by code id so numpy's first-min argmin
+    reproduces the fold's ties-to-smaller rule (same layout as
+    operators/pq.py::_specs)."""
+    import numpy as np
+
+    ent = sorted(entries)
+    return (
+        offset,
+        np.asarray([j for j, _ in ent], dtype=np.int32),
+        np.asarray([cv for _, cv in ent], dtype=np.int64),
+    )
+
+
+def _argmin_ids_fn(spec):
+    """pandas-UDF kernel: nearest code id per row (exact integer squared
+    distance, first-min ties).  NULL vectors yield NULL (no caller feeds
+    NULL embeddings; the HOF fold instead returns the first centroid's id
+    with a NULL distance — divergence pinned by tests/test_clustering.py).
+    """
+    off, J, C = spec
+
+    def fn(s):
+        import numpy as np
+        import pandas as pd
+
+        mask = s.notna().to_numpy()
+        out = np.empty(len(s), dtype=object)
+        if mask.any():
+            X = np.stack(s[mask].to_numpy()).astype(np.int64, copy=False)
+            d = X[:, off:off + C.shape[1]][:, None, :] - C[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", d, d)
+            out[mask] = J[np.argmin(d2, axis=1)].tolist()
+        return pd.Series(out)
+
+    return fn
+
+
+def _partials_fn(specs, xq_col: str = "xq"):
+    """mapInPandas kernel: one Lloyd round's per-task partial sums.  For
+    every spec (subspace) and every code with members in this task:
+    (spec index, code, member count, sum of min squared distances, and
+    the component sums of the members' subvectors) — at most
+    sum(len(codes)) rows per task regardless of row count.  NULL vectors
+    contribute nothing (the explode form never emitted them)."""
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        accs = [
+            (
+                np.zeros(len(J), dtype=np.int64),
+                np.zeros(len(J), dtype=np.int64),
+                np.zeros((len(J), C.shape[1]), dtype=np.int64),
+            )
+            for (_, J, C) in specs
+        ]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            col = pdf[xq_col]
+            mask = col.notna().to_numpy()
+            if not mask.any():
+                continue
+            X = np.stack(col[mask].to_numpy()).astype(np.int64, copy=False)
+            for (off, J, C), (n, sa, S) in zip(specs, accs):
+                Xs = X[:, off:off + C.shape[1]]
+                d = Xs[:, None, :] - C[None, :, :]
+                d2 = np.einsum("nkd,nkd->nk", d, d)
+                am = np.argmin(d2, axis=1)
+                np.add.at(n, am, 1)
+                np.add.at(sa, am, d2[np.arange(len(am)), am])
+                np.add.at(S, am, Xs)
+        ii, cls, ns, sas, ss = [], [], [], [], []
+        for i, ((_, J, _C), (n, sa, S)) in enumerate(zip(specs, accs)):
+            for c in np.nonzero(n)[0]:
+                ii.append(i)
+                cls.append(int(J[c]))
+                ns.append(int(n[c]))
+                sas.append(int(sa[c]))
+                ss.append(S[c].tolist())
+        yield pd.DataFrame(
+            {
+                "i": pd.Series(ii, dtype="int32"),
+                "cl": pd.Series(cls, dtype="int32"),
+                "n": pd.Series(ns, dtype="int64"),
+                "sa": pd.Series(sas, dtype="int64"),
+                "s": pd.Series(ss, dtype="object"),
+            }
+        )
+
+    return fn
+
+
+#: partial-sum collect cap: above ``tasks * total codes`` rows the driver
+#: combine would itself become data-scale work, so training falls back to
+#: the distributed explode/groupBy update (the pre-round-10 path, kept
+#: below) — the same bounded-driver-state discipline as
+#: ``dedup.duplicate_clusters``' union-find threshold.
+_PARTIALS_COLLECT_CAP = 1 << 18
+
+
+def _partial_update(qp: DataFrame, specs) -> dict | None:
+    """One training round as a map-only partial-sum scan + tiny collect.
+    Returns {(spec index, code): (n, sum min dist, component sums)} with
+    exact Python-int combination, or None when ``tasks * codes`` exceeds
+    :data:`_PARTIALS_COLLECT_CAP` (caller falls back to the distributed
+    update)."""
+    k_total = sum(len(J) for _, J, _ in specs)
+    if qp.rdd.getNumPartitions() * k_total > _PARTIALS_COLLECT_CAP:
+        return None
+    rows = qp.select("xq").mapInPandas(
+        _partials_fn(specs), "i int, cl int, n long, sa long, s array<long>"
+    ).collect()
+    agg: dict = {}
+    for r in rows:
+        key = (int(r.i), int(r.cl))
+        if key in agg:
+            n0, sa0, s0 = agg[key]
+            agg[key] = (
+                n0 + int(r.n),
+                sa0 + int(r.sa),
+                [a + int(b) for a, b in zip(s0, r.s)],
+            )
+        else:
+            agg[key] = (int(r.n), int(r.sa), [int(v) for v in r.s])
+    return agg
+
+
 def quantize_vectors(
     vecs: DataFrame, id_col: str, vec_col: str, scale: int
 ) -> DataFrame:
@@ -155,19 +307,23 @@ def cluster_assign(
     literal: bool = True,
 ) -> DataFrame:
     """Assign vectors to FIXED learned integer centroids (the serving /
-    online leg of :func:`kmeans_train`): quantize + in-row argmin fold,
-    a stateless map-only plan with no shuffle, window, or join — so the
+    online leg of :func:`kmeans_train`): quantize + one Arrow argmin
+    kernel (exact integer distances, codebook in the task closure), a
+    stateless map-only plan with no shuffle, window, or join — so the
     SAME call works on a batch frame and on an unbounded streaming frame
     (Spark's unified semantics; parity pinned by
     tests/test_clustering.py::test_streaming_assign_matches_batch).
     ``centroids`` is kmeans_train's ``[(cluster_id, [ints])]`` output.
+    The pre-round-10 literal-expression fold is kept as
+    :func:`cluster_assign_hof` (bit-identical on non-NULL vectors,
+    pinned by test_assign_kernel_hof_parity) — the interpreted HOF path
+    cost k*dim boxed lambda evals per row.
 
-    ``literal=False`` switches the codebook from a parsed SQL literal to
-    a ONE-ROW broadcast frame (the house codebook pattern, see
-    similarity.centroid_assign): the fold is identical, but the centroid
-    data rides the broadcast instead of the expression tree — use it when
-    ``k * dim`` outgrows literal-expression size (~1e5 values; the
-    SCALE.md knob).  The attach is a dummy-key stream-static-compatible
+    ``literal=False`` switches the codebook from the kernel closure to
+    a ONE-ROW broadcast frame feeding the Catalyst fold (the house
+    codebook pattern, see similarity.centroid_assign) — use it when
+    ``k * dim`` outgrows what a per-task closure should carry (~1e5
+    values; the SCALE.md knob).  The attach is a dummy-key stream-static-compatible
     broadcast EQUI-join (not a crossJoin), so the SAME call serves an
     unbounded streaming frame with a 64k-centroid codebook — parity
     pinned by test_streaming_bcast_assign_large_codebook.  Bit-identical
@@ -178,9 +334,12 @@ def cluster_assign(
     centroids = sorted(centroids)
     q = quantize_vectors(vecs, id_col, vec_col, scale)
     if literal:
-        return q.select(
-            F.col(id_col), _assign_col(centroids).alias("cluster")
+        from pyspark.sql.types import IntegerType
+
+        udf = F.pandas_udf(
+            _argmin_ids_fn(_np_spec(centroids)), IntegerType()
         )
+        return q.select(F.col(id_col), udf(F.col("xq")).alias("cluster"))
     spark = vecs.sparkSession
     row = spark.createDataFrame(
         [(1, [(int(j), [int(c) for c in cv]) for j, cv in centroids])],
@@ -191,6 +350,22 @@ def cluster_assign(
         .join(F.broadcast(row), "_k")
         .select(F.col(id_col), _fold_argmin(F.col("_cents")).alias("cluster"))
     )
+
+
+def cluster_assign_hof(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Pure-Catalyst expression form of :func:`cluster_assign` (literal
+    centroid array + in-row argmin fold) — kept as the
+    cross-implementation parity pin and for sessions where Python
+    workers are unavailable."""
+    centroids = sorted(centroids)
+    q = quantize_vectors(vecs, id_col, vec_col, scale)
+    return q.select(F.col(id_col), _assign_col(centroids).alias("cluster"))
 
 
 def kmeans_train(
@@ -249,6 +424,29 @@ def kmeans_train(
                 # shuffle per converged round.
                 break
             prev_cent = cent
+            agg = _partial_update(qp, [_np_spec(cent)])
+            if agg is not None:
+                # round-10 path: ONE map-only Arrow scan (assignment +
+                # per-task exact partial sums) + a <= tasks*k-row collect
+                # — no interpreted assignment fold, no x-dim posexplode,
+                # no shuffle (combination of int partials is exact and
+                # order-free, so this is bit-identical to the groupBy
+                # form below; pinned by test_partials_distributed_parity)
+                if history is not None:
+                    history.append(
+                        {
+                            "round": len(history) + 1,
+                            "inertia": sum(v[1] for v in agg.values()),
+                        }
+                    )
+                # empty clusters keep their previous (S, n)
+                state = {
+                    j: (agg[(0, j)][2], agg[(0, j)][0])
+                    if (0, j) in agg
+                    else state[j]
+                    for j in state
+                }
+                continue
             best = _fold_best(_cents_expr(cent))
             assigned = qp.select(
                 best["j"].alias("cl"), best["a"].alias("_a"), "xq"

@@ -770,10 +770,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def _simhash_batch(s):
+    """Vectorized kernel for :func:`simhash64` (one Arrow batch): split
+    each document on single spaces (== Spark ``split(text, ' ')``,
+    empty fields kept), md5 each token ONCE (C-level hashlib, top 60
+    digest bits == ``conv(substring(md5(t),1,15),16,10)``), then the 60
+    bit votes are segmented sums over the batch-flattened token array —
+    one ``np.add.reduceat`` per bit.  Bit i is set iff strictly more
+    tokens have it set than not (``2*ones > count``, exactly the
+    expression form's ``sum(+1/-1) > 0``)."""
+    import hashlib
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    toks_all: list[str] = []
+    counts = np.empty(len(s), dtype=np.int64)
+    valid = np.ones(len(s), dtype=bool)
+    for i, t in enumerate(s):
+        if t is None:
+            valid[i] = False
+            counts[i] = 0
+            continue
+        tk = t.split(" ")
+        toks_all.extend(tk)
+        counts[i] = len(tk)
+    out = np.empty(len(s), dtype=object)
+    if toks_all:
+        hv = np.fromiter(
+            (
+                fb(md5(tok.encode("utf-8")).digest()[:8], "big") >> 4
+                for tok in toks_all
+            ),
+            dtype=np.int64,
+            count=len(toks_all),
+        )
+        totals = counts[valid]
+        offsets = np.zeros(len(totals), dtype=np.int64)
+        np.cumsum(totals[:-1], out=offsets[1:])
+        sh = np.zeros(len(totals), dtype=np.int64)
+        for b in range(60):
+            ones = np.add.reduceat((hv >> b) & 1, offsets)
+            sh |= (2 * ones > totals).astype(np.int64) << b
+        out[valid] = sh.tolist()
+    return pd.Series(out)
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash from per-token md5 bits: bit i of the hash is 1 iff
-    more tokens have bit i set than not.  Pure Catalyst (explode + conv +
-    bitwise ops + groupBy); Hamming-close hashes = near-dup documents.
+    more tokens have bit i set than not.  Hamming-close hashes = near-dup
+    documents.
+
+    MAP-ONLY (round-10): the whole fingerprint — tokenize, md5, 60 bit
+    votes — folds into one Arrow kernel per row, so the plan has ZERO
+    shuffle (the previous form exploded tokens, ran the JVM
+    md5-conv chain per token and re-grouped on the id with 60 parallel
+    sum-aggregates; partial aggregation kept the shuffle small, but the
+    explode pass and the 60-way agg codegen were the per-stage cost —
+    the same economics as ``minhash_signatures``).  The expression form
+    is kept below as :func:`simhash64_agg` and pinned value-equal by
+    tests/test_text_ops.py::test_simhash_kernel_agg_parity, so the DuckDB
+    oracle digest is unchanged.  Rows with NULL text drop out (the
+    explode form never emitted them); a map-only plan also serves an
+    unbounded streaming frame unchanged.
+    """
+    from pyspark.sql.types import LongType
+
+    sig = F.pandas_udf(_simhash_batch, LongType())(F.col(text_col))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), sig.alias("simhash60"))
+    )
+
+
+def simhash64_agg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Expression form of :func:`simhash64` (explode + conv + bitwise ops
+    + groupBy) — kept as the cross-implementation parity pin and for
+    sessions where Python workers are unavailable.
     """
     toks = df.select(
         F.col(id_col),

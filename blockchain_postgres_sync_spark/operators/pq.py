@@ -64,6 +64,8 @@ from .clustering import (
     _centroid_ints,
     _cents_expr,
     _fold_best,
+    _np_spec,
+    _partial_update,
     quantize_vectors,
 )
 from .sampling import _hash31
@@ -281,6 +283,25 @@ def pq_train(
                 # argument as kmeans_train's early stop)
                 break
             prev = cents
+            agg2 = _partial_update(
+                q, [_np_spec(cents[s], offset=s * sub) for s in range(m)]
+            )
+            if agg2 is not None:
+                # round-10 path: ONE map-only Arrow pass fuses all m
+                # assignments with the update's per-task exact partial
+                # sums (no posexplode, no shuffle; bit-identical — int
+                # partials combine order-free — pinned by
+                # tests/test_pq.py::test_pq_partials_distributed_parity)
+                state = {
+                    s: {
+                        j: (agg2[(s, j)][2], agg2[(s, j)][0])
+                        if (s, j) in agg2
+                        else state[s][j]
+                        for j in state[s]
+                    }
+                    for s in range(m)
+                }
+                continue
             assigned = q.select(_codes_col(cents, sub, "xq").alias("cls"), "xq")
             # one posexplode of the FULL vector: position p0 (0-based)
             # maps to subspace p0 div sub and in-subspace dim p0 % sub + 1,

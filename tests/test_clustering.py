@@ -264,3 +264,54 @@ def test_bcast_assign_matches_literal(spark):
         for r in cluster_assign(emb, cents, literal=False).collect()
     }
     assert lit == bc and len(lit) == emb.count()
+
+
+def test_assign_kernel_hof_parity(spark):
+    """cluster_assign's Arrow argmin kernel (round-10 default) must be
+    row-identical to the literal-expression fold it replaced
+    (cluster_assign_hof) on non-NULL vectors — exact integer distances,
+    ties to the smaller cluster id in both."""
+    from blockchain_postgres_sync_spark.operators.clustering import (
+        cluster_assign,
+        cluster_assign_hof,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, cents = kmeans_train(emb, k=5, iters=1)
+    kern = {(r.vec_id, r.cluster) for r in cluster_assign(emb, cents).collect()}
+    hof = {
+        (r.vec_id, r.cluster)
+        for r in cluster_assign_hof(emb, cents).collect()
+    }
+    assert kern == hof and len(kern) == emb.count()
+
+
+def test_partials_distributed_parity(spark, monkeypatch):
+    """The fused map-only partial-sum training round (round-10 default)
+    must be bit-identical to the distributed explode/groupBy update it
+    replaced: force the fallback by zeroing the collect cap and compare
+    assignments, centroids, and per-round inertia."""
+    from blockchain_postgres_sync_spark.operators import clustering
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        hist: list = []
+        assigned, cents = clustering.kmeans_train(
+            df, k=4, iters=3, history=hist
+        )
+        return (
+            {int(r.vec_id): int(r.cluster) for r in assigned.collect()},
+            cents,
+            [h["inertia"] for h in hist],
+        )
+
+    fast = run()
+    monkeypatch.setattr(clustering, "_PARTIALS_COLLECT_CAP", 0)
+    slow = run()
+    assert fast == slow

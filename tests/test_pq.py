@@ -324,3 +324,23 @@ def test_pq_query_batch_guard(spark):
         pq_adc_topk_hof(enc, books, oversized)
     with pytest.raises(ValueError, match="PQ_MAX_QUERY_BATCH"):
         ivfpq_topk(enc, books, [(1, [0] * 8)] , oversized)  # type: ignore[arg-type]
+
+
+def test_pq_partials_distributed_parity(spark, monkeypatch):
+    """pq_train's fused map-only partial-sum round (round-10 default)
+    must be bit-identical to the distributed posexplode/groupBy update it
+    replaced: force the fallback by zeroing the collect cap and compare
+    the trained codebooks."""
+    import random
+
+    from blockchain_postgres_sync_spark.operators import clustering, pq
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(12)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = pq.pq_train(df, m=3, k=4, iters=2)
+    monkeypatch.setattr(clustering, "_PARTIALS_COLLECT_CAP", 0)
+    slow = pq.pq_train(df, m=3, k=4, iters=2)
+    assert fast == slow

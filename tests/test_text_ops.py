@@ -570,3 +570,29 @@ def test_minhash_kernel_agg_parity(spark):
         }
         assert kern == agg, (num_hashes, n)
         assert 0 not in kern  # NULL text absent from both
+
+
+def test_simhash_kernel_agg_parity(spark):
+    """The map-only simhash Arrow kernel (round-10: zero shuffle, fused
+    tokenize+md5+bit-votes) must emit bit-identical fingerprints to the
+    explode+groupBy expression form it replaced — the DuckDB oracle
+    recomputes these exact values.  Covers NULL text (dropped by both
+    forms), empty text, multi-space/edge-whitespace tokens, duplicate
+    tokens (votes weigh repeats), and single-token docs."""
+    from blockchain_postgres_sync_spark.operators.dedup import (
+        simhash64, simhash64_agg,
+    )
+
+    texts = [
+        None, "", "one", "one two", "one one one two",
+        "double  space", "trailing space ", " leading", "   ", "a  b  c",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # dup content
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    kern = {r.doc_id: r.simhash60 for r in simhash64(df).collect()}
+    agg = {r.doc_id: r.simhash60 for r in simhash64_agg(df).collect()}
+    assert kern == agg
+    assert 0 not in kern  # NULL text absent from both
