@@ -924,9 +924,11 @@ def duplicate_clusters(
 
     Adaptive, like Spark's own broadcast threshold: the candidate-pair set
     is orders of magnitude smaller than the corpus (it is the near-dup
-    subset).  When the edge count is at most ``collect_threshold`` the
-    whole edge list is collected ONCE and solved with a linear union-find —
-    one job instead of one per round.  Above the threshold, the
+    subset).  When the emitted candidate-row count (an upper bound on
+    distinct edges; union-find is duplicate-insensitive, so the driver
+    path skips the dedup shuffle entirely) is at most
+    ``collect_threshold`` the whole edge list is collected ONCE and
+    solved with a linear union-find — one job instead of one per round.  Above the threshold, the
     alternating large-star / small-star contraction runs (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"): every round keeps ALL
     state — edges and labels — in DataFrames; nothing label-sized ever
@@ -949,13 +951,23 @@ def duplicate_clusters(
     # from it, so it cannot be unpersisted before the caller consumes it)
     while _CLUSTER_CACHE:
         _CLUSTER_CACHE.pop().unpersist()
-    dedup_pairs = pairs.select("id_a", "id_b").distinct().persist()
-    _CLUSTER_CACHE.append(dedup_pairs)
+    # RAW pairs, no distinct (round-10): union-find is duplicate-
+    # insensitive, so the driver path needs no dedup shuffle at all —
+    # the distinct Exchange cost every consumer a stage for nothing.
+    # The threshold therefore counts EMITTED candidate rows (an upper
+    # bound on distinct edges, larger by at most the blocking stage's
+    # duplication factor — bands for MinHash-LSH); both paths compute
+    # identical clusters either side of the flip, so the only effect is
+    # a slightly earlier switch to the distributed loop, which dedups
+    # below.
+    raw_pairs = pairs.select("id_a", "id_b").persist()
+    _CLUSTER_CACHE.append(raw_pairs)
     # one count triggers the (expensive) candidate-pair lineage and decides
     # the strategy; the collect below reuses the persisted result
-    if dedup_pairs.count() <= collect_threshold:
-        edge_list = [(r["id_a"], r["id_b"]) for r in dedup_pairs.collect()]
+    if raw_pairs.count() <= collect_threshold:
+        edge_list = [(r["id_a"], r["id_b"]) for r in raw_pairs.collect()]
         return _unionfind_local(edge_list, spark, id_type)
+    dedup_pairs = raw_pairs.distinct()
 
     # every node must survive to the output even if star contraction
     # removes its last explicit edge, so pin the node set up front

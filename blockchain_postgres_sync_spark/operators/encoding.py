@@ -337,6 +337,79 @@ def tfidf_vectorize(
     )
 
 
+def _pair_score_batch(ta, wa, tb, wb):
+    """Arrow kernel for :func:`tfidf_rerank`'s pair scoring (one batch):
+    flatten both sides' (token_ids, weights) arrays, lift each row's ids
+    into a disjoint ``row * 2^32`` key range, argsort the b-side once,
+    then ONE ``searchsorted`` resolves every a-token's match in every
+    pair — C-level merge-intersection across the whole batch instead of
+    a per-row ``map_from_arrays`` build + interpreted ``aggregate`` fold
+    (~50M boxed lambda evals/s, the round-9/10 HOF ceiling).  All dot /
+    norm accumulation is int64 (exact, order-free — token_ids are
+    distinct per vector); the cosine floors the identical float64
+    expression the HOF form evaluates, so scores are bit-identical
+    (pinned by tests/test_encoding.py::test_rerank_kernel_hof_parity).
+    Shares the HOF path's int64 domain (sum of w_a*w_b < 2^63)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(ta)
+    dots = np.zeros(n, dtype=np.int64)
+    n2a = np.zeros(n, dtype=np.int64)
+    n2b = np.zeros(n, dtype=np.int64)
+    if n:
+        def flat(col):
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in col),
+                dtype=np.int64,
+                count=n,
+            )
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            vals = (
+                np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in col
+                     if x is not None and len(x)]
+                )
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            return rows, vals
+
+        ra, A = flat(ta)
+        _, WA = flat(wa)
+        rb, B = flat(tb)
+        _, WB = flat(wb)
+        for ids in (A, B):
+            if ids.size and (ids.min() < 0 or ids.max() >= 1 << 32):
+                # the row-offset key packing needs ids in [0, 2^32);
+                # dense-rank vocab ids always are — hashed 64-bit ids
+                # must go through tfidf_rerank_hof's map lookup instead
+                raise ValueError(
+                    "tfidf_rerank kernel requires token ids in [0, 2^32) "
+                    "(dense vocabulary ranks); use tfidf_rerank_hof for "
+                    "wider id domains"
+                )
+        np.add.at(n2a, ra, WA * WA)
+        np.add.at(n2b, rb, WB * WB)
+        KB = (rb << np.int64(32)) + B
+        order = np.argsort(KB, kind="stable")  # already sorted when the
+        KB, WBs = KB[order], WB[order]         # vectors came id-sorted
+        if len(KB) and len(A):
+            KA = (ra << np.int64(32)) + A
+            idx = np.searchsorted(KB, KA)
+            safe = np.minimum(idx, len(KB) - 1)
+            match = (idx < len(KB)) & (KB[safe] == KA)
+            np.add.at(dots, ra[match], WA[match] * WBs[safe[match]])
+    denom = np.sqrt(n2a.astype(np.float64)) * np.sqrt(n2b.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(
+            denom > 0.0,
+            np.floor(dots.astype(np.float64) * 1000000.0 / denom),
+            0.0,
+        ).astype(np.int64)
+    return pd.DataFrame({"dot_w2": dots, "cos_x1m": cos})
+
+
 def tfidf_rerank(
     pairs: DataFrame,
     vectors: DataFrame,
@@ -358,9 +431,11 @@ def tfidf_rerank(
 
     Plan shape (100 TB): two joins of the (small) pair frame against the
     vector table — each a plain hash join keyed on a doc id, no fan-out —
-    then the dot folds IN-ROW over the a-side arrays with a map lookup
-    into the b-side (map_from_arrays; no explode, no (pair, token)
-    shuffle).  Work is O(|pairs| * avg_terms), independent of corpus size.
+    then the dot resolves IN-ROW by a batch-flattened Arrow
+    merge-intersection kernel (:func:`_pair_score_batch`; no explode, no
+    (pair, token) shuffle — the per-row ``map_from_arrays`` + interpreted
+    fold form is kept as :func:`tfidf_rerank_hof`, round-10).  Work is
+    O(|pairs| * avg_terms), independent of corpus size.
 
     ``vectors`` is consumed TWICE (a-side and b-side).  The divergent join
     keys break Catalyst exchange canonicalization, so without
@@ -373,6 +448,35 @@ def tfidf_rerank(
     upstream) — the unconditional checkpoint would store a redundant full
     copy in executor local storage for no reuse benefit.
     """
+    j = _rerank_joined(pairs, vectors, id_a, id_b, vec_id, materialize_vectors)
+    # non-deterministic marking stops the optimizer from pushing the
+    # dot_w2 > 0 filter BELOW the projection with a duplicated kernel
+    # node (guide §4.4) — the kernel is pure, the mark is plan-shaping
+    score = F.pandas_udf(
+        _pair_score_batch, "dot_w2 long, cos_x1m long"
+    ).asNondeterministic()(
+        F.col("_ta"), F.col("_wa"), F.col("_tb"), F.col("_wb")
+    )
+    out = j.withColumn("_s", score).select(
+        id_a,
+        id_b,
+        F.col("_s.dot_w2").alias("dot_w2"),
+        F.col("_s.cos_x1m").alias("cos_x1m"),
+    )
+    return out.filter(F.col("dot_w2") > 0)
+
+
+def _rerank_joined(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_a: str,
+    id_b: str,
+    vec_id: str,
+    materialize_vectors: bool,
+) -> DataFrame:
+    """The shared attach stage of :func:`tfidf_rerank` / the ``_hof``
+    form: both sides' (token_ids, weights) arrays joined onto the pair
+    frame."""
     if materialize_vectors:
         vectors = vectors.localCheckpoint(eager=False)
     va = vectors.select(
@@ -385,7 +489,23 @@ def tfidf_rerank(
         F.col("token_ids").alias("_tb"),
         F.col("weights_x1m").alias("_wb"),
     )
-    j = pairs.select(id_a, id_b).join(va, id_a).join(vb, id_b)
+    return pairs.select(id_a, id_b).join(va, id_a).join(vb, id_b)
+
+
+def tfidf_rerank_hof(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vec_id: str = "doc_id",
+    materialize_vectors: bool = True,
+) -> DataFrame:
+    """Pure-Catalyst expression form of :func:`tfidf_rerank` (per-row
+    ``map_from_arrays`` lookup + in-row ``aggregate`` dot fold) — kept as
+    the cross-implementation parity pin, for sessions where Python
+    workers are unavailable, and for token-id domains outside the
+    kernel's [0, 2^32) packing range."""
+    j = _rerank_joined(pairs, vectors, id_a, id_b, vec_id, materialize_vectors)
     mb = F.map_from_arrays(F.col("_tb"), F.col("_wb"))
     za = F.arrays_zip(F.col("_ta"), F.col("_wa"))
     dot = F.aggregate(

@@ -343,3 +343,52 @@ def test_rank_vocab_driver_path_matches_distributed(spark):
         for r in rank_vocab(counts, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) == 200
+
+
+def test_rerank_kernel_hof_parity(spark):
+    """tfidf_rerank's Arrow merge-intersection kernel (round-10) must be
+    row- and value-identical to the map_from_arrays expression form it
+    replaced (tfidf_rerank_hof) — same int64 dot, same float64 cosine
+    expression — including no-overlap pairs (dropped by both) and pairs
+    where one side has a single term."""
+    from blockchain_postgres_sync_spark.operators.encoding import (
+        tfidf_rerank,
+        tfidf_rerank_hof,
+        tfidf_vectorize,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vectors = tfidf_vectorize(docs, min_count=2)
+    ids = [r.doc_id for r in docs.select("doc_id").limit(30).collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids[:15] for b in ids[15:]],
+        "id_a long, id_b long",
+    )
+    kern = {
+        (r.id_a, r.id_b): (r.dot_w2, r.cos_x1m)
+        for r in tfidf_rerank(pairs, vectors).collect()
+    }
+    hof = {
+        (r.id_a, r.id_b): (r.dot_w2, r.cos_x1m)
+        for r in tfidf_rerank_hof(pairs, vectors).collect()
+    }
+    assert kern == hof and len(kern) > 0
+
+
+def test_rerank_kernel_wide_id_guard(spark):
+    """Token ids outside [0, 2^32) must raise loudly in the kernel path
+    (the row-offset key packing would silently corrupt matches) and the
+    error must point at tfidf_rerank_hof."""
+    import pytest
+
+    from blockchain_postgres_sync_spark.operators.encoding import (
+        tfidf_rerank,
+    )
+
+    vectors = spark.createDataFrame(
+        [(1, [1 << 33], [10]), (2, [1 << 33], [10])],
+        "doc_id long, token_ids array<long>, weights_x1m array<long>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(Exception, match="tfidf_rerank_hof"):
+        tfidf_rerank(pairs, vectors).collect()

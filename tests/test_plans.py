@@ -415,14 +415,22 @@ def test_retention_and_anomalies_bounded_exchanges(spark):
 
 
 def test_tfidf_rerank_no_pair_token_shuffle(spark):
-    """The rerank dot folds in-row (map_from_arrays lookup): no Generate
-    over the pair frame downstream of the vector joins — i.e. the plan
-    never explodes (pair, token) rows."""
+    """The rerank dot resolves in-row (round-10: one Arrow
+    merge-intersection kernel per batch; previously a map_from_arrays
+    lookup fold): no Generate over the pair frame downstream of the
+    vector joins — i.e. the plan never explodes (pair, token) rows —
+    and the kernel appears exactly ONCE (the dot_w2 > 0 filter must not
+    duplicate it, guide §4.4)."""
+    import re
+
     plan = _plan(spark, "tfidf_rerank")
-    assert "map_from_arrays" in plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) <= 2  # minhash + scorer
+    assert plan.count("_pair_score_batch") <= 1 or (
+        len(re.findall(r"ArrowEvalPython.*_pair_score", plan)) <= 1
+    )
     # explodes exist upstream (shingles/tokens for LSH + vocab), but the
-    # final projection computes the dot via aggregate(), not a join on an
-    # exploded token stream: no SortMergeJoin anywhere in the rerank
+    # final projection computes the dot via the kernel, not a join on an
+    # exploded token stream: no cartesian anywhere in the rerank
     assert "CartesianProduct" not in plan
 
 
