@@ -100,13 +100,18 @@ def test_twap_agg_reuses_window_partitioning(spark):
     assert _n_exchanges(plan) == 1, plan
 
 
-def test_simhash_votes_without_bit_explode(spark):
-    """Bit votes are 60 parallel aggregates, not a 60x row explode: exactly
-    one Generate node (the token split), one exchange (the doc groupBy)."""
+def test_simhash_is_map_only_fused_kernel(spark):
+    """Round 10 fused the whole signature (tokenize, md5 votes, sign fold)
+    into ONE Arrow kernel: the plan must be map-only — no Generate (the
+    token explode is gone), no exchange (the 60-vote doc groupBy is gone),
+    exactly one Python node.  Value parity with the explode+groupBy form
+    is pinned by test_text_ops.py::test_simhash_kernel_agg_parity."""
     plan = _plan(spark, "dedup_simhash")
     generate_nodes = set(re.findall(r"\((\d+)\) Generate", plan))
-    assert len(generate_nodes) == 1, plan
-    assert _n_exchanges(plan) == 1, plan
+    assert len(generate_nodes) == 0, plan
+    assert _n_exchanges(plan) == 0, plan
+    assert plan.count("(4) ArrowEvalPython") == 1 or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_corpus_curation_is_filter_only(spark):
