@@ -966,6 +966,18 @@ def duplicate_clusters(
     # the strategy; the collect below reuses the persisted result
     if raw_pairs.count() <= collect_threshold:
         edge_list = [(r["id_a"], r["id_b"]) for r in raw_pairs.collect()]
+        # the driver path's result is built from driver memory
+        # (_unionfind_local -> createDataFrame) and never reads raw_pairs
+        # again, so release the persist NOW: a lingering InMemoryRelation
+        # substitutes into every later same-session plan that contains the
+        # candidate-pair subtree (the cache manager matches by logical
+        # plan, not by DataFrame identity), breaking exchange reuse there —
+        # measured: tfidf_rerank's minhash kernel evaluated 2x instead of
+        # 1x for the rest of the session.  The lazy release (next-call
+        # drain) is only needed on the distributed path, whose RETURNED
+        # frame does read the persisted node set.
+        _CLUSTER_CACHE.remove(raw_pairs)
+        raw_pairs.unpersist()
         return _unionfind_local(edge_list, spark, id_type)
     dedup_pairs = raw_pairs.distinct()
 

@@ -73,6 +73,28 @@ def test_duplicate_clusters_path_and_island(spark):
     assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_duplicate_clusters_driver_path_releases_persist(spark):
+    """The driver union-find path must unpersist its candidate-pair frame
+    BEFORE returning: its result is driver-built and never reads the
+    persist, while a lingering InMemoryRelation substitutes into every
+    later same-session plan containing the pair subtree (cache-manager
+    match is by logical plan), breaking exchange reuse there — the
+    round-10 tfidf_rerank double-minhash regression."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    dedup.duplicate_clusters(pairs).collect()
+    assert not dedup._CLUSTER_CACHE
+    # the pair subtree must NOT resolve to a cached relation afterwards
+    plan = pairs.select("id_a", "id_b")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    # distributed path keeps its (documented) lazy release: the returned
+    # frame reads the persisted node set
+    dedup.duplicate_clusters(pairs, collect_threshold=0).collect()
+    assert dedup._CLUSTER_CACHE
+
+
 def test_duplicate_clusters_distributed_path(spark):
     # collect_threshold=0 forces the iterative min-label contraction loop;
     # must agree with the union-find fast path on a multi-round graph
