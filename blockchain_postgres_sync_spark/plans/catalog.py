@@ -49,8 +49,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ---------------------------------------------------------------- helpers
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fanout: bool | None = None,
+) -> DataFrame:
+    """Catalog table loader.  ``fanout`` overrides the loader's adaptive
+    scan fan-out (sources/tables.py) per QUERY: the fan-out exchange only
+    pays for itself when heavy per-row work sits BEFORE the plan's first
+    exchange (Arrow kernels, vector folds, md5/tokenize chains) — per-row
+    intensity is workload knowledge the loader cannot infer from bytes
+    (guide §8).  ``fanout=False`` is set exactly on the call sites where
+    an interleaved on/off A/B measured the fan-out as a net cost at BOTH
+    bench scales (sf0.1 and the deterministic local sf1) — light JVM
+    scans (hash/length/quota shapes), aggregation-after-first-exchange
+    shapes (the AQE coalesce floor already parallelizes those stages),
+    and per-round rescans (kmeans_train re-pays the exchange every Lloyd
+    round).  Queries whose two scales disagreed keep the default ON —
+    the sf1 signal outranks the sf0.1 one (scale posture first).
+    Numbers: OPTIMIZATION_r10.md, session-6 fan-out calibration."""
+    return load_table(spark, sf_dir, name, fanout=fanout)
 
 
 def _arr_str(col):  # Column -> Column
@@ -591,7 +610,7 @@ def q_latest_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy."""
-    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents", fanout=False))
 
 
 def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,7 +651,7 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-mixture table for a 100k-token budget: source
     inventory -> planned tokens -> hash_sample rate / epoch count."""
     return sampling.mixture_plan(
-        _t(spark, sf_dir, "documents"), token_budget=100_000
+        _t(spark, sf_dir, "documents", fanout=False), token_budget=100_000
     )
 
 
@@ -688,7 +707,7 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs via shingle-postings join."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_size=3, threshold=0.5
+        _t(spark, sf_dir, "documents", fanout=False), shingle_size=3, threshold=0.5
     )
 
 
@@ -800,7 +819,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to 2^-20 BEFORE summing so the aggregation is exact integer
     math — order-insensitive, hence engine-independent (a float sum across
     a shuffle is not)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=False)
     pos = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -919,7 +938,7 @@ def q_corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: documents → opaque-binary media rows (multimodal plumbing over testdata):
 #: payload = utf-8 text bytes, kind cycles image/audio/video by doc_id.
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fanout=False)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -963,7 +982,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: PCM parse) — not the FNV stub.  Metadata columns are NULL on purpose:
 #: width/height/duration can only come from actually decoding the payload.
 def _media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", fanout=False).select("doc_id")
 
     def gen(batches):
         import numpy as np
@@ -1193,7 +1212,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     or interpolating quantiles.  One exchange (window + agg share the
     source partitioning)."""
     return stats.order_statistics(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents", fanout=False),
         group_col="source",
         value_col="n_chars",
         order_tiebreak="doc_id",
@@ -1213,7 +1232,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source quota sample (20 docs/stratum by content-hash
     order) — reproducible corpus subsampling, no RNG state."""
     out = sampling.stratified_quota(
-        _t(spark, sf_dir, "documents"), stratum_col="source", n_per_stratum=20
+        _t(spark, sf_dir, "documents", fanout=False), stratum_col="source", n_per_stratum=20
     )
     return out.select("doc_id", "source")
 
@@ -1225,7 +1244,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of (doc_id, n_chars).  Global top-n plans as
     TakeOrdered: per-partition heap + single-reduce merge, no sort
     shuffle."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", fanout=False).select(
         "doc_id", "source", "n_chars"
     )
     return sampling.weighted_sample(docs, "n_chars", n=100)
@@ -1235,7 +1254,7 @@ def q_weighted_sample_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source weighted quota (10 docs/stratum by weighted priority) —
     the stratified leg of :func:`q_weighted_sample`; one window shuffle on
     the stratum key."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", fanout=False).select(
         "doc_id", "source", "n_chars"
     )
     return sampling.weighted_sample(
@@ -1247,7 +1266,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical curation pipeline: quality gates (token bounds, mean
     token length, repetition floor) then a deterministic 50% hash sample —
     filter-only plan, every decision integer-exact and engine-independent."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fanout=False)
     kept = sampling.curate(
         docs,
         min_tokens=20,
@@ -1279,7 +1298,7 @@ def q_doc_chunks_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing (GPT-style): per-language token
     stream cut every 64 tokens; one running-sum window per language."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents", fanout=False).filter(F.col("text").isNotNull())
     return packing.pack_concat(docs, budget=64)
 
 
@@ -1290,7 +1309,7 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stream, and the oracle replays it via list_reduce with the (bin,
     fill) state as the tail of one plain BIGINT list (see ORACLES); also
     pinned by tests/test_packing.py::test_pack_greedy_matches_reference."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents", fanout=False).filter(F.col("text").isNotNull())
     return packing.pack_greedy(docs, budget=64)
 
 
@@ -1299,20 +1318,20 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(doc_id); operators/sampling.py::dataset_split) — map-only, stable
     under re-runs and row additions."""
     return sampling.dataset_split(
-        _t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+        _t(spark, sf_dir, "documents", fanout=False), val_frac=0.1, test_frac=0.1
     ).select("doc_id", "lang", "source", "split")
 
 
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 df-normalized terms (exact-integer tf-idf cousin;
     operators/stats.py::salient_terms)."""
-    return stats.salient_terms(_t(spark, sf_dir, "documents"), top=5)
+    return stats.salient_terms(_t(spark, sf_dir, "documents", fanout=False), top=5)
 
 
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution in integer-exact power-of-two buckets per
     language (operators/stats.py::length_histogram)."""
-    return stats.length_histogram(_t(spark, sf_dir, "documents"))
+    return stats.length_histogram(_t(spark, sf_dir, "documents", fanout=False))
 
 
 def q_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,7 +1343,7 @@ def q_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_pack_greedy_sharded_skewed_stream_invariants.  Hash-checked since
     round 8: the md5-h31 shard split is cross-engine exact and each
     (stream, shard) replays the same list_reduce fold as pack_greedy."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents", fanout=False).filter(F.col("text").isNotNull())
     return packing.pack_greedy_sharded(docs, budget=64, max_stream_rows=64)
 
 
@@ -1342,7 +1361,7 @@ def q_quality_gate_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build: per-token counts (map-side combined) + dense ids
     by (count desc, token) rank (operators.encoding.build_vocab)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fanout=False)
     return encoding.build_vocab(docs, min_count=2)
 
 
@@ -1380,7 +1399,7 @@ def q_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to a distinct shingle set before the join — no fan-out, no
     broadcast assumption (a 100 TB holdout is itself huge)."""
     return contamination.split_decontamination(
-        _t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+        _t(spark, sf_dir, "documents", fanout=False), val_frac=0.1, test_frac=0.1
     )
 
 
@@ -1413,7 +1432,7 @@ def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-output ranking pattern; contrast with `top_orders`' global
     top-k).  Partitioned window => parallel by group, no single-partition
     sort; ties broken by doc_id for determinism."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fanout=False)
     w = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
@@ -1485,7 +1504,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/stats.py::unigram_logprob) — the perplexity-style noise
     filter.  Two wide exchanges at any scale: vocab counts + per-doc fold;
     the model side broadcasts."""
-    return stats.unigram_logprob(_t(spark, sf_dir, "documents"))
+    return stats.unigram_logprob(_t(spark, sf_dir, "documents", fanout=False))
 
 
 def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2282,7 +2301,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence unrolls to a DuckDB CTE chain exactly like kmeans_train's
     — the whole learned table hash-checks.  Semantics also pinned against
     a pure-Python BPE reference in tests/test_bpe.py."""
-    return bpe.bpe_train(_t(spark, sf_dir, "documents"), n_merges=10)
+    return bpe.bpe_train(_t(spark, sf_dir, "documents", fanout=False), n_merges=10)
 
 
 def q_bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2356,7 +2375,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle unrolls the identical recurrence.  Per iteration: one
     map-side assignment scan + one k*dim-row partial-agg shuffle; only
     model state (k*dim ints) ever reaches the driver."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fanout=False)
     assigned, cents = clustering.kmeans_train(
         emb, k=8, iters=2, id_col="vec_id", vec_col="embedding"
     )
@@ -2782,7 +2801,7 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one tokenize scan, in-row pair zip, broadcast unigram lookups,
     TakeOrdered top-k."""
     return stats.bigram_lift(
-        _t(spark, sf_dir, "documents"), min_pair=5, top=100
+        _t(spark, sf_dir, "documents", fanout=False), min_pair=5, top=100
     )
 
 
@@ -3031,7 +3050,7 @@ def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_disc semantics) via the bounded-domain counts trick
     (operators/stats.py::exact_quantiles) — no approxQuantile, no per-group
     sort; the window runs over the distinct-value frame only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fanout=False)
     return stats.exact_quantiles(docs, "n_chars", ["lang"]).select(
         "lang", "n_rows", "p25", "p50", "p75", "p95"
     )
@@ -3130,7 +3149,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation-split OOV rate against the train split's >=5-count
     vocabulary, per language — both splits pre-aggregated before the
     distributed vocab join (operators/stats.py::vocab_coverage)."""
-    return stats.vocab_coverage(_t(spark, sf_dir, "documents"))
+    return stats.vocab_coverage(_t(spark, sf_dir, "documents", fanout=False))
 
 
 

@@ -624,3 +624,34 @@ def test_hll_register_build_is_two_exchanges(spark):
     assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 2
     assert "hashpartitioning" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_fanout_per_query_calibration(spark, monkeypatch):
+    """Round-10 fan-out calibration is pinned per query: the adaptive scan
+    fan-out (sources/tables.py) stays ON where heavy per-row work precedes
+    the plan's first exchange, and is opted OUT (``_t(..., fanout=False)``)
+    exactly where the interleaved on/off A/B measured the round-robin
+    exchange as a net cost at BOTH bench scales (OPTIMIZATION_r10.md,
+    session-6 table).  The smoke tables sit below the loader's size floor,
+    so the floor is forced down to expose the decision in the plan."""
+    from blockchain_postgres_sync_spark.sources import tables
+
+    monkeypatch.setattr(tables, "_FANOUT_MIN", 1)
+
+    def roundrobins(name: str) -> int:
+        return len(re.findall(r"RoundRobinPartitioning", _plan(spark, name)))
+
+    # opted out: light JVM scans / agg-after-first-exchange shapes
+    for name in (
+        "dedup_exact", "label_centroids", "unigram_logprob", "bigram_lift",
+        "salient_terms", "vocab_coverage", "token_vocab", "stratified_sample",
+        "corpus_stats", "length_histogram", "quantile_summary",
+        "pack_concat", "mixture_plan", "dataset_split", "ngram_jaccard",
+        "media_image_features",
+    ):
+        assert roundrobins(name) == 0, name
+
+    # kept on: map-only / pre-exchange kernel consumers
+    for name in ("dedup_simhash", "embedding_quantize", "dedup_minhash_lsh",
+                 "quality_score", "cdc_chunks"):
+        assert roundrobins(name) >= 1, name
