@@ -1484,10 +1484,32 @@ def minhash_jaccard_probe(
     Jaccard here is ground truth only — production deploys the estimate.
     A candidate pair produced purely by a banding hash collision shares
     no shingle and takes exact Jaccard 0 from the empty intersection.
+
+    Round-10 session 7: both per-document computations are hoisted above
+    an id-hash repartition so AQE stage reuse evaluates each ONCE.  The
+    signature kernel fed THREE stages (the banding branch plus each join
+    side) and the shingle-set projection TWO — both sit above the scan,
+    so reusing the scan exchange alone still re-ran them per consumer
+    stage.  The added exchanges are the join's own id partitioning
+    hoisted and shared, not new work: signatures ship ~100 bytes/doc,
+    and the shingle arrays would cross per join side anyway once the
+    pair list outgrows a broadcast.  Interleaved A/B
+    (tools/ab_minhash_probe.py): local sf1 better in 4/5 passes (mins
+    4.28 vs 6.13 s), sf0.1 neutral (1.77 vs 1.80 s); value parity
+    asserted in-script at both scales (3,095 / 236,027 pair rows
+    identical).
+
+    The explicit ``id IS NOT NULL`` filter exists for the reuse, not the
+    semantics: the joins push that predicate into their sig/set sides
+    but not into the banding branch, and the asymmetry breaks the
+    canonical plan equality stage reuse matches on.  It drops no result
+    row — a NULL id never survives ``collect_list`` postings or the
+    id-keyed joins.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size
-    )
+    ).repartition(F.col(id_col))
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     a = sigs.select(
         F.col(id_col).alias("id_a"),
@@ -1514,7 +1536,7 @@ def minhash_jaccard_probe(
         F.array_distinct(
             hashed_token_shingles(F.col(text_col), shingle_size)
         ).alias("_shs"),
-    )
+    ).repartition(F.col("_sid"))
     a_sets = sets.select(
         F.col("_sid").alias("id_a"), F.col("_shs").alias("_sa")
     )

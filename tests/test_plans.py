@@ -655,3 +655,25 @@ def test_fanout_per_query_calibration(spark, monkeypatch):
     for name in ("dedup_simhash", "embedding_quantize", "dedup_minhash_lsh",
                  "quality_score", "cdc_chunks"):
         assert roundrobins(name) >= 1, name
+
+
+def test_minhash_probe_single_kernel_stage(spark):
+    """minhash_jaccard_est (round-10 session 7): the signature kernel and
+    the shingle-set projection each sit above an id-hash exchange shared
+    by every consumer, so the FINAL adaptive plan evaluates the minhash
+    Arrow kernel exactly ONCE (was 3 stage-private copies: banding
+    branch + both join sides) and scans the corpus at most twice (was
+    5), with the duplicated branches collapsed to ReusedExchange nodes.
+    Requires the executed (final) plan — stage reuse is an AQE runtime
+    decision invisible in the initial explain."""
+    df = CATALOG["minhash_jaccard_est"](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    # the noop write runs its own QueryExecution; re-execute the frame's
+    # own to finalize its adaptive plan (smoke SF: 50 rows)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:200]
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+    assert final.count("Scan parquet") <= 2, final
