@@ -300,7 +300,18 @@ def _char_entropy_x1000_udf(text: Column) -> Column:
     if _ENTROPY_UDF is None:
         from pyspark.sql.types import LongType
 
-        _ENTROPY_UDF = F.pandas_udf(_entropy_batch, LongType())
+        # asNondeterministic is a LIE about the function (the kernel is
+        # bit-deterministic, parity-pinned against the HOF form) told to
+        # stop the optimizer duplicating it (guide §4.4): score_auc /
+        # threshold_sweep filter on isnotnull(score), and pushing that
+        # predicate below the corpus fan-out exchange re-evaluated the
+        # whole quality expression INCLUDING this kernel on the
+        # single-task scan stage — two ArrowEvalPython nodes, one of
+        # them upstream of the fan-out (round-10 session 7; same
+        # treatment as the rerank scoring kernel).
+        _ENTROPY_UDF = F.pandas_udf(
+            _entropy_batch, LongType()
+        ).asNondeterministic()
     return _ENTROPY_UDF(text)
 
 

@@ -67,13 +67,20 @@ def _containment_argmax_udf(bids: Column) -> Column:
                 out_n.append(int(c[i]))
             return pd.DataFrame({"bid": out_b, "blen": out_n})
 
+        # asNondeterministic is a lie about the (bit-deterministic,
+        # parity-pinned) kernel told to stop guide-§4.4 duplication: the
+        # min-containment filter references the kernel's struct output,
+        # and pushing it below the final projection re-ran the argmax on
+        # every doc row — plan showed kernel -> Filter -> kernel stacked
+        # (round-10 session 7; same treatment as the rerank + entropy
+        # kernels).
         _ARGMAX_UDF = F.pandas_udf(
             kernel,
             StructType([
                 StructField("bid", LongType()),
                 StructField("blen", LongType()),
             ]),
-        )
+        ).asNondeterministic()
     return _ARGMAX_UDF(bids)
 
 

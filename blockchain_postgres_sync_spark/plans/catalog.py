@@ -3178,14 +3178,27 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth, like the ann_*_recall probes; at 100 TB you deploy the
     sketch alone: one (lang, bucket) hash-agg, <= 512 register rows per
     language cross the shuffle, registers merge by MAX across
-    partitions/micro-batches."""
+    partitions/micro-batches.
+
+    Round-10 session 7: both legs consume ONE shared distinct
+    (lang, shingle) aggregation instead of re-running the shingle kernel
+    + explode on a second corpus scan each.  Identical output by
+    construction — HLL registers are max(rho) per bucket, so duplicates
+    never change them, and countDistinct(shingle) == count(shingle) over
+    the distinct pairs.  The exact leg's (lang, shingle) exchange already
+    existed inside countDistinct's expansion; hoisting it into the shared
+    frame lets AQE stage reuse collapse the kernel branch (final plan:
+    1 ArrowEvalPython / 1 scan, was 2/2), while the est leg's register
+    agg now reads pre-dedup'd pairs through one extra byte-light
+    register-row exchange."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sh = docs.select(
         "lang", F.explode(T.token_shingles(F.col("text"))).alias("shingle")
     )
-    est = stats.hll_cardinality(sh, "shingle", ["lang"])
-    exact = sh.groupBy("lang").agg(
-        F.countDistinct("shingle").alias("n_exact")
+    dist = sh.select("lang", "shingle").distinct()
+    est = stats.hll_cardinality(dist, "shingle", ["lang"])
+    exact = dist.groupBy("lang").agg(
+        F.count("shingle").alias("n_exact")
     )
     return exact.join(est, "lang").select(
         "lang",

@@ -677,3 +677,39 @@ def test_minhash_probe_single_kernel_stage(spark):
     assert final.count("ArrowEvalPython") == 1, final
     assert final.count("ReusedExchange") >= 2, final
     assert final.count("Scan parquet") <= 2, final
+
+
+def test_hll_cardinality_single_kernel_scan(spark):
+    """hll_cardinality (round-10 session 7): est and exact legs consume
+    ONE shared distinct (lang, shingle) frame, so the FINAL adaptive
+    plan runs the shingle kernel once on one corpus scan (was one scan +
+    kernel per leg) with the second branch collapsed to ReusedExchange.
+    Registers are max(rho) per bucket — duplicate-insensitive — and
+    count(shingle) over distinct pairs equals countDistinct, so the
+    restructure is output-identical (oracle-diffed)."""
+    df = CATALOG["hll_cardinality"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:200]
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, final
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("Scan parquet") == 1, final
+
+
+def test_expensive_kernels_not_duplicated_by_filters(spark):
+    """Guide-§4.4 pins (round-10 session 7): filters that reference a
+    kernel-computed column must not duplicate the kernel.  score_auc /
+    threshold_sweep filter isnotnull(score) over the quality expression
+    (entropy kernel), and benchmark_contamination filters the
+    min-containment threshold over the argmax kernel's struct — before
+    the nondeterministic marking, each FINAL plan stacked two copies of
+    the same kernel around the pushed filter (one of them upstream of
+    the corpus fan-out exchange, i.e. single-task)."""
+    for name in ("quality_auc", "quality_pr_curve", "contamination"):
+        df = CATALOG[name](spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        n = final.count("ArrowEvalPython")
+        assert n == 1, (name, n, final)
